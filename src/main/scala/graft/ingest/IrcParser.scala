@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** The reference's parse→normalize→key→dedup chain as one declarative Spark
+  * pipeline (SURVEY.md §2.1-§2.6; /root/reference/irclogbot.py:122-142).
+  *
+  * Deliberate semantic fixes over the reference (documented, SURVEY §7.4(5)):
+  *  - multi-line recv chunks are split into lines (the reference parses only
+  *    the first line of a chunk, irclogbot.py:112-131);
+  *  - undecodable input is dropped (the reference reprocesses a stale
+  *    message on UnicodeDecodeError, irclogbot.py:113-118).
+  */
+object IrcParser {
+
+  /** /root/reference/irclogbot.py:24 — groups: nick, user, host, channel,
+    * remark. Anchored; optional `~` before user.
+    */
+  val MsgPattern = "^:([^!]+)!~?([^@]+)@(\\S+) PRIVMSG (\\S+) :(.+)$"
+
+  /** Max nick length accepted (exclusive) — irclogbot.py:139-141. */
+  val MaxNickLen = 17
+
+  /** Split raw recv chunks into trimmed, non-empty lines. */
+  def splitLines(chunks: DataFrame, chunkCol: String): DataFrame =
+    chunks
+      .select(explode(split(col(chunkCol), "\r?\n")).as("line"))
+      .select(trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+
+  def isPing(line: Column): Column = line.contains("PING :")
+
+  def extractGroup(line: Column, group: Int): Column =
+    regexp_extract(line, MsgPattern, group)
+
+  /** ACTION emote → "/me" rewrite (irclogbot.py:137-138). The reference
+    * guards with startswith then str.replace; with the guard the two are
+    * equivalent to prefix rewrite.
+    */
+  def rewriteAction(remark: Column): Column =
+    when(remark.startsWith("ACTION "),
+      concat(lit("/me "), substring(remark, 8, Int.MaxValue)))
+      .otherwise(remark)
+
+  /** Full message parse: lines → {nick, channel, remark}, dropping PINGs,
+    * non-PRIVMSG traffic and over-long nicks. Input column must be named
+    * `line`.
+    */
+  def parse(lines: DataFrame): DataFrame = {
+    val line = col("line")
+    lines
+      .filter(!isPing(line))
+      .select(
+        extractGroup(line, 1).as("nick"),
+        extractGroup(line, 4).as("channel"),
+        extractGroup(line, 5).as("remark"))
+      .filter(col("nick") =!= "" && col("channel") =!= "" && col("remark") =!= "")
+      .filter(length(col("nick")) < MaxNickLen)
+      .withColumn("remark",
+        when(col("remark").startsWith("ACTION "),
+          concat(lit("/me "), substring(col("remark"), 8, Int.MaxValue)))
+          .otherwise(col("remark")))
+  }
+
+  /** Stamp second-truncated event time + v1/v2 content keys
+    * (irclogbot.py:40-45; logbot_roundrobin.py:46-54) and drop duplicates by
+    * the v2 key — the reference's ES-upsert-by-id semantics.
+    */
+  def record(parsed: DataFrame, eventTime: Column = current_timestamp()): DataFrame =
+    parsed
+      .withColumn("posted", date_trunc("second", eventTime))
+      .withColumn("id",
+        HashFunctions.keyV2(col("channel"), col("nick"), col("remark")))
+      .dropDuplicates("id")
+
+  /** Whole chain: raw chunks in, deduped log records out. */
+  def pipeline(chunks: DataFrame, chunkCol: String = "value"): DataFrame =
+    record(parse(splitLines(chunks, chunkCol)))
+}

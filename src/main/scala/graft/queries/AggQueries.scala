@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregations — SURVEY.md §2.5 (A1-A8): the Elasticsearch query surface
+  * (terms / date_histogram / cardinality / top_hits) re-expressed as Spark
+  * hash aggregates, plus the north-star OLAP set (rollup/cube/distinct).
+  *
+  * All double sums go through exact integer cents so the DuckDB hash compare
+  * is independent of FP summation order; stddev is computed from exact
+  * integer sums with a fixed IEEE op sequence for the same reason.
+  */
+object AggQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def all: Seq[Q] = Seq(
+
+    // A1 — ES `terms` agg analog: counts per key.
+    Q("a1_count_per_key",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A2 — ES `date_histogram`: tumbling 1h windows via date_trunc.
+    Q("a2_date_histogram",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hour")),
+      Some("""SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A3 — ES `cardinality`: exact variant is oracle-pinned; the approximate
+    // HLL++ path (approx_count_distinct) is covered in scalatest.
+    Q("a3_cardinality",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A4 — top-k terms: TakeOrderedAndProject, tie-broken on the key.
+    Q("a4_topk_keys",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10),
+      Some("""SELECT user_id, count(*) AS n
+             |FROM events GROUP BY user_id
+             |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
+
+    // A5 — ES `top_hits`: latest event per key via ranking window.
+    Q("a5_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("event_type"), col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("posted"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, user_id,
+             |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS posted,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT event_type, event_id, user_id, posted
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // A6 — numeric stats; stddev from exact integer cents with a fixed op
+    // sequence: sqrt((n*sumsq - sum^2) / (n*(n-1))) / 100.
+    Q("a6_stats",
+      (s, d) => {
+        val qc = cents(col("l_quantity"))
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), qc.as("qc"),
+            cents(col("l_extendedprice")).as("pc"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("qc")).as("sum_qty_cents"),
+            sum(col("pc")).as("sum_price_cents"),
+            min(col("qc")).as("min_qty_cents"),
+            max(col("qc")).as("max_qty_cents"),
+            sum(col("qc") * col("qc")).as("sumsq"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("sum_qty_cents"), col("sum_price_cents"),
+            col("min_qty_cents"), col("max_qty_cents"),
+            round(col("sum_qty_cents").cast("double") / col("n") / 100.0, 6).as("avg_qty"),
+            round(
+              sqrt((col("n") * col("sumsq") - col("sum_qty_cents") * col("sum_qty_cents"))
+                .cast("double") / (col("n") * (col("n") - 1)).cast("double")) / 100.0,
+              6).as("stddev_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+             |  FROM lineitem)
+             |SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       sum(qc) AS sum_qty_cents, sum(pc) AS sum_price_cents,
+             |       min(qc) AS min_qty_cents, max(qc) AS max_qty_cents,
+             |       round(CAST(sum(qc) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
+             |       round(sqrt(CAST(count(*) * sum(qc * qc) - sum(qc) * sum(qc) AS DOUBLE)
+             |                  / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0, 6) AS stddev_qty
+             |FROM c GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A7 — rollup; NULL subtotal rows sort-pinned NULLS FIRST on both engines.
+    Q("a7_rollup",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_qty_cents"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("a7_cube",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("tc"))
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_price_cents"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // A8 — distinct aggregates (Catalyst Expand rewrite).
+    Q("a8_distinct_agg",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"),
+          cents(col("l_quantity")).as("qc"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sum_distinct(col("qc")).as("sum_distinct_qty_cents"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_suppkey) AS n_supp,
+             |       sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS sum_distinct_qty_cents
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{MinHashDedup, SimHashDedup}
+import graft.functions.HashFunctions
+
+/** Deduplication — SURVEY.md §2.6 (D1, D2) + the LLM-pipeline dedup family:
+  * exact content-key dedup (the reference's defining op), n-gram Jaccard
+  * near-dup, MinHash-LSH and SimHash candidates.
+  *
+  * Oracle pairing: exact dedup and Jaccard are bit-deterministic and DuckDB-
+  * mirrored. MinHash/SimHash depend on xxhash64 (no DuckDB equivalent) so
+  * they get the rows-only check here + exact-recall assertions in scalatest.
+  *
+  * Scale posture: Jaccard/MinHash candidate generation is *blocked* (here by
+  * (lang, source); generally by LSH band buckets) so the pair space is
+  * quadratic only within a block, never globally — the difference between
+  * O(n²) and feasible at 100 TB.
+  */
+object DedupQueries extends QueryGroup {
+
+  def all: Seq[Q] = Seq(
+
+    // D1 — exact dedup by content key: one surviving representative (min
+    // event_id) per id, duplicate count preserved. Mirrors ES upsert-by-id.
+    Q("d1_exact_dedup",
+      (s, d) => Tables(s, d, "events")
+        .withColumn("id",
+          HashFunctions.contentKey(col("user_id"), col("event_type"), col("props")))
+        .groupBy(col("id"))
+        .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("id")),
+      Some("""SELECT md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type, props)) AS id,
+             |       min(event_id) AS keep_event_id, count(*) AS n_dups
+             |FROM events
+             |GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // D2 — n-gram Jaccard near-dup pairs, blocked by (lang, source).
+    // jaccard = |A∩B| / (|A|+|B|-|A∩B|) on distinct token sets — a ratio of
+    // exact integers, so the 0.5 threshold is engine-independent.
+    Q("d2_jaccard_neardup",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .distinct()
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = toks.select(col("doc_id").as("da"), col("lang"), col("source"), col("term"))
+        val b = toks.select(col("doc_id").as("db"), col("lang").as("lb"),
+          col("source").as("sb"), col("term").as("tb"))
+        val inter = a.join(b,
+            col("term") === col("tb") && col("lang") === col("lb") &&
+              col("source") === col("sb") && col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+          .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+          .withColumn("jaccard",
+            col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("""WITH tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+             |        FROM documents)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db,
+             |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = da
+             |JOIN sizes sb ON sb.doc_id = db
+             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+             |ORDER BY da, db""".stripMargin)),
+
+    // D2 — MinHash+LSH candidate pairs (rows-only; recall vs exact Jaccard
+    // asserted in MinHashDedupSpec).
+    Q("d2_minhash_lsh",
+      (s, d) => MinHashDedup.candidatePairs(
+        Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("da"), col("db")),
+      None),
+
+    // D2 — SimHash near-dup candidates (rows-only; hamming properties in
+    // SimHashDedupSpec).
+    Q("d2_simhash",
+      (s, d) => SimHashDedup.signatures(
+        Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      None)
+  )
+}

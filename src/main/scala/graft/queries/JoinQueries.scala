@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Joins — SURVEY.md §2.6 (J1-J7).
+  *
+  * Scale posture: dimension tables (region/nation/supplier/part at TPC-H
+  * proportions) are explicitly `broadcast()` so the fact side never shuffles
+  * for them; fact-fact joins (lineitem ⋈ orders) are left to
+  * sort-merge/shuffled-hash with AQE free to re-plan. The as-of join (J6) is
+  * the documented composition (equi-join + range filter + ranking window) —
+  * no native as-of exists in Spark SQL; at 100 TB the same shape holds
+  * because the window partitions by the left key (no global sort).
+  */
+object JoinQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def all: Seq[Q] = Seq(
+
+    // J1 — broadcast hash join: fact × two broadcast dims.
+    Q("j1_broadcast_join",
+      (s, d) => Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // J2 — fact × fact shuffle join with post-join aggregation.
+    Q("j2_shuffle_join",
+      (s, d) => Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // J3 — left outer: customers with zero orders keep a 0 count.
+    Q("j3_left_outer",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("j3_full_outer",
+      (s, d) => Tables(s, d, "nation")
+        .join(Tables(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"))
+        .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_suppkey")),
+      Some("""SELECT n_nationkey, n_name, s_suppkey
+             |FROM nation FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+             |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin)),
+
+    // J4 — existence joins (EXISTS / NOT EXISTS).
+    Q("j4_semi_join",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("j4_anti_join",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J5 — non-equi (range) join; broadcast NL over the 10-row dim.
+    Q("j5_range_join",
+      (s, d) => Tables(s, d, "part")
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("p_size") >= col("s_suppkey") && col("p_size") <= col("s_suppkey") + 4)
+        .select(col("p_partkey"), col("s_suppkey"))
+        .orderBy(col("p_partkey"), col("s_suppkey")),
+      Some("""SELECT p_partkey, s_suppkey
+             |FROM part JOIN supplier
+             |  ON p_size BETWEEN s_suppkey AND s_suppkey + 4
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
+    // J6 — as-of join composition: for each purchase, the user's latest
+    // click at or before it (equi-join on key + range + ranking window).
+    Q("j6_asof_join",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val p = e.filter(col("event_type") === "purchase").select(
+          col("event_id").as("pid"), col("user_id"),
+          expr("unix_micros(ts)").as("pus"))
+        val c = e.filter(col("event_type") === "click").select(
+          col("event_id").as("cid"), col("user_id").as("cu"),
+          expr("unix_micros(ts)").as("cus"))
+        val w = Window.partitionBy(col("pid"))
+          .orderBy(col("cus").desc, col("cid").desc)
+        p.join(c, col("user_id") === col("cu") && col("cus") <= col("pus"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("pid"), col("user_id"), col("cid").as("last_click_id"),
+            (col("pus") - col("cus")).as("gap_us"))
+          .orderBy(col("pid"))
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+             |           FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cus
+             |           FROM events WHERE event_type = 'click'),
+             |     j AS (SELECT pid, user_id, cid, pus, cus,
+             |                  row_number() OVER (PARTITION BY pid
+             |                                     ORDER BY cus DESC, cid DESC) AS rn
+             |           FROM p JOIN c ON user_id = cu AND cus <= pus)
+             |SELECT pid, user_id, cid AS last_click_id, pus - cus AS gap_us
+             |FROM j WHERE rn = 1 ORDER BY pid""".stripMargin)),
+
+    // J7 — explicit cross join (5×5).
+    Q("j7_cross_join",
+      (s, d) => {
+        val r1 = Tables(s, d, "region").select(col("r_name").as("a"))
+        val r2 = Tables(s, d, "region").select(col("r_name").as("b"))
+        r1.crossJoin(r2).orderBy(col("a"), col("b"))
+      },
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1 CROSS JOIN region r2
+             |ORDER BY a, b""".stripMargin))
+  )
+}

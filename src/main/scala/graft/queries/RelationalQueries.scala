@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions
+import graft.ingest.IrcParser
+
+/** Scans, projections, filters, per-row rewrites and scalar functions —
+  * SURVEY.md §2.1 (S6), §2.3 (P1-P8), §2.4 (F2/F3/F5/F8).
+  *
+  * The IRC-specific ops (P1/P5) have no raw-line fixture, so the queries
+  * *construct* wire lines deterministically from `events` columns and then
+  * run the real [[IrcParser]] expressions over them — the oracle rebuilds the
+  * same lines in SQL. This keeps the literal reference semantics under the
+  * DuckDB differential gate instead of scalatest only.
+  */
+object RelationalQueries extends QueryGroup {
+
+  def all: Seq[Q] = Seq(
+
+    Q("s6_scan_project",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-06-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1996-06-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("p1_regex_extract",
+      (s, d) => {
+        val lines = Tables(s, d, "events").select(
+          col("event_id"),
+          concat(
+            lit(":u"), col("user_id").cast("string"),
+            lit("!~user@10.0.0."), (col("user_id") % 256).cast("string"),
+            lit(" PRIVMSG #"), col("event_type"),
+            lit(" :msg "), col("event_id").cast("string")).as("line"))
+        lines.select(
+          col("event_id"),
+          IrcParser.extractGroup(col("line"), 1).as("nick"),
+          IrcParser.extractGroup(col("line"), 2).as("username"),
+          IrcParser.extractGroup(col("line"), 3).as("host"),
+          IrcParser.extractGroup(col("line"), 4).as("channel"),
+          IrcParser.extractGroup(col("line"), 5).as("remark"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH lines AS (
+             |  SELECT event_id,
+             |         concat(':u', user_id, '!~user@10.0.0.', user_id % 256,
+             |                ' PRIVMSG #', event_type, ' :msg ', event_id) AS line
+             |  FROM events)
+             |SELECT event_id,
+             |       regexp_extract(line, '^:([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)$', 1) AS nick,
+             |       regexp_extract(line, '^:([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)$', 2) AS username,
+             |       regexp_extract(line, '^:([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)$', 3) AS host,
+             |       regexp_extract(line, '^:([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)$', 4) AS channel,
+             |       regexp_extract(line, '^:([^!]+)!~?([^@]+)@(\S+) PRIVMSG (\S+) :(.+)$', 5) AS remark
+             |FROM lines
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("p2_filter_chain",
+      (s, d) => Tables(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .filter(!col("text").contains("PING :"))
+        .filter(length(col("source")) < IrcParser.MaxNickLen)
+        .filter(col("text").contains("scan"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, source
+             |FROM documents
+             |WHERE length(trim(text)) > 0
+             |  AND NOT contains(text, 'PING :')
+             |  AND length(source) < 17
+             |  AND contains(text, 'scan')
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("p5_conditional_rewrite",
+      (s, d) => {
+        val remarks = Tables(s, d, "events").select(
+          col("event_id"),
+          when(col("event_id") % 3 === 0, concat(lit("ACTION "), col("event_type")))
+            .otherwise(col("event_type")).as("remark"))
+        remarks
+          .withColumn("rewritten", IrcParser.rewriteAction(col("remark")))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 3 = 0 THEN 'ACTION ' || event_type
+             |              ELSE event_type END AS remark
+             |  FROM events)
+             |SELECT event_id, remark,
+             |       CASE WHEN starts_with(remark, 'ACTION ')
+             |            THEN '/me ' || substr(remark, 8)
+             |            ELSE remark END AS rewritten
+             |FROM r
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("f2_time_format",
+      (s, d) => Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("posted"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS posted
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("f3_content_hash",
+      (s, d) => Tables(s, d, "events")
+        .select(
+          col("event_id"),
+          HashFunctions.contentKey(col("user_id"), col("event_type"), col("props")).as("id"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type, props)) AS id
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("f5_human_bytes",
+      (s, d) => {
+        val b = (col("n_chars") * 8192L).as("n_bytes")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), b)
+          .withColumn("unit",
+            when(col("n_bytes") < 1024L, "B")
+              .when(col("n_bytes") < 1048576L, "KB")
+              .when(col("n_bytes") < 1073741824L, "MB")
+              .otherwise("GB"))
+          .withColumn("scaled",
+            when(col("n_bytes") < 1024L, col("n_bytes").cast("double"))
+              .when(col("n_bytes") < 1048576L, round(col("n_bytes") / 1024.0, 2))
+              .when(col("n_bytes") < 1073741824L, round(col("n_bytes") / 1048576.0, 2))
+              .otherwise(round(col("n_bytes") / 1073741824.0, 2)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars * 8192 AS n_bytes FROM documents)
+             |SELECT doc_id, n_bytes,
+             |       CASE WHEN n_bytes < 1024 THEN 'B'
+             |            WHEN n_bytes < 1048576 THEN 'KB'
+             |            WHEN n_bytes < 1073741824 THEN 'MB'
+             |            ELSE 'GB' END AS unit,
+             |       CASE WHEN n_bytes < 1024 THEN CAST(n_bytes AS DOUBLE)
+             |            WHEN n_bytes < 1048576 THEN round(n_bytes / 1024.0, 2)
+             |            WHEN n_bytes < 1073741824 THEN round(n_bytes / 1048576.0, 2)
+             |            ELSE round(n_bytes / 1073741824.0, 2) END AS scaled
+             |FROM b
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("f8_json_extract",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       sum(CAST(props ->> '$.k' AS BIGINT)) AS k_sum,
+             |       count(*) AS n
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
+  )
+}

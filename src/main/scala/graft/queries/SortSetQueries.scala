@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sorts, limits, per-group top-k, set operations — SURVEY.md §2.7
+  * (O1-O3, U1-U2). Global sort = range-partitioned SortExec; top-k =
+  * TakeOrderedAndProject (no full sort materialized); per-group top-k =
+  * ranking window, which at scale partitions by group instead of sorting
+  * globally.
+  */
+object SortSetQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def all: Seq[Q] = Seq(
+
+    Q("o1_global_sort",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |FROM orders ORDER BY price_cents DESC, o_orderkey""".stripMargin)),
+
+    Q("o2_topk",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("o3_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("price_cents").desc, col("o_orderkey"))
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+             |                                     o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_orderpriority, o_orderkey, price_cents, rn
+             |FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    Q("u1_union_all",
+      (s, d) => Tables(s, d, "customer")
+        .select(lit("cust").as("src"), col("c_custkey").as("key"))
+        .unionByName(
+          Tables(s, d, "supplier").select(lit("supp").as("src"), col("s_suppkey").as("key")))
+        .orderBy(col("src"), col("key")),
+      Some("""SELECT 'cust' AS src, c_custkey AS key FROM customer
+             |UNION ALL
+             |SELECT 'supp' AS src, s_suppkey AS key FROM supplier
+             |ORDER BY src, key""".stripMargin)),
+
+    Q("u1_union_distinct",
+      (s, d) => Tables(s, d, "orders").select(col("o_custkey").as("key"))
+        .union(Tables(s, d, "customer").select(col("c_custkey")))
+        .distinct()
+        .orderBy(col("key")),
+      Some("""SELECT o_custkey AS key FROM orders
+             |UNION
+             |SELECT c_custkey FROM customer
+             |ORDER BY key""".stripMargin)),
+
+    Q("u2_intersect",
+      (s, d) => Tables(s, d, "customer").select(col("c_custkey").as("key"))
+        .intersect(Tables(s, d, "orders").select(col("o_custkey")))
+        .orderBy(col("key")),
+      Some("""SELECT c_custkey AS key FROM customer
+             |INTERSECT
+             |SELECT o_custkey FROM orders
+             |ORDER BY key""".stripMargin)),
+
+    Q("u2_except",
+      (s, d) => Tables(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(Tables(s, d, "orders").select(col("o_custkey")))
+        .orderBy(col("key")),
+      Some("""SELECT c_custkey AS key FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders
+             |ORDER BY key""".stripMargin)),
+
+    // Multiset semantics: lineitem has ~4 rows per orderkey, orders 1 — the
+    // leftover multiset is deterministic once sorted.
+    Q("u2_except_all",
+      (s, d) => Tables(s, d, "lineitem").select(col("l_orderkey").as("key"))
+        .exceptAll(Tables(s, d, "orders").select(col("o_orderkey")))
+        .orderBy(col("key")),
+      Some("""SELECT l_orderkey AS key FROM lineitem
+             |EXCEPT ALL
+             |SELECT o_orderkey FROM orders
+             |ORDER BY key""".stripMargin)),
+
+    Q("u2_intersect_all",
+      (s, d) => Tables(s, d, "lineitem").select(col("l_orderkey").as("key"))
+        .intersectAll(Tables(s, d, "orders").select(col("o_orderkey")))
+        .orderBy(col("key")),
+      Some("""SELECT l_orderkey AS key FROM lineitem
+             |INTERSECT ALL
+             |SELECT o_orderkey FROM orders
+             |ORDER BY key""".stripMargin))
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text analysis — SURVEY.md §2.9 (T1-T6) plus the LLM-pipeline text ops
+  * (quality scoring, regex token counting, fingerprinting). These are the
+  * Elasticsearch full-text surface rebuilt relationally: tokenize with
+  * codegen'd `split`, explode only (doc_id, term) pairs, aggregate.
+  *
+  * DuckDB mirrors: `string_split`+`unnest` ≙ `split`+`explode`;
+  * `list_filter`/`list_transform` ≙ higher-order `filter`/`transform`.
+  */
+object TextQueries extends QueryGroup {
+
+  private val tok =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  def all: Seq[Q] = Seq(
+
+    // T1 — tokenization; per-doc token counts.
+    Q("t1_tokenize",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, len($tok) AS n_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T2 — multi-substring search (the reference's wait_for OR-match,
+    // irclogbot.py:145-157, as a data-path filter).
+    Q("t2_term_search",
+      (s, d) => Tables(s, d, "documents")
+        .filter(col("text").contains("merge scan") || col("text").contains("hash join"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE contains(text, 'merge scan') OR contains(text, 'hash join')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T3 — corpus term frequency, top 50.
+    Q("t3_term_freq",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(50),
+      Some(s"""SELECT term, count(*) AS cnt
+              |FROM (SELECT unnest($tok) AS term FROM documents)
+              |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)),
+
+    // T3 — document frequency, top 50.
+    Q("t3_doc_freq",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(50),
+      Some(s"""SELECT term, count(DISTINCT doc_id) AS df
+              |FROM (SELECT doc_id, unnest($tok) AS term FROM documents)
+              |GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin)),
+
+    // T4 — TF-IDF relevance, top 100 (score = tf * ln(N/df), one double op
+    // sequence on exact integers → deterministic).
+    Q("t4_tfidf",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("term"))
+          .limit(100)
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2),
+              |     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY 1),
+              |     n AS (SELECT count(*) AS n FROM documents)
+              |SELECT tf.doc_id, tf.term, round(tf * ln(n * 1.0 / df), 6) AS score
+              |FROM tf JOIN df USING (term) CROSS JOIN n
+              |ORDER BY score DESC, doc_id, term LIMIT 100""".stripMargin)),
+
+    // T5 — facets over lang × source.
+    Q("t5_facets",
+      (s, d) => Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // T6 — bigram shingles, top 50.
+    Q("t6_bigrams",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(TextFunctions.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50),
+      Some(s"""WITH t AS (SELECT $tok AS toks FROM documents),
+              |     b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+              |                   THEN list_transform(generate_series(1, len(toks) - 1),
+              |                                       i -> toks[i] || ' ' || toks[i + 1])
+              |                   ELSE [] END) AS bigram
+              |           FROM t)
+              |SELECT bigram, count(*) AS cnt FROM b
+              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
+
+    // X1 — quality scoring for training-data filtering.
+    Q("x1_quality_score",
+      (s, d) => {
+        val t = TextFunctions.tokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(t).as("n_tokens"),
+            round(length(col("text")).cast("double") / size(t), 6).as("chars_per_token"),
+            TextFunctions.stopwordCount(t).as("n_stopwords"),
+            round(TextFunctions.stopwordCount(t).cast("double") / size(t), 6).as("stopword_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $tok AS toks FROM documents),
+              |     q AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+              |                  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS n_stopwords
+              |           FROM t)
+              |SELECT doc_id, n_tokens,
+              |       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+              |       n_stopwords,
+              |       round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // X2 — BPE-ish regex token counting.
+    Q("x2_token_count_regex",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), size(TextFunctions.tokensRegex(col("text"))).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> '')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X3 — document fingerprint (md5 of normalized text) + exact-dup groups.
+    Q("x3_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `array<float>` embeddings — SURVEY.md §2.10
+  * (V1-V4) + embedding-cosine near-dup. The DuckDB oracles replicate the
+  * exact IEEE op sequence of [[graft.functions.VectorFunctions]] (float
+  * multiply → double cast → double left-fold), so scores are bit-identical
+  * across engines — see that object's scaladoc.
+  *
+  * Scale posture: the query vector is a broadcast 1-row dim (V2); brute-force
+  * pairwise (V3/near-dup) is the correctness baseline, with the LSH-bucketed
+  * variant ([[graft.similarity.Ann]]) as the 100 TB path — same output
+  * schema, drop-in swap.
+  */
+object VectorQueries extends QueryGroup {
+
+  /** DuckDB mirror of VectorFunctions.dot: float products cast to double,
+    * then a double left-fold (list_reduce needs the 0.0 seed prepended).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, len($a)),
+       |                   i -> CAST($a[i] * $b[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  def all: Seq[Q] = Seq(
+
+    // V1 — dot product + cosine of every vector against a broadcast query
+    // vector (vec_id 0).
+    Q("v1_dot_cosine",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("qv")), 6).as("dot"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id,
+              |       round(${duckDot("embedding", "qv")}, 6) AS dot,
+              |       round(${duckCos("embedding", "qv")}, 6) AS cos
+              |FROM embeddings CROSS JOIN q
+              |ORDER BY vec_id""".stripMargin)),
+
+    // V2 — brute-force cosine top-k nearest neighbors.
+    Q("v2_knn_topk",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, round(${duckCos("embedding", "qv")}, 6) AS cos
+              |FROM embeddings CROSS JOIN q
+              |WHERE vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // V4 — per-label centroid via posexplode + per-dimension average.
+    Q("v4_centroid",
+      (s, d) => Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").cast("double").as("v"))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid"))
+        .orderBy(col("label"), col("dim")),
+      Some("""SELECT label, i AS dim,
+             |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+             |FROM embeddings
+             |CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+             |GROUP BY label, i
+             |ORDER BY label, dim""".stripMargin)),
+
+    // V3/near-dup — embedding-cosine near-duplicate pairs above 0.8 (exact
+    // pairwise baseline; Ann.lshCandidatePairs is the pruned scale path).
+    Q("v5_cosine_neardup",
+      (s, d) => {
+        val a = Tables(s, d, "embeddings")
+          .select(col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = Tables(s, d, "embeddings")
+          .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        a.join(b, col("va") < col("vb"))
+          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos_raw"))
+          .filter(col("cos_raw") >= 0.8)
+          .select(col("va"), col("vb"), round(col("cos_raw"), 6).as("cos"))
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS va, embedding AS ea FROM embeddings),
+              |     b AS (SELECT vec_id AS vb, embedding AS eb FROM embeddings)
+              |SELECT va, vb, round(${duckCos("ea", "eb")}, 6) AS cos
+              |FROM a JOIN b ON va < vb
+              |WHERE ${duckCos("ea", "eb")} >= 0.8
+              |ORDER BY va, vb""".stripMargin))
+  )
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window functions — SURVEY.md §2.8 (W1-W3): ranking, lag/lead gap
+  * analysis (the sessionization basis), running frames. All window specs
+  * partition by a key so state stays per-partition at scale — no global
+  * ordering is ever required.
+  */
+object WindowQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def all: Seq[Q] = Seq(
+
+    Q("w1_ranking",
+      (s, d) => {
+        val wTies = Window.partitionBy(col("event_type")).orderBy(col("user_id"))
+        val wUniq = Window.partitionBy(col("event_type"))
+          .orderBy(col("user_id"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .withColumn("rn", row_number().over(wUniq))
+          .withColumn("rk", rank().over(wTies))
+          .withColumn("drk", dense_rank().over(wTies))
+          .withColumn("quartile", ntile(4).over(wUniq))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some("""SELECT event_id, event_type, user_id,
+             |       row_number() OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS rn,
+             |       rank() OVER (PARTITION BY event_type ORDER BY user_id) AS rk,
+             |       dense_rank() OVER (PARTITION BY event_type ORDER BY user_id) AS drk,
+             |       ntile(4) OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS quartile
+             |FROM events
+             |ORDER BY event_type, rn""".stripMargin)),
+
+    // W2 — inter-event gap per user in exact microseconds (lag + lead).
+    Q("w2_lag_gap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("next_gap_us", lead(col("us"), 1).over(w) - col("us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+             |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS next_gap_us
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // W3 — running totals (unbounded preceding frame) in exact cents.
+    Q("w3_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+          .withColumn("running_cents", sum(col("vc")).over(w))
+          .withColumn("running_n", count(lit(1)).over(w))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+             |       CAST(round(value * 100) AS BIGINT) AS vc,
+             |       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS running_cents,
+             |       count(*) OVER w AS running_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // W3 — moving average over a bounded 4-row frame; exact integer sum then
+    // one double division keeps FP deterministic.
+    Q("w3_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+          .withColumn("mavg",
+            round(sum(col("vc")).over(w).cast("double") / count(lit(1)).over(w) / 100.0, 6))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+             |       CAST(round(value * 100) AS BIGINT) AS vc,
+             |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             |             / count(*) OVER w / 100.0, 6) AS mavg
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, event_id""".stripMargin))
+  )
+}
