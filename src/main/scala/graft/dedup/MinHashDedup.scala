@@ -5,28 +5,51 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 
-/** MinHash + LSH near-duplicate detection (SURVEY.md D2; the standard
-  * shingle → minhash → band → bucket-join pipeline from Broder's resemblance
-  * work, composed entirely from Spark higher-order functions — no UDFs, so
-  * signature computation stays in whole-stage codegen and the only shuffle is
-  * the band-bucket self-join.
+/** MinHash + LSH near-duplicate detection (SURVEY.md D2): the standard
+  * shingle → minhash → band → bucket-join pipeline (Broder resemblance),
+  * composed from Spark higher-order functions — no UDFs.
   *
-  * Scale posture (100 TB): signatures are fixed-width (`numHashes` longs) per
-  * document regardless of text size; the bucket join shuffles (band,
-  * bandHash, doc_id) tuples only; quadratic blowup is confined to documents
-  * sharing a band bucket (true near-dups + controllable false positives via
-  * bands/rows). The k seeded hash family is xxhash64(seed=i, shingle).
+  * Hashing scheme: each distinct shingle is hashed ONCE with xxhash64, folded
+  * into [0, 2^31-1), then the k-hash family is Carter-Wegman affine
+  * `(a_i * h + b_i) mod (2^31 - 1)` with coefficients from a fixed seed.
+  * This keeps per-shingle work at one string hash + k long multiplies, and —
+  * because operands stay under 2^62 — never overflows, which matters since
+  * Spark 4 runs ANSI mode (long overflow would throw, not wrap).
+  *
+  * Scale posture (100 TB): signatures are fixed-width (`numHashes` ints) per
+  * document; the bucket self-join shuffles only (band, bandHash, doc_id)
+  * triples — signatures are re-joined per *candidate pair*, never carried
+  * through the bucket join; quadratic blowup is confined to band buckets.
+  * Band count trades recall for candidate volume: 8 bands × 8 rows targets
+  * the ~0.7+ Jaccard regime (collision prob 1-(1-j^8)^8).
   */
 object MinHashDedup {
 
-  /** k-minhash signature: array<long> of length numHashes. Empty-shingle
-    * docs get Long.MaxValue sentinels (array_min of empty is null →
-    * coalesced).
+  private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** k-minhash signature: array<long> of length numHashes, computed in ONE
+    * pass over the shingles: each shingle is string-hashed once (xxhash64 →
+    * [0, P)), expanded to k affine variants `(a_i*h + b_i) mod P` with
+    * multipliers derived arithmetically from the hash index (a_i ≤ 2^20 so
+    * h*a_i < 2^51 — no ANSI overflow), then elementwise-min folded. Total
+    * work: n string hashes + n·k long ops; no recomputation, no literals to
+    * ship. Docs with no shingles get P sentinels.
     */
   def signature(text: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, shingleWidth))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(array_min(transform(sh, t => xxhash64(i, t))), lit(Long.MaxValue)))
+    val perShingle = transform(
+      array_distinct(TextFunctions.shingles(text, shingleWidth)),
+      t => {
+        val h = pmod(xxhash64(t), lit(Prime))
+        transform(sequence(lit(0), lit(numHashes - 1)), i => {
+          val a = pmod(i.cast("long") * 2654435761L, lit(1048573L)) + 1L
+          val b = i.cast("long") * 40503L
+          pmod(h * a + b, lit(Prime))
+        })
+      })
+    aggregate(
+      perShingle,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Prime)),
+      (acc, row) => zip_with(acc, row, (m, v) => least(m, v)))
   }
 
   /** Estimated Jaccard from two signatures = fraction of agreeing positions. */
@@ -36,37 +59,46 @@ object MinHashDedup {
       lit(0),
       (acc, v) => acc + v).cast("double") / numHashes
 
-  /** (doc_id, sig, band, band_hash) — one row per band per document. */
-  def banded(
+  /** (doc_id, sig) signatures, cached — computed once, reused by both the
+    * band bucketing and the per-pair estimate join.
+    */
+  def signatures(
       df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+      numHashes: Int = 64, shingleWidth: Int = 3): DataFrame =
+    df.select(id.as("doc_id"), signature(text, numHashes, shingleWidth).as("sig"))
+
+  /** (doc_id, band, band_hash) — one row per band per document. */
+  def banded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    df.select(id.as("doc_id"), signature(text, numHashes, shingleWidth).as("sig"))
-      .select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(j, slice(col("sig"), j * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** Candidate near-dup pairs (da < db) with the signature-estimated
-    * Jaccard. Pairs collide in ≥1 band ⇒ LSH S-curve recall.
+  /** Candidate near-dup pairs (da < db) colliding in ≥ 1 band, with the
+    * signature-estimated Jaccard, filtered to `minEstJaccard`.
     */
   def candidatePairs(
       df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
-    val bd = banded(df, id, text, numHashes, bands, shingleWidth)
-    val a = bd.select(col("band"), col("band_hash"),
-      col("doc_id").as("da"), col("sig").as("sa"))
-    val b = bd.select(col("band").as("band_b"), col("band_hash").as("band_hash_b"),
-      col("doc_id").as("db"), col("sig").as("sb"))
-    a.join(b,
+      numHashes: Int = 64, bands: Int = 8, shingleWidth: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val sigs = signatures(df, id, text, numHashes, shingleWidth).cache()
+    val bd = banded(sigs, numHashes, bands)
+    val pairs = bd
+      .join(bd.select(col("band").as("band_b"), col("band_hash").as("band_hash_b"),
+        col("doc_id").as("db")),
         col("band") === col("band_b") && col("band_hash") === col("band_hash_b") &&
-          col("da") < col("db"))
-      .select(col("da"), col("db"), col("sa"), col("sb"))
+          col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
       .select(col("da"), col("db"),
         round(estimateJaccard(col("sa"), col("sb"), numHashes), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 }

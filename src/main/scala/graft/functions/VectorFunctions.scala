@@ -30,6 +30,20 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd native dot product — bit-identical to [[dot]] (same IEEE op
+    * sequence, see [[FloatVecDot]]) but runs inside whole-stage codegen
+    * instead of the interpreted higher-order-function path. Use on hot
+    * pairwise loops; `dot` remains the reference composition.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("float_vec_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
+  def l2Native(a: Column, b: Column): Column =
+    sqrt(call_function("float_vec_l2sq", a, b))
+
   /** Euclidean distance, same deterministic fold shape. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(

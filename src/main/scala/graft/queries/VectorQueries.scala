@@ -93,7 +93,7 @@ object VectorQueries extends QueryGroup {
         val b = Tables(s, d, "embeddings")
           .select(col("vec_id").as("vb"), col("embedding").as("eb"))
         a.join(b, col("va") < col("vb"))
-          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos_raw"))
+          .select(col("va"), col("vb"), cosineNative(col("ea"), col("eb")).as("cos_raw"))
           .filter(col("cos_raw") >= 0.8)
           .select(col("va"), col("vb"), round(col("cos_raw"), 6).as("cos"))
           .orderBy(col("va"), col("vb"))
