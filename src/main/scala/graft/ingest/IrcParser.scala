@@ -65,18 +65,20 @@ object IrcParser {
           .otherwise(col("remark")))
   }
 
-  /** Stamp second-truncated event time + v1/v2 content keys
-    * (irclogbot.py:40-45; logbot_roundrobin.py:46-54) and drop duplicates by
-    * the v2 key — the reference's ES-upsert-by-id semantics.
+  /** Stamp second-truncated event time + the v2 content key
+    * (irclogbot.py:40-45; logbot_roundrobin.py:46-54). Dedup is applied by
+    * the caller (batch `dropDuplicates` here in [[pipeline]]; watermarked
+    * variant in graft.streaming.IrcStream so streaming state stays bounded).
     */
   def record(parsed: DataFrame, eventTime: Column = current_timestamp()): DataFrame =
     parsed
       .withColumn("posted", date_trunc("second", eventTime))
       .withColumn("id",
         HashFunctions.keyV2(col("channel"), col("nick"), col("remark")))
-      .dropDuplicates("id")
 
-  /** Whole chain: raw chunks in, deduped log records out. */
+  /** Whole batch chain: raw chunks in, deduped log records out — the
+    * reference's ES-upsert-by-id semantics (exactly one copy per id).
+    */
   def pipeline(chunks: DataFrame, chunkCol: String = "value"): DataFrame =
-    record(parse(splitLines(chunks, chunkCol)))
+    record(parse(splitLines(chunks, chunkCol))).dropDuplicates("id")
 }

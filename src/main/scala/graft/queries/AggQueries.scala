@@ -162,6 +162,16 @@ object AggQueries extends QueryGroup {
       Some("""SELECT l_returnflag,
              |       count(DISTINCT l_suppkey) AS n_supp,
              |       sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS sum_distinct_qty_cents
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A3 — the approximate cardinality path (HLL++, the true ES-cardinality
+    // analog). Rows-only: rsd-bounded, not exact-matchable; the error bound
+    // vs exact countDistinct is asserted in AggSpec.
+    Q("a3_approx_cardinality",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type")),
+      None)
   )
 }

@@ -10,7 +10,8 @@ object Registry {
     WindowQueries,
     TextQueries,
     DedupQueries,
-    VectorQueries)
+    VectorQueries,
+    MultimodalQueries)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.all)

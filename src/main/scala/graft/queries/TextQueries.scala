@@ -150,6 +150,16 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X4 — heuristic language ID (rows-only: stopword-vote heuristic, no SQL
+    // mirror; accuracy against the fixture lang column asserted in
+    // TextFunctionsSpec).
+    Q("x4_lang_id",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      None)
   )
 }

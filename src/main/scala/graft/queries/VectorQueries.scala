@@ -103,6 +103,17 @@ object VectorQueries extends QueryGroup {
               |SELECT va, vb, round(${duckCos("ea", "eb")}, 6) AS cos
               |FROM a JOIN b ON va < vb
               |WHERE ${duckCos("ea", "eb")} >= 0.8
-              |ORDER BY va, vb""".stripMargin))
+              |ORDER BY va, vb""".stripMargin)),
+
+    // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
+    // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
+    // asserted in AnnSpec).
+    Q("v6_ann_lsh_pairs",
+      (s, d) => graft.similarity.Ann.pairsLsh(
+        Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.8, nBits = 8)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("va"), col("vb")),
+      None)
   )
 }

