@@ -46,6 +46,16 @@ object IngestDemo {
       .filter(col("nick") === "carol")
       .select(functions.Blake2b.compatKey(col("channel"), col("nick"), col("remark")))
       .collect().head.getString(0))
+
+    // K1 — the partitioned ES-index analog: append (twice, overlapping ids)
+    // then compact to exactly-one-per-id.
+    sinks.IrcSink.append(sink, s"$base/table")
+    sinks.IrcSink.append(sink, s"$base/table") // replayed append
+    sinks.IrcSink.compact(spark, s"$base/table", s"$base/table_compacted")
+    val table = sinks.IrcSink.read(spark, s"$base/table_compacted")
+    println(s"DEMO_COMPACTED_ROWS=${table.count()} (from ${spark.read.parquet(s"$base/table").count()} appended)")
+    println("DEMO_PARTITIONS=" + new java.io.File(s"$base/table").listFiles()
+      .map(_.getName).filter(_.startsWith("channel=")).sorted.mkString(","))
     spark.stop()
   }
 }

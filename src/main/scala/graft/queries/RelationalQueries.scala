@@ -153,6 +153,25 @@ object RelationalQueries extends QueryGroup {
              |FROM b
              |ORDER BY doc_id""".stripMargin)),
 
+    // F6/F7 — string formatting / suffix extraction / repeat
+    // (utils.py:39-40, irclogbot.py:107,227-233: nick[-1] * N banners).
+    Q("f6_string_ops",
+      (s, d) => Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          concat_ws(":", col("lang"), col("source")).as("tag"),
+          substring(col("source"), -1, 1).as("last_ch"),
+          repeat(substring(col("source"), -1, 1), 5).as("banner"),
+          format_string("%s/%s", col("lang"), col("source")).as("fmt"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       concat_ws(':', lang, source) AS tag,
+             |       substr(source, length(source), 1) AS last_ch,
+             |       repeat(substr(source, length(source), 1), 5) AS banner,
+             |       printf('%s/%s', lang, source) AS fmt
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("f8_json_extract",
       (s, d) => Tables(s, d, "events")
         .groupBy(col("event_type"))

@@ -50,6 +50,36 @@ object IrcStream {
       .groupBy(window(col("posted"), "1 hour"), col("channel"))
       .agg(count(lit(1)).as("n"))
 
+  /** Session windows per nick (ST5): messages separated by less than `gap`
+    * fold into one session — the sessionization the lag/lead gap analysis
+    * (W2) approximates in batch.
+    */
+  def sessionCounts(recs: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    recs
+      .withWatermark("posted", watermark)
+      .groupBy(session_window(col("posted"), gap), col("nick"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Arbitrary keyed state (ST6): running per-nick message counts via
+    * flatMapGroupsWithState — state lives per key across micro-batches,
+    * emitting an updated total on every batch a nick appears in.
+    */
+  def runningNickCounts(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    recs.select(col("nick")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (nick: String, rows: Iterator[String], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((nick, n))
+        })
+      .toDF("nick", "n")
+  }
+
   /** Idempotent per-batch upsert into a parquet directory keyed on `id`:
     * within-batch dedup, then anti-join against ids already in the sink.
     * Replays of the same batch after a crash insert nothing new —

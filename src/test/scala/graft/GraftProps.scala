@@ -1,0 +1,45 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.Blake2b
+
+/** Property-based checks (SURVEY.md §5.2(3)) over the pure kernel functions
+  * — no Spark jobs per case, so thousands of cases stay cheap.
+  */
+object GraftProps extends Properties("graft") {
+
+  private val asciiStr = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)
+  private val vals = Gen.listOfN(4, asciiStr)
+
+  property("genKey is deterministic") = forAll(vals) { vs =>
+    Blake2b.genKey(vs) == Blake2b.genKey(vs)
+  }
+
+  property("genKey is field-order insensitive (utils.py:132-134 sort)") =
+    forAll(vals) { vs =>
+      Blake2b.genKey(vs) == Blake2b.genKey(scala.util.Random.shuffle(vs))
+    }
+
+  property("genKey is 16 lowercase hex chars (digest_size=8)") =
+    forAll(vals) { vs =>
+      val k = Blake2b.genKey(vs)
+      k.length == 16 && k.forall(c => "0123456789abcdef".contains(c))
+    }
+
+  property("digest matches at block boundaries (127/128/129 bytes)") = {
+    // regression guard for the single-vs-multi-block split logic
+    val sizes = Seq(0, 1, 127, 128, 129, 255, 256, 257, 1000)
+    sizes.forall { n =>
+      val d = Blake2b.hex(Blake2b.digest(Array.fill(n)('a'.toByte)))
+      d.length == 16 && d == Blake2b.hex(Blake2b.digest(Array.fill(n)('a'.toByte)))
+    }
+  }
+
+  property("different digest sizes give different-width prefixed output") =
+    forAll(asciiStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      Blake2b.digest(bytes, 8).length == 8 && Blake2b.digest(bytes, 32).length == 32
+    }
+}

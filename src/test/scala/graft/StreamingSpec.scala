@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSuite {
     assert(sink.select("id").distinct().count() == 3)
   }
 
+  test("session windows fold gap-close messages per nick (ST5)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #x :m1",
+      ":alice!~a@h PRIVMSG #x :m2", // same processing second ⇒ same session
+      ":bob!~b@h PRIVMSG #x :m3")
+    val q = IrcStream.sessionCounts(IrcStream.records(ms.toDF()), gap = "5 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_out").select(col("nick"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("alice" -> 2L, "bob" -> 1L))
+  }
+
+  test("flatMapGroupsWithState keeps per-nick running counts across batches (ST6)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    val q = IrcStream.runningNickCounts(IrcStream.records(ms.toDF()))
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    ms.addData(":alice!~a@h PRIVMSG #x :m1", ":bob!~b@h PRIVMSG #x :m2")
+    q.processAllAvailable()
+    ms.addData(":alice!~a@h PRIVMSG #x :m3")
+    q.processAllAvailable()
+    q.stop()
+    // last update for alice must be 2 (state carried across micro-batches)
+    val rows = spark.table("state_out").select(col("nick"), col("n"))
+      .as[(String, Long)].collect()
+    assert(rows.filter(_._1 == "alice").map(_._2).max == 2L)
+    assert(rows.filter(_._1 == "bob").map(_._2).max == 1L)
+  }
+
   test("end-to-end start(): lines → deduped records land in the sink (ST1/ST7)") {
     implicit val ctx = sqlCtx
     val base = Files.createTempDirectory("graft_e2e").toString
