@@ -27,15 +27,20 @@ object MinHashDedup {
 
   private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** k-minhash signature: array<long> of length numHashes, computed in ONE
-    * pass over the shingles: each shingle is string-hashed once (xxhash64 →
-    * [0, P)), expanded to k affine variants `(a_i*h + b_i) mod P` with
-    * multipliers derived arithmetically from the hash index (a_i ≤ 2^20 so
-    * h*a_i < 2^51 — no ANSI overflow), then elementwise-min folded. Total
-    * work: n string hashes + n·k long ops; no recomputation, no literals to
-    * ship. Docs with no shingles get P sentinels.
+  /** k-minhash signature: array<long> of length numHashes. Hot path is the
+    * native [[graft.functions.MinHashSignature]] kernel; [[signatureRef]] is
+    * the equivalent declarative composition kept as the executable spec
+    * (bit-equality asserted in MinHashDedupSpec). Each shingle is
+    * string-hashed once (xxhash64 → [0, P)), expanded to k affine variants
+    * `(a_i*h + b_i) mod P` (a_i ≤ 2^20 so h*a_i < 2^51 — no ANSI overflow),
+    * then elementwise-min folded. Docs with no shingles get P sentinels.
     */
-  def signature(text: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column = {
+  def signature(text: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column =
+    call_function("minhash_sig",
+      array_distinct(TextFunctions.shingles(text, shingleWidth)), lit(numHashes))
+
+  /** Reference composition of [[signature]] in pure higher-order functions. */
+  def signatureRef(text: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column = {
     val perShingle = transform(
       array_distinct(TextFunctions.shingles(text, shingleWidth)),
       t => {

@@ -111,5 +111,8 @@ object NativeFunctions {
       "float_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "float_vec_l2sq", exprs => FloatVecL2Sq(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

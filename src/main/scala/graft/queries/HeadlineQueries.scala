@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Headline relational queries: TPC-H-shaped multi-operator plans over the
+  * star schema (the "whole engine in one plan" tier), plus pivot, grouping
+  * sets and percentiles. These are the queries whose shape must survive a
+  * 100× scale-up: partial aggregation before shuffle, broadcast dims,
+  * AQE-planned fact joins.
+  */
+object HeadlineQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy pricing summary — partial aggregates do
+    // almost all the work map-side; the shuffle carries 4 groups.
+    Q("h1_pricing_summary",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"),
+          cents(col("l_extendedprice")).as("pc"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("dpc"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("cc"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qc")).as("sum_qty_cents"),
+          sum(col("pc")).as("sum_base_price_cents"),
+          sum(col("dpc")).as("sum_disc_price_cents"),
+          sum(col("cc")).as("sum_charge_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: 3-way join (broadcast dim + fact-fact) → agg → top-k.
+    Q("h3_shipping_priority",
+      (s, d) => Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(20),
+      Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+             |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // Pivot: event counts per user pivoted to one column per event type.
+    // Spark PivotExec vs. oracle conditional aggregation — same semantics.
+    Q("h4_pivot",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |       count(*) FILTER (WHERE event_type = 'click') AS click,
+             |       count(*) FILTER (WHERE event_type = 'error') AS error,
+             |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |       count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
+    Q("h5_grouping_sets",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus ASC NULLS FIRST,
+                |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST,
+             |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Exact percentiles (interpolated) from integer cents — both engines
+    // sort exactly and interpolate the same rationals.
+    Q("h6_percentiles",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tc"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(tc, 0.5)") / 100.0, 6).as("median"),
+          round(expr("percentile(tc, 0.9)") / 100.0, 6).as("p90"))
+        .orderBy(col("o_orderpriority")),
+      Some("""WITH c AS (SELECT o_orderpriority,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+             |           FROM orders)
+             |SELECT o_orderpriority,
+             |       round(quantile_cont(tc, 0.5) / 100.0, 6) AS median,
+             |       round(quantile_cont(tc, 0.9) / 100.0, 6) AS p90
+             |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Sorted-array aggregation (deterministic collect): distinct sources per
+    // lang as an ordered list column.
+    Q("h7_collect_sorted",
+      (s, d) => Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_set(col("source"))).as("sources"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, list_sort(list(DISTINCT source)) AS sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // BM25 ranking (k1=1.2, b=0.75) — the ES relevance model the TF-IDF
+    // query approximates; all inputs exact integers, one shared double
+    // formula.
+    Q("h8_bm25",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val stats = Tables(s, d, "documents")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+        val idf = df.crossJoin(broadcast(stats))
+          .select(col("term"), col("n"), col("total_dl"), col("df"),
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)).as("idf"))
+        tf.join(dl, "doc_id").join(idf, "term")
+          .select(col("doc_id"), col("term"),
+            round(col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl") * col("n").cast("double") / col("total_dl")))), 6).as("bm25"))
+          .filter(col("term") === "merge")
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+             |            FROM documents),
+             |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             |     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             |     st AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |                   (SELECT sum(dl) FROM dl) AS total_dl),
+             |     idf AS (SELECT term, n, total_dl, df,
+             |                    ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+             |             FROM df CROSS JOIN st)
+             |SELECT tf.doc_id, tf.term,
+             |       round(idf * (tf * 2.2) /
+             |             (tf + 1.2 * (0.25 + 0.75 *
+             |              (dl * CAST(n AS DOUBLE) / total_dl))), 6) AS bm25
+             |FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+             |WHERE term = 'merge'
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+  )
+}

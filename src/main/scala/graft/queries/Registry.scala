@@ -11,7 +11,8 @@ object Registry {
     TextQueries,
     DedupQueries,
     VectorQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    HeadlineQueries)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.all)

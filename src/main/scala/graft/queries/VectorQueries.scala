@@ -105,6 +105,19 @@ object VectorQueries extends QueryGroup {
               |WHERE ${duckCos("ea", "eb")} >= 0.8
               |ORDER BY va, vb""".stripMargin)),
 
+    // V4 — same centroid via the typed Aggregator UDAF (single-pass, no
+    // explode before shuffle). Rows-only: cross-partition double-sum order
+    // is not bit-pinned; equivalence to v4_centroid within 1e-9 is asserted
+    // in EngineSpec.
+    Q("v4_centroid_udaf",
+      (s, d) => Tables(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.CentroidAgg.centroid(col("embedding")).as("centroid_raw"))
+        .select(col("label"),
+          transform(col("centroid_raw"), x => round(x, 6)).as("centroid"))
+        .orderBy(col("label")),
+      None),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).

@@ -23,6 +23,14 @@ class MinHashDedupSpec extends SparkSuite {
       .select("da", "db", "j")
   }
 
+  test("native minhash kernel is bit-identical to the HOF reference composition") {
+    val docs = Tables(spark, sf, "documents")
+    val both = docs.select(
+      MinHashDedup.signature(col("text")).as("native"),
+      MinHashDedup.signatureRef(col("text")).as("ref"))
+    assert(both.filter(not(col("native") === col("ref"))).count() == 0)
+  }
+
   test("identical texts collide in every band (est_jaccard = 1)") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
       (2L, "the quick brown fox jumps over the lazy dog again"),

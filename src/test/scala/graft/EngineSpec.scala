@@ -73,6 +73,22 @@ class EngineSpec extends SparkSuite {
     assert(f.kind == "image") // doc_id 0 % 3
   }
 
+  test("Aggregator centroid matches the posexplode composition within 1e-9") {
+    import org.apache.spark.sql.Row
+    val viaUdaf = Tables(spark, sf, "embeddings")
+      .groupBy(col("label"))
+      .agg(graft.functions.CentroidAgg.centroid(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("v"))
+    val viaExplode = Tables(spark, sf, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("dim")).agg(avg(col("v")).as("v2"))
+    val bad = viaUdaf.join(viaExplode, Seq("label", "dim"))
+      .filter(abs(col("v") - col("v2")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
   test("ANN LSH pairs are a subset of exact pairs and recall high-cos pairs") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.similarity.Ann.pairsExact(emb, col("vec_id"), col("embedding"), 0.8)
