@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by salting (SURVEY.md §4 "optimize for scale"): a
+  * two-phase aggregation that spreads one hot key over `buckets` shuffle
+  * partitions, then merges the partials. Results are identical to the direct
+  * aggregation (oracle-paired in a1_count_salted); only the shuffle shape
+  * changes. AQE's skew handling covers joins; salting covers skewed
+  * *aggregations*, where a single hot group would otherwise serialize on one
+  * task.
+  */
+object Salt {
+
+  /** count + long-sum aggregation over `key`, salted into `buckets`.
+    * `sums` maps output column name → long column to sum.
+    */
+  def saltedCountSum(
+      df: DataFrame, key: Column, buckets: Int,
+      sums: Map[String, Column] = Map.empty): DataFrame = {
+    val salted = df.select(
+      key.as("__key") +:
+        (pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).as("__salt")) +:
+        sums.map { case (n, c) => c.as(s"__v_$n") }.toSeq: _*)
+    val partial = salted
+      .groupBy(col("__key"), col("__salt"))
+      .agg(count(lit(1)).as("__pn"),
+        sums.keys.map(n => sum(col(s"__v_$n")).as(s"__ps_$n")).toSeq: _*)
+    partial
+      .groupBy(col("__key"))
+      .agg(sum(col("__pn")).as("n"),
+        sums.keys.map(n => sum(col(s"__ps_$n")).as(n)).toSeq: _*)
+      .withColumnRenamed("__key", "key")
+  }
+}

@@ -164,6 +164,17 @@ object AggQueries extends QueryGroup {
              |       sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS sum_distinct_qty_cents
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // A1 — the same count, via two-phase salted aggregation (skew path):
+    // identical results, skew-proof shuffle shape — pinned by sharing the
+    // plain oracle.
+    Q("a1_count_salted",
+      (s, d) => graft.operators.Salt.saltedCountSum(
+        Tables(s, d, "events"), col("event_type"), buckets = 8)
+        .select(col("key").as("event_type"), col("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A3 — the approximate cardinality path (HLL++, the true ES-cardinality
     // analog). Rows-only: rsd-bounded, not exact-matchable; the error bound
     // vs exact countDistinct is asserted in AggSpec.

@@ -116,15 +116,15 @@ object JoinQueries extends QueryGroup {
           col("event_id").as("pid"), col("user_id"),
           expr("unix_micros(ts)").as("pus"))
         val c = e.filter(col("event_type") === "click").select(
-          col("event_id").as("cid"), col("user_id").as("cu"),
+          col("event_id").as("cid"), col("user_id"),
           expr("unix_micros(ts)").as("cus"))
-        val w = Window.partitionBy(col("pid"))
-          .orderBy(col("cus").desc, col("cid").desc)
-        p.join(c, col("user_id") === col("cu") && col("cus") <= col("pus"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("pid"), col("user_id"), col("cid").as("last_click_id"),
-            (col("pus") - col("cus")).as("gap_us"))
+        graft.operators.AsOfJoin.latestAtOrBefore(
+            p, c, leftId = "pid", key = "user_id",
+            leftTime = "pus", rightTime = "cus")
+          .select(
+            col("left.pid").as("pid"), col("left.user_id").as("user_id"),
+            col("right.cid").as("last_click_id"),
+            (col("left.pus") - col("right.cus")).as("gap_us"))
           .orderBy(col("pid"))
       },
       Some("""WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus

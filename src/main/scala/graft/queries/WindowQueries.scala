@@ -94,6 +94,44 @@ object WindowQueries extends QueryGroup {
              |FROM events
              |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
              |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_type, event_id""".stripMargin))
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // W4 — batch sessionization: the lag-gap → session-start flag →
+    // running-sum session id pattern (30-minute inactivity gap). This is the
+    // batch mirror of the streaming session_window (ST5).
+    Q("w4_sessionize",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("prev", lag(col("us"), 1).over(wOrd))
+          .withColumn("is_start",
+            when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("is_start")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                                          ORDER BY epoch_us(ts), event_id) AS prev
+             |           FROM events),
+             |     m AS (SELECT user_id, event_id, us,
+             |                  CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |                       THEN 1 ELSE 0 END AS is_start
+             |           FROM o),
+             |     s AS (SELECT user_id, us,
+             |                  sum(is_start) OVER (PARTITION BY user_id
+             |                                      ORDER BY us, event_id
+             |                                      ROWS BETWEEN UNBOUNDED PRECEDING
+             |                                      AND CURRENT ROW) AS session_id
+             |           FROM m)
+             |SELECT user_id, session_id, count(*) AS n,
+             |       min(us) AS start_us, max(us) AS end_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 }

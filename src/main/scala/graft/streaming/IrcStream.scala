@@ -34,6 +34,28 @@ object IrcStream {
   def records(lines: DataFrame): DataFrame =
     IrcParser.record(IrcParser.parse(IrcParser.splitLines(lines, "value")))
 
+  /** File-drop source (S1 stand-in for the TCP socket in a zero-egress
+    * environment): each file dropped into `dir` is one recv chunk.
+    * `maxFilesPerTrigger` is the backpressure knob (ST8's
+    * PAUSE_BETWEEN_JOINS analog).
+    */
+  def fromTextDir(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** Live TCP source — the literal reference transport (irclogbot.py:83-85).
+    * Untestable without egress; the pipeline downstream is identical to
+    * [[fromTextDir]].
+    */
+  def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+
   /** Watermarked exact dedup by content id (ST3): state is bounded by the
     * watermark; a duplicate arriving later than `watermark` after the
     * original can reach the sink, where [[upsertBatch]] still drops it.

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Bucketing, Salt}
+
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("as-of join picks the latest right row at or before each left time") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("B", 100L, 20.0), ("B", 160L, 21.0))
+      .toDF("sym", "t", "px")
+    val got = AsOfJoin.latestAtOrBefore(trades, quotes,
+        leftId = "trade_id", key = "sym", leftTime = "t", rightTime = "t")
+      .select(col("left.trade_id"), col("right.px"))
+      .as[(Long, Double)].collect().toMap
+    // trade1@100 → quote@100 (11.0); trade2@205 → quote@200 (12.0);
+    // trade3@150 → quote@100 (20.0, not the later 160)
+    assert(got == Map(1L -> 11.0, 2L -> 12.0, 3L -> 20.0))
+  }
+
+  test("as-of join with tolerance drops too-old right rows") {
+    val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
+    val r = Seq(("A", 10L, 1.0)).toDF("k", "t", "v")
+    val within = AsOfJoin.latestAtOrBefore(l, r, "id", "k", "t", "t", Some(lit(200L)))
+    val tooOld = AsOfJoin.latestAtOrBefore(l, r, "id", "k", "t", "t", Some(lit(50L)))
+    assert(within.count() == 1 && tooOld.count() == 0)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val e = Tables(spark, sf, "events")
+    val direct = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("us"))
+      .select(col("event_type").as("key"), col("n"), col("us"))
+    val salted = Salt.saltedCountSum(e, col("event_type"), 8,
+      Map("us" -> col("user_id")))
+    assert(direct.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(direct).count() == 0)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    Bucketing.writeBucketed(
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      "bkt_orders", 4, "o_orderkey")
+    Bucketing.writeBucketed(
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bkt_lineitem", 4, "o_orderkey")
+    val joined = Bucketing.bucketJoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+}

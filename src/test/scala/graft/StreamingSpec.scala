@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSuite {
     assert(rows.filter(_._1 == "bob").map(_._2).max == 1L)
   }
 
+  test("checkpoint restart resumes without reprocessing (ST7 supervision contract)") {
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val inDir = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def drop(name: String, lines: String*): Unit =
+      Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    drop("f1.txt", ":alice!~a@h PRIVMSG #x :m1", ":bob!~b@h PRIVMSG #x :m2")
+    val q1 = IrcStream.start(IrcStream.fromTextDir(spark, inDir),
+      s"$base/sink", s"$base/ckpt")
+    q1.processAllAvailable(); q1.stop() // "crash"
+
+    // duplicate of m1 (other bot) + one genuinely new message arrive while down
+    drop("f2.txt", ":alice!~a@h PRIVMSG #x :m1", ":carol!~c@h PRIVMSG #x :m3")
+    val q2 = IrcStream.start(IrcStream.fromTextDir(spark, inDir),
+      s"$base/sink", s"$base/ckpt") // same checkpoint = supervisor restart
+    q2.processAllAvailable(); q2.stop()
+
+    val sink = spark.read.parquet(s"$base/sink")
+    assert(sink.count() == 3) // m1 m2 m3 exactly once; f1 not reprocessed
+    assert(sink.select("id").distinct().count() == 3)
+    assert(sink.select("nick").as[String].collect().sorted.toSeq ==
+      Seq("alice", "bob", "carol"))
+  }
+
   test("end-to-end start(): lines → deduped records land in the sink (ST1/ST7)") {
     implicit val ctx = sqlCtx
     val base = Files.createTempDirectory("graft_e2e").toString
