@@ -24,12 +24,18 @@ object IrcParser {
   /** Max nick length accepted (exclusive) — irclogbot.py:139-141. */
   val MaxNickLen = 17
 
-  /** Split raw recv chunks into trimmed, non-empty lines. */
+  /** Split raw recv chunks into trimmed, non-empty lines. Lines carrying the
+    * U+FFFD replacement char (what Spark's text sources substitute for
+    * undecodable bytes) are dropped — the "drop bad input" semantic standing
+    * in for the reference's broken decode-error path (S2, irclogbot.py:113-118
+    * reprocesses a stale message instead).
+    */
   def splitLines(chunks: DataFrame, chunkCol: String): DataFrame =
     chunks
       .select(explode(split(col(chunkCol), "\r?\n")).as("line"))
       .select(trim(col("line")).as("line"))
       .filter(length(col("line")) > 0)
+      .filter(!col("line").contains(lit("�")))
 
   def isPing(line: Column): Column = line.contains("PING :")
 

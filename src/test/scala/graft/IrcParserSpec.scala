@@ -70,6 +70,17 @@ class IrcParserSpec extends SparkSuite {
     assert(out.select("id").distinct().count() == 2)
   }
 
+  test("undecodable bytes are dropped, not reprocessed (S2 fix of irclogbot.py:113-118)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_utf8")
+    java.nio.file.Files.write(dir.resolve("raw.txt"),
+      (":a!".getBytes("UTF-8") ++ Array[Byte](-1, -2) ++
+        "@h PRIVMSG #x :bad\n:ok!~u@h PRIVMSG #x :good".getBytes("UTF-8")))
+    val got = IrcParser.parse(
+      IrcParser.splitLines(spark.read.text(dir.toString), "value"))
+      .collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("good"))
+  }
+
   test("record stamps second-truncated posted (irclogbot.py:41)") {
     val lines = Seq(":a!~u@h PRIVMSG #x :m").toDF("value")
     val posted = IrcParser.pipeline(lines).select(
