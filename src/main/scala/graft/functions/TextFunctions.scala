@@ -23,16 +23,17 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Adjacent-pair shingles ("w1 w2") — basis for n-gram Jaccard / MinHash. */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigrams(text: Column): Column = shingles(text, 2)
 
-  /** Word n-gram shingles of width n (n >= 1). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of width n (n >= 1): the native [[WordNGrams]]
+    * kernel; [[shinglesRef]] is the equivalent declarative composition kept
+    * as the executable spec (equality asserted in TextFunctionsSpec).
+    */
+  def shingles(text: Column, n: Int): Column =
+    call_function("word_ngrams", tokens(text), lit(n))
+
+  /** Reference higher-order-function composition of [[shingles]]. */
+  def shinglesRef(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - n + 1),

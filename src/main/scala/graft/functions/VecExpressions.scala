@@ -114,5 +114,8 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
