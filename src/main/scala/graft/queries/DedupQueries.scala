@@ -37,14 +37,16 @@ object DedupQueries extends QueryGroup {
              |FROM events
              |GROUP BY 1 ORDER BY id""".stripMargin)),
 
-    // D2 — n-gram Jaccard near-dup pairs, blocked by (lang, source).
-    // jaccard = |A∩B| / (|A|+|B|-|A∩B|) on distinct token sets — a ratio of
-    // exact integers, so the 0.5 threshold is engine-independent.
+    // D2 — n-gram (bigram-shingle) Jaccard near-dup pairs, blocked by
+    // (lang, source). jaccard = |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
+    // sets — a ratio of exact integers, so the 0.5 threshold is
+    // engine-independent. Shingles (vs unigrams) both sharpen the dup signal
+    // and keep posting lists sparse, bounding the candidate join.
     Q("d2_jaccard_neardup",
       (s, d) => {
         val toks = Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
-            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+            explode(graft.functions.TextFunctions.bigrams(col("text"))).as("term"))
           .distinct()
         val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = toks.select(col("doc_id").as("da"), col("lang"), col("source"), col("term"))
@@ -64,11 +66,18 @@ object DedupQueries extends QueryGroup {
           .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("da"), col("db"))
       },
-      Some("""WITH tokd AS (
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |tokd AS (
              |  SELECT DISTINCT doc_id, lang, source, term
              |  FROM (SELECT doc_id, lang, source,
-             |               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
-             |        FROM documents)),
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
              |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
              |inter AS (
              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
