@@ -64,6 +64,39 @@ object RelationalQueries extends QueryGroup {
              |FROM lines
              |ORDER BY event_id""".stripMargin)),
 
+    // The reference's ENTIRE batch job as one differential query: construct
+    // wire lines, run the real IrcParser (regex extract, filters, ACTION
+    // rewrite), key with the v2 content hash, dedup, count per channel. The
+    // oracle rebuilds the same records directly from the source columns —
+    // any parser deviation breaks the hash match.
+    Q("i1_ingest_pipeline",
+      (s, d) => {
+        val lines = Tables(s, d, "events").select(
+          concat(
+            lit(":u"), col("user_id").cast("string"),
+            lit("!~user@h PRIVMSG #"), col("event_type"),
+            when(col("event_id") % 7 === 0, lit(" :ACTION msg "))
+              .otherwise(lit(" :msg ")),
+            (col("event_id") % 500).cast("string")).as("line"))
+        val parsed = IrcParser.parse(lines)
+        parsed
+          .withColumn("id", HashFunctions.keyV2(col("channel"), col("nick"), col("remark")))
+          .groupBy(col("channel"))
+          .agg(countDistinct(col("id")).as("n_unique"), count(lit(1)).as("n_msgs"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH rec AS (
+             |  SELECT '#' || event_type AS channel,
+             |         'u' || user_id AS nick,
+             |         CASE WHEN event_id % 7 = 0
+             |              THEN '/me msg ' || (event_id % 500)
+             |              ELSE 'msg ' || (event_id % 500) END AS remark
+             |  FROM events)
+             |SELECT channel,
+             |       count(DISTINCT md5(concat_ws('|', channel, nick, remark))) AS n_unique,
+             |       count(*) AS n_msgs
+             |FROM rec GROUP BY channel ORDER BY channel""".stripMargin)),
+
     Q("p2_filter_chain",
       (s, d) => Tables(s, d, "documents")
         .filter(length(trim(col("text"))) > 0)

@@ -132,6 +132,18 @@ object VectorQueries extends QueryGroup {
       },
       None),
 
+    // V8 — k-means codebook training (rows-only: FP-iterative; inertia
+    // improvement + determinism asserted in EngineSpec).
+    Q("v8_kmeans_codebook",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        graft.similarity.Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
+            k = 8, iters = 3)
+          .select(col("cid"), transform(col("cvec"), x => round(x.cast("double"), 4)).as("cvec"))
+          .orderBy(col("cid"))
+      },
+      None),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).

@@ -76,6 +76,37 @@ object Ann {
       .agg(graft.functions.CentroidAgg.centroid(vec).as("cvec_d"))
       .select(col("cid"), col("cvec_d").cast("array<float>").as("cvec"))
 
+  /** Lloyd's k-means for the unlabeled-codebook path: deterministic init
+    * (first k vectors by id), then assign → re-centroid for `iters` rounds.
+    * Each round is one broadcast-join + one single-pass Aggregator — the
+    * standard DataFrame formulation that scales with executor count; no
+    * driver-side math beyond the loop itself.
+    */
+  def kmeansCentroids(embeddings: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int = 5): DataFrame = {
+    val e = embeddings.select(id.as("vec_id"), vec.as("v"))
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    var i = 0
+    while (i < iters) {
+      cents = ivfIndex(e, col("vec_id"), col("v"), cents)
+        .groupBy(col("cid"))
+        .agg(graft.functions.CentroidAgg.centroid(col("v")).as("cvec_d"))
+        .select(col("cid"), col("cvec_d").cast("array<float>").as("cvec"))
+      i += 1
+    }
+    cents
+  }
+
+  /** Mean within-cluster distance (1 - cosine) of an assignment — the
+    * convergence metric for [[kmeansCentroids]].
+    */
+  def inertia(index: DataFrame, centroids: DataFrame): Double =
+    index.join(broadcast(centroids), "cid")
+      .select(org.apache.spark.sql.functions.avg(
+        lit(1.0) - VectorFunctions.cosineNative(col("v"), col("cvec"))).as("i"))
+      .collect().head.getDouble(0)
+
   /** Inverted-file assignment: each vector → its nearest centroid's list.
     * Centroids are broadcast (a codebook is small by construction); the
     * argmin is a ranking window over ncentroids candidates per vector.

@@ -110,6 +110,21 @@ class EngineSpec extends SparkSuite {
     assert(partial.count() == 10) // still fills k from the probed lists
   }
 
+  test("k-means codebook improves inertia over its init and is deterministic") {
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+    val init = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val trained = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"), 8, 4)
+    val i0 = Ann.inertia(Ann.ivfIndex(e, col("vec_id"), col("v"), init), init)
+    val i1 = Ann.inertia(Ann.ivfIndex(e, col("vec_id"), col("v"), trained), trained)
+    assert(i1 < i0, s"inertia did not improve: $i0 -> $i1")
+    val trained2 = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"), 8, 4)
+    assert(trained.collect().map(_.toString).sorted.toSeq ==
+      trained2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("ANN LSH pairs are a subset of exact pairs and recall high-cos pairs") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.similarity.Ann.pairsExact(emb, col("vec_id"), col("embedding"), 0.8)
