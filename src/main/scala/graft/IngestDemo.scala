@@ -54,6 +54,14 @@ object IngestDemo {
     sinks.IrcSink.compact(spark, s"$base/table", s"$base/table_compacted")
     val table = sinks.IrcSink.read(spark, s"$base/table_compacted")
     println(s"DEMO_COMPACTED_ROWS=${table.count()} (from ${spark.read.parquet(s"$base/table").count()} appended)")
+
+    // The ES query-surface analog over the sink: filter + full-text search.
+    println("DEMO_FILTER_HEAT=" + search.IrcSearch
+      .filterLog(table, channel = Some("#heat")).count())
+    println("DEMO_SEARCH=" + search.IrcSearch
+      .searchText(table, "id", "remark", "hello waves", 3)
+      .collect().map(r => s"${r.getString(0).take(6)}:${"%.3f".format(r.getDouble(1))}")
+      .mkString(","))
     println("DEMO_PARTITIONS=" + new java.io.File(s"$base/table").listFiles()
       .map(_.getName).filter(_.startsWith("channel=")).sorted.mkString(","))
     spark.stop()

@@ -152,6 +152,15 @@ object TextQueries extends QueryGroup {
              |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // T2/T4 — the ES match-query analog: OR-of-terms BM25 search API
+    // (rows-only: multi-term score summation order isn't bit-pinned;
+    // ranking behavior asserted in SearchSpec; single-term BM25 is
+    // oracle-paired as h8_bm25).
+    Q("t7_text_search",
+      (s, d) => graft.search.IrcSearch.searchText(
+        Tables(s, d, "documents"), "doc_id", "text", "merge scan hash", 20),
+      None),
+
     // X4 — heuristic language ID (rows-only: stopword-vote heuristic, no SQL
     // mirror; accuracy against the fixture lang column asserted in
     // TextFunctionsSpec).

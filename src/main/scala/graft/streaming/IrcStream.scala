@@ -72,6 +72,13 @@ object IrcStream {
       .groupBy(window(col("posted"), "1 hour"), col("channel"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static dimension enrichment: join the live record stream with a
+    * broadcast static dim (e.g. channel metadata loaded from the channel
+    * list file, S3 analog of channels.txt) — no streaming state involved.
+    */
+  def enrich(recs: DataFrame, dim: DataFrame, key: String): DataFrame =
+    recs.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Session windows per nick (ST5): messages separated by less than `gap`
     * fold into one session — the sessionization the lag/lead gap analysis
     * (W2) approximates in batch.
