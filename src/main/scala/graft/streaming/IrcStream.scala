@@ -72,6 +72,24 @@ object IrcStream {
       .groupBy(window(col("posted"), "1 hour"), col("channel"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream inner join with watermarked time-range correlation: pair
+    * each left event with right events for the same key within `maxGapSec`
+    * BEFORE it (the streaming form of the as-of/correlation analysis).
+    * Both sides' state is bounded by their watermarks + the range condition.
+    * Inputs need columns (key, ts, ...); output prefixes l_/r_.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, maxGapSec: Long, watermark: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $maxGapSec SECONDS"))
+  }
+
   /** Stream-static dimension enrichment: join the live record stream with a
     * broadcast static dim (e.g. channel metadata loaded from the channel
     * list file, S3 analog of channels.txt) — no streaming state involved.

@@ -123,6 +123,38 @@ class StreamingSpec extends SparkSuite {
       Seq("alice", "bob", "carol"))
   }
 
+  test("stream-stream correlate joins events within the time window only") {
+    implicit val ctx = sqlCtx
+    val clicks = MemoryStream[(Long, String)]
+    val buys = MemoryStream[(Long, String)]
+    def toDf(ms: MemoryStream[(Long, String)]) = ms.toDF()
+      .selectExpr("_2 AS user", "timestamp_seconds(_1) AS ts")
+    clicks.addData((100L, "alice"), (500L, "alice"), (100L, "bob"))
+    buys.addData((130L, "alice"), (700L, "bob"))
+    val q = graft.streaming.IrcStream.correlate(
+        toDf(buys), toDf(clicks), key = "user", tsCol = "ts", maxGapSec = 60)
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corr_out")
+      .selectExpr("l_user", "unix_seconds(l_ts)", "unix_seconds(r_ts)")
+      .as[(String, Long, Long)].collect().toSet
+    // alice@130 pairs with click@100 (within 60s); not with click@500
+    // (after); bob@700 has no click within [640, 700]
+    assert(got == Set(("alice", 130L, 100L)))
+  }
+
+  test("SQL facade: users can run SQL over registered views") {
+    GraftCatalog.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT count(DISTINCT event_type) FROM events").collect().head.getLong(0)
+    assert(n == 5)
+    val knn = spark.sql(
+      """SELECT vec_id, float_vec_dot(embedding, embedding) AS sq
+        |FROM embeddings ORDER BY sq DESC, vec_id LIMIT 3""".stripMargin)
+    assert(knn.count() == 3) // native function callable straight from SQL
+  }
+
   test("end-to-end start(): lines → deduped records land in the sink (ST1/ST7)") {
     implicit val ctx = sqlCtx
     val base = Files.createTempDirectory("graft_e2e").toString
