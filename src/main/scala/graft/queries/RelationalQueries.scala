@@ -205,6 +205,43 @@ object RelationalQueries extends QueryGroup {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // F1/F2 adjacent — calendar part extraction (year/month/day/hour agree
+    // across engines; day-of-week deliberately excluded: DuckDB dow is
+    // 0-Sunday vs Spark 1-Sunday).
+    Q("f9_date_parts",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       CAST(year(o_orderdate) AS INTEGER) AS y,
+             |       CAST(month(o_orderdate) AS INTEGER) AS m,
+             |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("f7_string_extra",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          upper(col("lang")).as("lang_up"),
+          lpad(col("doc_id").cast("string"), 6, "0").as("padded"),
+          reverse(col("source")).as("rev"),
+          translate(col("source"), "src", "SRC").as("xlat"),
+          left(col("text"), lit(12)).as("prefix"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       upper(lang) AS lang_up,
+             |       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+             |       reverse(source) AS rev,
+             |       translate(source, 'src', 'SRC') AS xlat,
+             |       left(text, 12) AS prefix
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("f8_json_extract",
       (s, d) => Tables(s, d, "events")
         .groupBy(col("event_type"))
