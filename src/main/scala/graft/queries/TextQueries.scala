@@ -39,6 +39,17 @@ object TextQueries extends QueryGroup {
              |WHERE contains(text, 'merge scan') OR contains(text, 'hash join')
              |ORDER BY doc_id""".stripMargin)),
 
+    // T2 — regex (phrase-pattern) search: Spark rlike ≙ DuckDB
+    // regexp_matches (both RE2-class engines).
+    Q("t2_regex_search",
+      (s, d) => Tables(s, d, "documents")
+        .filter(col("text").rlike("merge (scan|sort)"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE regexp_matches(text, 'merge (scan|sort)')
+             |ORDER BY doc_id""".stripMargin)),
+
     // T3 — corpus term frequency, top 50.
     Q("t3_term_freq",
       (s, d) => Tables(s, d, "documents")
