@@ -110,6 +110,20 @@ class EngineSpec extends SparkSuite {
     assert(partial.count() == 10) // still fills k from the probed lists
   }
 
+  test("multimodal resize + frame sampling produce bounded fixed-shape outputs") {
+    import spark.implicits._
+    implicit val s = spark
+    val media = graft.multimodal.Multimodal.toMedia(
+      Seq((0L, "x" * 100), (1L, "short")).toDF("doc_id", "text"), "doc_id", "text").toDF()
+    val resized = graft.multimodal.Multimodal.resizeStub(media, 32)
+      .select(octet_length(col("payload_resized"))).as[Int].collect().sorted
+    assert(resized.toSeq == Seq(5, 32)) // truncated to budget; short passes through
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16, stride = 32)
+    val lens = frames.filter(col("doc_id") === 0)
+      .select(octet_length(col("frame"))).as[Int].collect()
+    assert(lens.length == 3 && lens.forall(_ <= 16)) // strided fixed-size windows
+  }
+
   test("k-means codebook improves inertia over its init and is deterministic") {
     import graft.similarity.Ann
     val emb = Tables(spark, sf, "embeddings")
