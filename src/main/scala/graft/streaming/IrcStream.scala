@@ -127,6 +127,35 @@ object IrcStream {
       .toDF("nick", "n")
   }
 
+  /** ST6 on the Spark 4-native state API: the same running per-nick counts
+    * via `transformWithState` — typed per-key `ValueState` managed by the
+    * state-store provider (the forward path; flatMapGroupsWithState above is
+    * the stable classic form). Requires a column-family-capable store:
+    * `spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider`.
+    */
+  def runningNickCountsTws(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, ValueState}
+    class CountProcessor extends StatefulProcessor[String, String, (String, Long)] {
+      @transient private var state: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Long]("n",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[String],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+        val n = (if (state.exists()) state.get() else 0L) + rows.size
+        state.update(n)
+        Iterator((key, n))
+      }
+    }
+    recs.select(col("nick")).as[String]
+      .groupByKey(identity)
+      .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("nick", "n")
+  }
+
   /** Idempotent per-batch upsert into a parquet directory keyed on `id`:
     * within-batch dedup, then anti-join against ids already in the sink.
     * Replays of the same batch after a crash insert nothing new —
