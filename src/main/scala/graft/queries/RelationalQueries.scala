@@ -242,6 +242,24 @@ object RelationalQueries extends QueryGroup {
              |       left(text, 12) AS prefix
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // F8 — JSON → MapType with map functions (keys/values/element_at).
+    Q("f8_map_functions",
+      (s, d) => {
+        val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+        Tables(s, d, "events")
+          .select(col("event_id"),
+            element_at(map_keys(m), 1).as("first_key"),
+            size(map_keys(m)).as("n_keys"),
+            element_at(m, "k").as("k_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       json_keys(props)[1] AS first_key,
+             |       len(json_keys(props)) AS n_keys,
+             |       CAST(props ->> '$.k' AS BIGINT) AS k_value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     Q("f8_json_extract",
       (s, d) => Tables(s, d, "events")
         .groupBy(col("event_type"))

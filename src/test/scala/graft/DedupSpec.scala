@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{MinHashDedup, SimHashDedup}
+import graft.dedup.{Dedup, MinHashDedup, SimHashDedup}
 
 class MinHashDedupSpec extends SparkSuite {
   import spark.implicits._
@@ -66,6 +66,36 @@ class MinHashDedupSpec extends SparkSuite {
     val total = joined.count()
     assert(total == 0 || bad.toDouble / total < 0.1,
       s"$bad of $total estimates off by > 0.25")
+  }
+}
+
+class DedupFacadeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Dedup.exact keeps the min-order representative per content key") {
+    val df = Seq((3L, "a", "x"), (1L, "a", "x"), (2L, "b", "x"))
+      .toDF("seq", "k1", "k2")
+    val got = Dedup.exact(df, col("seq"), col("k1"), col("k2"))
+      .select("seq").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("Dedup.exactTextGroups finds normalized-text duplicate groups") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactTextGroups(df, col("doc_id"), col("text")).collect()
+    assert(g.length == 1 &&
+      g.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 2L))
+  }
+
+  test("Dedup.jaccardPairs with blocking matches the unblocked result on one block") {
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val un = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+        Seq(lit("all")))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un == blocked)
   }
 }
 
