@@ -15,15 +15,24 @@ object Bench {
     graft.Tables.names.foreach { t =>
       try graft.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Time a full materialization of every query via the noop sink: unlike
+    // `count()` (which lets Catalyst prune projections and skip expression
+    // work), the noop write evaluates every output column.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      name -> math.rint((System.nanoTime() - t0) / 1e6) / 1e3
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(results.values.sum * 1000) / 1000
+    // Per-query detail first (may exceed the driver's tail window), then the
+    // compact headline as the LAST line so it always lands inside the
+    // driver's 2 KB tail capture.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

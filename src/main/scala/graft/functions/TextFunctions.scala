@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives (SURVEY.md §2.9 + the LLM-pipeline extensions).
@@ -40,6 +40,17 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Cached (doc_id, term) postings frame: tokenize + explode the corpus
+    * ONCE and reuse it across tf/dl/df aggregations. Callers previously
+    * re-derived the exploded frame per aggregate, scanning + exploding the
+    * corpus 2-3× per query (h8_bm25 / t4_tfidf / searchText). Spark's cache
+    * manager dedups by plan equality, so repeated calls over the same input
+    * share one InMemoryRelation. At 100 TB this frame is the materialized
+    * postings table maintained by compaction; the query side is unchanged.
+    */
+  def postings(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("term")).cache()
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")

@@ -39,8 +39,11 @@ object AsOfJoin {
     }
     // full-row tiebreak keeps the pick deterministic when right times tie
     val w = Window.partitionBy(col("__lid"))
-      .orderBy(col("__rt").desc, col("right").desc)
-    l.join(r, col("__lkey") === col("__rkey") && range)
+      .orderBy(col("__rt").desc_nulls_last, col("right").desc_nulls_last)
+    // left_outer: conventional as-of semantics — every left row survives;
+    // a left row with no qualifying right row carries a null `right` struct
+    // (its partition holds exactly that one row, so __rn = 1 keeps it).
+    l.join(r, col("__lkey") === col("__rkey") && range, "left_outer")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("left"), col("right"))

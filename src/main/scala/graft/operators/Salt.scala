@@ -15,13 +15,23 @@ object Salt {
 
   /** count + long-sum aggregation over `key`, salted into `buckets`.
     * `sums` maps output column name → long column to sum.
+    *
+    * The salt must be DETERMINISTIC per row: it is derived from the full row
+    * content (or `saltOn`, e.g. a unique id column), never from
+    * monotonically_increasing_id(), which is nondeterministic under shuffle
+    * fetch-failure retries — a re-executed map task could assign rows to
+    * different buckets than the attempt other reducers already consumed,
+    * double-counting or dropping rows. Duplicate rows share a bucket, which
+    * only narrows the spread, never changes the result.
     */
   def saltedCountSum(
       df: DataFrame, key: Column, buckets: Int,
-      sums: Map[String, Column] = Map.empty): DataFrame = {
+      sums: Map[String, Column] = Map.empty,
+      saltOn: Option[Column] = None): DataFrame = {
+    val salt = saltOn.getOrElse(xxhash64(df.columns.map(col).toSeq: _*))
     val salted = df.select(
       key.as("__key") +:
-        (pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).as("__salt")) +:
+        (pmod(salt, lit(buckets)).as("__salt")) +:
         sums.map { case (n, c) => c.as(s"__v_$n") }.toSeq: _*)
     val partial = salted
       .groupBy(col("__key"), col("__salt"))

@@ -114,7 +114,8 @@ object AggQueries extends QueryGroup {
              |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
              |  FROM lineitem)
              |SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |       sum(qc) AS sum_qty_cents, sum(pc) AS sum_price_cents,
+             |       CAST(sum(qc) AS BIGINT) AS sum_qty_cents,
+             |       CAST(sum(pc) AS BIGINT) AS sum_price_cents,
              |       min(qc) AS min_qty_cents, max(qc) AS max_qty_cents,
              |       round(CAST(sum(qc) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
              |       round(sqrt(CAST(count(*) * sum(qc * qc) - sum(qc) * sum(qc) AS DOUBLE)
@@ -131,7 +132,7 @@ object AggQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_qty_cents"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -144,7 +145,7 @@ object AggQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_price_cents"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
              |FROM orders
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
@@ -161,7 +162,7 @@ object AggQueries extends QueryGroup {
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
              |       count(DISTINCT l_suppkey) AS n_supp,
-             |       sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS sum_distinct_qty_cents
+             |       CAST(sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_distinct_qty_cents
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // A1 — the same count, via two-phase salted aggregation (skew path):

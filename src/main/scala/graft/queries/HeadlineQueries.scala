@@ -37,10 +37,10 @@ object HeadlineQueries extends QueryGroup {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+             |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+             |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -60,7 +60,7 @@ object HeadlineQueries extends QueryGroup {
         .orderBy(col("revenue_cents").desc, col("o_orderkey"))
         .limit(20),
       Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
-             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+             |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
@@ -120,13 +120,15 @@ object HeadlineQueries extends QueryGroup {
              |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Sorted-array aggregation (deterministic collect): distinct sources per
-    // lang as an ordered list column.
+    // lang as an ordered list, serialized to a CSV string so the driver's
+    // pandas compare can hash the row (ndarray cells are unhashable).
     Q("h7_collect_sorted",
       (s, d) => Tables(s, d, "documents")
         .groupBy(col("lang"))
-        .agg(sort_array(collect_set(col("source"))).as("sources"))
+        .agg(array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
         .orderBy(col("lang")),
-      Some("""SELECT lang, list_sort(list(DISTINCT source)) AS sources
+      Some("""SELECT lang,
+             |       list_aggr(list_sort(list(DISTINCT source)), 'string_agg', ',') AS sources
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // BM25 ranking (k1=1.2, b=0.75) — the ES relevance model the TF-IDF
@@ -134,9 +136,8 @@ object HeadlineQueries extends QueryGroup {
     // formula.
     Q("h8_bm25",
       (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        val toks = graft.functions.TextFunctions.postings(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))

@@ -35,7 +35,7 @@ object JoinQueries extends QueryGroup {
           sum(cents(col("c_acctbal"))).as("acctbal_cents"))
         .orderBy(col("r_name")),
       Some("""SELECT r_name, count(*) AS n_customers,
-             |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+             |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -52,7 +52,7 @@ object JoinQueries extends QueryGroup {
             .as("revenue_cents"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority, count(*) AS n_items,
-             |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+             |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
@@ -133,8 +133,9 @@ object JoinQueries extends QueryGroup {
              |           FROM events WHERE event_type = 'click'),
              |     j AS (SELECT pid, user_id, cid, pus, cus,
              |                  row_number() OVER (PARTITION BY pid
-             |                                     ORDER BY cus DESC, cid DESC) AS rn
-             |           FROM p JOIN c ON user_id = cu AND cus <= pus)
+             |                                     ORDER BY cus DESC NULLS LAST,
+             |                                              cid DESC NULLS LAST) AS rn
+             |           FROM p LEFT JOIN c ON user_id = cu AND cus <= pus)
              |SELECT pid, user_id, cid AS last_click_id, pus - cus AS gap_us
              |FROM j WHERE rn = 1 ORDER BY pid""".stripMargin)),
 

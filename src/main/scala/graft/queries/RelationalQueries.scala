@@ -268,7 +268,7 @@ object RelationalQueries extends QueryGroup {
           count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
-             |       sum(CAST(props ->> '$.k' AS BIGINT)) AS k_sum,
+             |       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
              |       count(*) AS n
              |FROM events
              |GROUP BY event_type

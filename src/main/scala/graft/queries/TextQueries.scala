@@ -78,8 +78,8 @@ object TextQueries extends QueryGroup {
     // sequence on exact integers → deterministic).
     Q("t4_tfidf",
       (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val toks = TextFunctions.postings(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
         val n = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
@@ -103,7 +103,8 @@ object TextQueries extends QueryGroup {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"), col("source")),
-      Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars
+      Some("""SELECT lang, source, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
     // T6 — bigram shingles, top 50.
@@ -163,14 +164,38 @@ object TextQueries extends QueryGroup {
              |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // T2/T4 — the ES match-query analog: OR-of-terms BM25 search API
-    // (rows-only: multi-term score summation order isn't bit-pinned;
-    // ranking behavior asserted in SearchSpec; single-term BM25 is
-    // oracle-paired as h8_bm25).
+    // T2/T4 — the ES match-query analog: OR-of-terms BM25 search API.
+    // Oracle-paired: per-term scores are pivoted and summed in sorted term
+    // order (hash, merge, scan), one fixed IEEE op sequence on both engines.
     Q("t7_text_search",
       (s, d) => graft.search.IrcSearch.searchText(
         Tables(s, d, "documents"), "doc_id", "text", "merge scan hash", 20),
-      None),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |                    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+              |             FROM documents),
+              |     qtok AS (SELECT * FROM tok WHERE term IN ('hash', 'merge', 'scan')),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2),
+              |     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+              |     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+              |     st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              |                   (SELECT sum(dl) FROM dl) AS total_dl),
+              |     sc AS (SELECT tf.doc_id, tf.term,
+              |                   ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+              |                   (tf + 1.2 * (0.25 + 0.75 *
+              |                    (dl * CAST(n AS DOUBLE) / total_dl))) AS term_score
+              |            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+              |     piv AS (SELECT doc_id,
+              |                    max(CASE WHEN term = 'hash' THEN term_score END) AS s_hash,
+              |                    max(CASE WHEN term = 'merge' THEN term_score END) AS s_merge,
+              |                    max(CASE WHEN term = 'scan' THEN term_score END) AS s_scan
+              |             FROM sc GROUP BY doc_id)
+              |SELECT doc_id,
+              |       round(coalesce(s_hash, 0.0) + coalesce(s_merge, 0.0)
+              |             + coalesce(s_scan, 0.0), 6) AS score,
+              |       (CASE WHEN s_hash IS NOT NULL THEN 1 ELSE 0 END
+              |        + CASE WHEN s_merge IS NOT NULL THEN 1 ELSE 0 END
+              |        + CASE WHEN s_scan IS NOT NULL THEN 1 ELSE 0 END) AS n_terms_hit
+              |FROM piv ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // X4 — heuristic language ID (rows-only: stopword-vote heuristic, no SQL
     // mirror; accuracy against the fixture lang column asserted in

@@ -108,13 +108,16 @@ object VectorQueries extends QueryGroup {
     // V4 — same centroid via the typed Aggregator UDAF (single-pass, no
     // explode before shuffle). Rows-only: cross-partition double-sum order
     // is not bit-pinned; equivalence to v4_centroid within 1e-9 is asserted
-    // in EngineSpec.
+    // in EngineSpec. The vector is serialized to a fixed-precision CSV
+    // string so the driver's pandas row-sort can hash it.
     Q("v4_centroid_udaf",
       (s, d) => Tables(s, d, "embeddings")
         .groupBy(col("label"))
         .agg(graft.functions.CentroidAgg.centroid(col("embedding")).as("centroid_raw"))
         .select(col("label"),
-          transform(col("centroid_raw"), x => round(x, 6)).as("centroid"))
+          array_join(
+            transform(col("centroid_raw"), x => format_string("%.6f", x)),
+            ",").as("centroid"))
         .orderBy(col("label")),
       None),
 
@@ -133,13 +136,17 @@ object VectorQueries extends QueryGroup {
       None),
 
     // V8 — k-means codebook training (rows-only: FP-iterative; inertia
-    // improvement + determinism asserted in EngineSpec).
+    // improvement + determinism asserted in EngineSpec). Codebook vectors
+    // are serialized to fixed-precision CSV strings (hashable rows).
     Q("v8_kmeans_codebook",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         graft.similarity.Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
             k = 8, iters = 3)
-          .select(col("cid"), transform(col("cvec"), x => round(x.cast("double"), 4)).as("cvec"))
+          .select(col("cid"),
+            array_join(
+              transform(col("cvec"), x => format_string("%.4f", x.cast("double"))),
+              ",").as("cvec"))
           .orderBy(col("cid"))
       },
       None),

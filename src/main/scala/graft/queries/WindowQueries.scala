@@ -68,7 +68,7 @@ object WindowQueries extends QueryGroup {
       },
       Some("""SELECT event_id, event_type,
              |       CAST(round(value * 100) AS BIGINT) AS vc,
-             |       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS running_cents,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents,
              |       count(*) OVER w AS running_n
              |FROM events
              |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
@@ -124,10 +124,10 @@ object WindowQueries extends QueryGroup {
              |                       THEN 1 ELSE 0 END AS is_start
              |           FROM o),
              |     s AS (SELECT user_id, us,
-             |                  sum(is_start) OVER (PARTITION BY user_id
-             |                                      ORDER BY us, event_id
-             |                                      ROWS BETWEEN UNBOUNDED PRECEDING
-             |                                      AND CURRENT ROW) AS session_id
+             |                  CAST(sum(is_start) OVER (PARTITION BY user_id
+             |                                           ORDER BY us, event_id
+             |                                           ROWS BETWEEN UNBOUNDED PRECEDING
+             |                                           AND CURRENT ROW) AS BIGINT) AS session_id
              |           FROM m)
              |SELECT user_id, session_id, count(*) AS n,
              |       min(us) AS start_us, max(us) AS end_us

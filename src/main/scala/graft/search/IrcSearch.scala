@@ -36,32 +36,49 @@ object IrcSearch {
   }
 
   /** ES `match` analog: OR-of-terms BM25 ranking (k1=1.2, b=0.75). Returns
-    * the top-k (id-col, score) pairs, ties broken on the id for determinism.
+    * the top-k (id-col, score, n_terms_hit) rows, ties broken on the id.
+    *
+    * Plan shape: postings are filtered to the query terms BEFORE any
+    * aggregation, so tf/df shuffle ~|postings(query terms)|, not |corpus|;
+    * only the document-length stats (dl, total_dl, n) scan the full corpus —
+    * on a real deployment those are materialized tables maintained by
+    * compaction and this query never rescans the corpus.
+    *
+    * Determinism: each term's score is pivoted to its own column and the
+    * OR-sum is folded in sorted term order (one fixed IEEE op sequence),
+    * rounded once at the end — DuckDB-mirrorable, unlike a `sum()` whose
+    * partial-aggregation order is unpinned.
     */
   def searchText(
       docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int = 10): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+    val toks = TextFunctions.postings(docs, col(idCol), lower(col(textCol)))
+      .withColumnRenamed("doc_id", "__id")
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val tf = qtoks.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col("__id")).as("df"))
+    val df = qtoks.groupBy(col("term")).agg(countDistinct(col("__id")).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(avg(col("dl")).as("avg_dl")))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
     val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-    tf.join(dl, "__id")
-      .join(broadcast(idf.filter(col("term").isin(terms: _*))), "term")
+    val scored = tf.join(dl, "__id")
+      .join(broadcast(idf), "term")
       .withColumn("term_score",
         col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avg_dl")))))
-      .groupBy(col("__id"))
-      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score").desc, col("__id"))
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl") * col("n").cast("double") / col("total_dl")))))
+    val perTerm = terms.map(t =>
+      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
+    val piv = scored.groupBy(col("__id")).agg(perTerm.head, perTerm.tail: _*)
+    val score = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _)
+    val nHit = terms.map(t => when(col(s"s_$t").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    piv.select(col("__id").as(idCol),
+        round(score, 6).as("score"), nHit.as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      .withColumnRenamed("__id", idCol)
   }
 
   /** Aggregation facets over a filtered log slice — the ES aggs panel

@@ -10,6 +10,28 @@ fixture tables, and compares: shape, column names (sorted), and values
 """
 import duckdb, json, math, sys
 
+def driver_probe(name, got, exp):
+    """Emulate the driver's pandas-side compare: materialize both results as
+    pandas DataFrames, check per-column dtypes (DuckDB HUGEINT becomes
+    float64 here while Spark parquet stays int64 — fetchall() hides this),
+    and probe sort_values, which throws on unhashable ndarray cells exactly
+    like the driver's checker does."""
+    problems = []
+    gdf, edf = got.df(), exp.df()
+    for c in sorted(set(gdf.columns) & set(edf.columns)):
+        gt, et = gdf[c].dtype, edf[c].dtype
+        # Width differences (int32 vs int64) pass the driver's compare
+        # (r1 evidence: t1_tokenize/w1_ranking were hash-green); only KIND
+        # mismatches fail (DuckDB HUGEINT -> float64 vs Spark int64).
+        if gt.kind != et.kind:
+            problems.append(f"dtype[{c}]: spark={gt} duck={et}")
+    for label, df in (("spark", gdf), ("duck", edf)):
+        try:
+            df.sort_values(sorted(df.columns))
+        except Exception as e:
+            problems.append(f"sort_values crash ({label}): {type(e).__name__}: {e}")
+    return problems
+
 def norm(v):
     if v is None:
         return None
@@ -58,8 +80,17 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         if g == e:
-            print(f"ok   {name} ({len(g)} rows)")
-            n_ok += 1
+            probs = driver_probe(name, con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"),
+                con.sql(sql))
+            if probs:
+                print(f"FAIL {name}: values match but driver-compare would fail:")
+                for p in probs:
+                    print(f"     {p}")
+                n_fail += 1
+            else:
+                print(f"ok   {name} ({len(g)} rows)")
+                n_ok += 1
         elif sorted(g) == sorted(e):
             print(f"WARN {name}: values match but ROW ORDER differs")
             n_fail += 1
