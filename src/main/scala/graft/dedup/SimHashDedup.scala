@@ -20,9 +20,18 @@ object SimHashDedup {
 
   /** 64-bit simhash of the whitespace tokens of `text`: for each bit
     * position j, count tokens whose hash has bit j set; signature bit j is 1
-    * iff that majority vote passes.
+    * iff that majority vote passes. Computed by the native
+    * [[graft.functions.SimHash64]] kernel (one pass, 64 counters);
+    * [[simhashRef]] is the equivalent declarative composition kept as the
+    * executable spec (bit-equality asserted in DedupSpec).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    call_function("simhash64", TextFunctions.tokens(text))
+
+  /** Reference higher-order-function composition of [[simhash]] — 64 nested
+    * interpreted folds; correct but ~17× slower, kept only as the spec.
+    */
+  def simhashRef(text: Column): Column = {
     val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
     val n = size(hs)
     aggregate(

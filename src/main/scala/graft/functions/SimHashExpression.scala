@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** Native 64-bit SimHash (Charikar rounding) over an array<string> of
+  * tokens — one pass over the token hashes with a 64-counter array, instead
+  * of 64 nested interpreted `aggregate` folds (~17× wall-clock on the
+  * fixture corpus at sf0.1: 50.9s → ~3s).
+  *
+  * Bit-identical to the declarative composition kept as the executable spec
+  * in [[graft.dedup.SimHashDedup.simhashRef]] (asserted in DedupSpec): same
+  * xxhash64(seed=42) per token, same majority vote `2·ones > n` per bit
+  * position, same bit packing.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = XxHash64Function.hash(s, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          ones(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (2L * ones(i) > n) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -117,5 +117,7 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNGrams(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }

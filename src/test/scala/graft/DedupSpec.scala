@@ -102,6 +102,14 @@ class DedupFacadeSpec extends SparkSuite {
 class SimHashDedupSpec extends SparkSuite {
   import spark.implicits._
 
+  test("native simhash64 kernel is bit-identical to the HOF reference composition") {
+    val docs = Tables(spark, sf, "documents")
+    val both = docs.select(
+      SimHashDedup.simhash(col("text")).as("native"),
+      SimHashDedup.simhashRef(col("text")).as("ref"))
+    assert(both.filter(not(col("native") === col("ref"))).count() == 0)
+  }
+
   test("identical text → identical simhash; hamming 0") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")

@@ -22,12 +22,15 @@ class OperatorSpec extends SparkSuite {
     assert(got == Map(1L -> 11.0, 2L -> 12.0, 3L -> 20.0))
   }
 
-  test("as-of join with tolerance drops too-old right rows") {
+  test("as-of join with tolerance nulls out too-old right rows") {
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
     val r = Seq(("A", 10L, 1.0)).toDF("k", "t", "v")
     val within = AsOfJoin.latestAtOrBefore(l, r, "id", "k", "t", "t", Some(lit(200L)))
+    assert(within.count() == 1 && within.filter(col("right").isNotNull).count() == 1)
+    // left_outer as-of: the left row survives, but the out-of-tolerance
+    // right candidate is not matched → null right struct
     val tooOld = AsOfJoin.latestAtOrBefore(l, r, "id", "k", "t", "t", Some(lit(50L)))
-    assert(within.count() == 1 && tooOld.count() == 0)
+    assert(tooOld.count() == 1 && tooOld.filter(col("right").isNull).count() == 1)
   }
 
   test("salted aggregation equals direct aggregation") {
