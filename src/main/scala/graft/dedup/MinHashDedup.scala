@@ -57,6 +57,25 @@ object MinHashDedup {
       (acc, row) => zip_with(acc, row, (m, v) => least(m, v)))
   }
 
+  /** Shingle → [0, P) fold based on md5 instead of xxhash64: top 60 bits of
+    * the md5 hex parsed as a long, mod P. Slower than xxhash64 (still fully
+    * codegen'd builtins) but EXACTLY mirrorable in DuckDB
+    * (`CAST('0x' || substr(md5(t),1,15) AS BIGINT) % P`), which puts the
+    * whole MinHash-LSH pipeline under the differential oracle gate. Engine
+    * default stays xxhash64; this family backs the oracle-paired query.
+    */
+  def md5Fold(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(Prime))
+
+  /** k-minhash signature with the md5 hash family (oracle-mirrorable). The
+    * affine expansion + min fold runs in the native
+    * [[graft.functions.MinHashFromHashes]] kernel over pre-folded hashes.
+    */
+  def signatureMd5(text: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column =
+    call_function("minhash_sig_h",
+      transform(array_distinct(TextFunctions.shingles(text, shingleWidth)), md5Fold(_)),
+      lit(numHashes))
+
   /** Estimated Jaccard from two signatures = fraction of agreeing positions. */
   def estimateJaccard(sa: Column, sb: Column, numHashes: Int = 64): Column =
     aggregate(
@@ -72,16 +91,26 @@ object MinHashDedup {
       numHashes: Int = 64, shingleWidth: Int = 3): DataFrame =
     df.select(id.as("doc_id"), signature(text, numHashes, shingleWidth).as("sig"))
 
-  /** (doc_id, band, band_hash) — one row per band per document. */
-  def banded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (doc_id, band, band_hash) — one row per band per document. `bandKey`
+    * maps the band's sub-signature to the bucket key: xxhash64 (8-byte,
+    * engine default) or the comma-joined string form (oracle-mirrorable).
+    */
+  def banded(sigs: DataFrame, numHashes: Int, bands: Int,
+      bandKey: (Column, Column) => Column = (j, sl) => xxhash64(j, sl)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(j, slice(col("sig"), j * lit(rows) + 1, lit(rows))))))
+          j => bandKey(j, slice(col("sig"), j * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
+
+  /** Band bucket key as the sub-signature itself, comma-joined — larger than
+    * the xxhash64 key but exactly reproducible in the DuckDB oracle.
+    */
+  val stringBandKey: (Column, Column) => Column =
+    (_, sl) => concat_ws(",", transform(sl, _.cast("string")))
 
   /** Candidate near-dup pairs (da < db) colliding in ≥ 1 band, with the
     * signature-estimated Jaccard, filtered to `minEstJaccard`.
@@ -89,9 +118,27 @@ object MinHashDedup {
   def candidatePairs(
       df: DataFrame, id: Column, text: Column,
       numHashes: Int = 64, bands: Int = 8, shingleWidth: Int = 3,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = signatures(df, id, text, numHashes, shingleWidth).cache()
-    val bd = banded(sigs, numHashes, bands)
+      minEstJaccard: Double = 0.5): DataFrame =
+    candidatePairsFrom(
+      signatures(df, id, text, numHashes, shingleWidth).cache(),
+      numHashes, bands, minEstJaccard)
+
+  /** [[candidatePairs]] with the md5 hash family and string band keys — the
+    * oracle-mirrorable variant (engine default stays xxhash64).
+    */
+  def candidatePairsMd5(
+      df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, bands: Int = 8, shingleWidth: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame =
+    candidatePairsFrom(
+      df.select(id.as("doc_id"),
+        signatureMd5(text, numHashes, shingleWidth).as("sig")).cache(),
+      numHashes, bands, minEstJaccard, stringBandKey)
+
+  private def candidatePairsFrom(
+      sigs: DataFrame, numHashes: Int, bands: Int, minEstJaccard: Double,
+      bandKey: (Column, Column) => Column = (j, sl) => xxhash64(j, sl)): DataFrame = {
+    val bd = banded(sigs, numHashes, bands, bandKey)
     val pairs = bd
       .join(bd.select(col("band").as("band_b"), col("band_hash").as("band_hash_b"),
         col("doc_id").as("db")),

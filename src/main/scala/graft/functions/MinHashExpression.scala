@@ -54,3 +54,47 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Variant of [[MinHashSignature]] over PRE-FOLDED shingle hashes
+  * (array<long>, each in [0, P)) instead of raw shingle strings — same
+  * affine family and min fold, but the string→[0,P) hash is supplied by the
+  * caller. This is what lets the md5-based, DuckDB-mirrorable hash family
+  * share the native kernel: the md5/conv fold runs as codegen'd builtins and
+  * only the k-expansion loop lives here.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(i => (i.toLong * 2654435761L) % 1048573L + 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(i => i.toLong * 40503L)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_h"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(P)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val hv = (h * coeffA(i) + coeffB(i)) % P
+          if (hv < mins(i)) mins(i) = hv
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

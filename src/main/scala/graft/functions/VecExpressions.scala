@@ -119,5 +119,8 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig_h", exprs => MinHashFromHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

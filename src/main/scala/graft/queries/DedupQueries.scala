@@ -93,13 +93,62 @@ object DedupQueries extends QueryGroup {
              |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
              |ORDER BY da, db""".stripMargin)),
 
-    // D2 — MinHash+LSH candidate pairs (rows-only; recall vs exact Jaccard
+    // D2 — MinHash+LSH candidate pairs, engine default (xxhash64 shingle
+    // fold; rows-only since DuckDB has no xxhash64 — recall vs exact Jaccard
     // asserted in MinHashDedupSpec).
     Q("d2_minhash_lsh",
       (s, d) => MinHashDedup.candidatePairs(
         Tables(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("da"), col("db")),
       None),
+
+    // D2 — the SAME shingle → minhash → band → bucket-join → estimate
+    // pipeline with the md5 hash family and string band keys, fully
+    // mirrored in DuckDB: the flagship LLM-dedup op under the hash gate.
+    Q("d2_minhash_md5",
+      (s, d) => MinHashDedup.candidatePairsMd5(
+        Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("da"), col("db")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |hv AS (
+             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
+             |  FROM sh GROUP BY 1),
+             |sigs AS (
+             |  SELECT t.doc_id,
+             |         list_transform(generate_series(0, 63), i -> coalesce(
+             |           list_min(list_transform(h.hs,
+             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
+             |           2147483647)) AS sig
+             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
+             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
+             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+             |est AS (
+             |  SELECT da, db,
+             |         round(CAST(len(list_filter(generate_series(1, 64),
+             |           k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64, 6) AS est_jaccard
+             |  FROM cand
+             |  JOIN sigs sa ON sa.doc_id = cand.da
+             |  JOIN sigs sb ON sb.doc_id = cand.db)
+             |SELECT da, db, est_jaccard FROM est
+             |WHERE est_jaccard >= 0.5
+             |ORDER BY da, db""".stripMargin)),
 
     // D2 — SimHash near-dup candidates (rows-only; hamming properties in
     // SimHashDedupSpec).
