@@ -76,4 +76,28 @@ object VectorFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** [[signLshBucket]] with an md5-derived hyperplane family instead of
+    * xxhash64: h(i, j) = md5("i,j") top-60-bits mod 2000001, scaled to
+    * [-1, 1]. Identical structure, but every op (md5, hex parse, mod,
+    * double scale, in-order fold) is exactly reproducible in DuckDB, so the
+    * LSH-bucketed pairwise path can carry the differential oracle. Engine
+    * default stays [[signLshBucket]] (xxhash64 is ~20× cheaper per plane).
+    */
+  def signLshBucketMd5(v: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => {
+          val h = pmod(
+            conv(substring(md5(concat(lit(s"$i,"), j.cast("string"))), 1, 15),
+              16, 10).cast("long"),
+            lit(2000001L))
+          x.cast("double") * ((h.cast("double") / lit(1000000.0)) - lit(1.0))
+        }),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
 }

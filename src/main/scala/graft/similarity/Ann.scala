@@ -32,16 +32,29 @@ object Ann {
       .limit(k)
   }
 
-  /** Exact all-pairs above a cosine threshold (quadratic — baseline only). */
+  /** Exact all-pairs above a cosine threshold (quadratic — baseline only).
+    * Norms are precomputed per SIDE (n per vector), not per pair: the O(n²)
+    * loop then does one dot + one divide instead of three dots.
+    */
   def pairsExact(embeddings: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(id.as("va"), vec.as("ea"))
-    val b = embeddings.select(id.as("vb"), vec.as("eb"))
+    val e = normed(embeddings, id, vec)
+    val a = e.select(col("vec_id").as("va"), col("v").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("eb"), col("nrm").as("nb"))
     a.join(b, col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        VectorFunctions.cosineNative(col("ea"), col("eb")).as("cos"))
+        (VectorFunctions.dotNative(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** (vec_id, v, nrm) with the L2 norm precomputed once per vector — the
+    * same `sqrt(dot(v,v))` the pairwise cosine would otherwise recompute
+    * per PAIR (2/3 of the FLOPs in an all-pairs scan).
+    */
+  def normed(embeddings: DataFrame, id: Column, vec: Column): DataFrame =
+    embeddings.select(id.as("vec_id"), vec.as("v"),
+      sqrt(VectorFunctions.dotNative(vec, vec)).as("nrm"))
 
   /** Bucket assignment: nBits sign bits packed into a long. */
   def bucketed(embeddings: DataFrame, id: Column, vec: Column,
@@ -54,14 +67,35 @@ object Ann {
     * Verified against pairsExact recall in AnnSpec.
     */
   def pairsLsh(embeddings: DataFrame, id: Column, vec: Column,
-      threshold: Double, nBits: Int = 8): DataFrame = {
-    val bk = bucketed(embeddings, id, vec, nBits)
-    val a = bk.select(col("bucket"), col("vec_id").as("va"), col("v").as("ea"))
-    val b = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
-      col("v").as("eb"))
+      threshold: Double, nBits: Int = 8): DataFrame =
+    pairsBucketed(bucketed(embeddings, id, vec, nBits), threshold)
+
+  /** [[pairsLsh]] with the md5 hyperplane family
+    * ([[VectorFunctions.signLshBucketMd5]]) — every op DuckDB-mirrorable, so
+    * this pruned path carries the differential oracle (VectorQueries
+    * v6_ann_md5). Same output schema as pairsLsh/pairsExact.
+    */
+  def pairsLshMd5(embeddings: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int = 8): DataFrame =
+    pairsBucketed(
+      embeddings.select(id.as("vec_id"), vec.as("v"),
+        VectorFunctions.signLshBucketMd5(vec, nBits).as("bucket")),
+      threshold)
+
+  /** Same-bucket pair scoring shared by the LSH families: the bucket column
+    * is the shuffle key, norms are per-side, the pair loop is one dot.
+    */
+  private def pairsBucketed(bk: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = bk.withColumn("nrm",
+      sqrt(VectorFunctions.dotNative(col("v"), col("v"))))
+    val a = withNorm.select(col("bucket"), col("vec_id").as("va"),
+      col("v").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
+      col("v").as("eb"), col("nrm").as("nb"))
     a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        VectorFunctions.cosineNative(col("ea"), col("eb")).as("cos"))
+        (VectorFunctions.dotNative(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
