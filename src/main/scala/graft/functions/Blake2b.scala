@@ -112,10 +112,14 @@ object Blake2b {
 
   /** The reference's gen_key: stringify values, sort, join with "", blake2b-8
     * hex (utils.py:131-136). Value-sort means swapped field values collide —
-    * a faithful quirk, pinned in Blake2bSpec.
+    * a faithful quirk, pinned in Blake2bSpec. Python's `"%s" % None` yields
+    * "None", so null values hash as the string "None" (utils.py:131-134),
+    * not NPE.
     */
   def genKey(values: Seq[String], digestSize: Int = 8): String =
-    hex(digest(values.sorted.mkString("").getBytes(UTF_8), digestSize))
+    hex(digest(
+      values.map(v => if (v == null) "None" else v).sorted.mkString("").getBytes(UTF_8),
+      digestSize))
 
   private val genKeyUdf = udf((vals: Seq[String]) => genKey(vals))
 

@@ -42,13 +42,15 @@ object IrcParser {
   def extractGroup(line: Column, group: Int): Column =
     regexp_extract(line, MsgPattern, group)
 
-  /** ACTION emote → "/me" rewrite (irclogbot.py:137-138). The reference
-    * guards with startswith then str.replace; with the guard the two are
-    * equivalent to prefix rewrite.
+  /** ACTION emote → "/me" rewrite (irclogbot.py:137-138): startswith guard,
+    * then str.replace — which replaces EVERY "ACTION " occurrence, not just
+    * the prefix ("ACTION waves ACTION again" → "/me waves /me again"). The
+    * compat blake2b id depends on this byte-exactly, so `replace` (literal,
+    * all occurrences) it is.
     */
   def rewriteAction(remark: Column): Column =
     when(remark.startsWith("ACTION "),
-      concat(lit("/me "), substring(remark, 8, Int.MaxValue)))
+      replace(remark, lit("ACTION "), lit("/me ")))
       .otherwise(remark)
 
   /** Full message parse: lines → {nick, channel, remark}, dropping PINGs,
@@ -65,10 +67,7 @@ object IrcParser {
         extractGroup(line, 5).as("remark"))
       .filter(col("nick") =!= "" && col("channel") =!= "" && col("remark") =!= "")
       .filter(length(col("nick")) < MaxNickLen)
-      .withColumn("remark",
-        when(col("remark").startsWith("ACTION "),
-          concat(lit("/me "), substring(col("remark"), 8, Int.MaxValue)))
-          .otherwise(col("remark")))
+      .withColumn("remark", rewriteAction(col("remark")))
   }
 
   /** Stamp second-truncated event time + the v2 content key

@@ -130,7 +130,7 @@ object RelationalQueries extends QueryGroup {
              |  FROM events)
              |SELECT event_id, remark,
              |       CASE WHEN starts_with(remark, 'ACTION ')
-             |            THEN '/me ' || substr(remark, 8)
+             |            THEN replace(remark, 'ACTION ', '/me ')
              |            ELSE remark END AS rewritten
              |FROM r
              |ORDER BY event_id""".stripMargin)),

@@ -29,6 +29,43 @@ object IrcSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** K2 — per-RECORD bounded retry → drop (dead-letter), the reference's ES
+    * write loop semantics (irclogbot.py:46-59: ≤ 5 attempts per record, then
+    * the record is discarded and the bot moves on). Spark's task-level retry
+    * would instead fail the WHOLE batch on a poisoned record; this runs the
+    * per-record side-effecting `write` (the ES-client analog) inside
+    * foreachPartition so one bad record costs only itself.
+    *
+    * Distributed contract: `write` must be serializable and idempotent-safe
+    * under replay (the surrounding sink is upsert-by-id). Counts come back
+    * via accumulators; dropped records go to `onDrop` (dead-letter hook —
+    * e.g. append to a quarantine dir) before being skipped.
+    *
+    * @return (written, dropped) counts for the batch
+    */
+  def writeEachWithRetry(
+      records: DataFrame,
+      write: org.apache.spark.sql.Row => Unit,
+      maxAttempts: Int = 5,
+      onDrop: org.apache.spark.sql.Row => Unit = _ => ()): (Long, Long) = {
+    val sc = records.sparkSession.sparkContext
+    val ok = sc.longAccumulator("sink_written")
+    val dropped = sc.longAccumulator("sink_dropped")
+    records.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.foreach { r =>
+        var attempts = 0
+        var done = false
+        while (!done && attempts < maxAttempts) {
+          try { write(r); done = true }
+          catch { case scala.util.control.NonFatal(_) => attempts += 1 }
+        }
+        if (done) ok.add(1)
+        else { onDrop(r); dropped.add(1) }
+      }
+    }
+    (ok.value, dropped.value)
+  }
+
   /** Periodic compaction: rewrite the table keeping exactly one row per id —
     * the earliest-posted copy, ties broken deterministically. This is the
     * batch half of the reference's "ES overwrites whenever" unbounded dedup

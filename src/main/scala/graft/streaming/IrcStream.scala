@@ -164,13 +164,15 @@ object IrcStream {
   def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates("id")
-    val existing =
-      try Some(spark.read.parquet(targetDir).select(col("id")))
-      catch { case _: Exception => None } // first batch: sink dir absent
-    val toWrite = existing match {
-      case Some(ids) => fresh.join(ids, Seq("id"), "left_anti")
-      case None => fresh
-    }
+    // Explicit existence probe, NOT a broad catch: a transient FS error while
+    // reading the sink must fail the batch (so it's retried) rather than
+    // silently skip the anti-join and write duplicate ids.
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val toWrite =
+      if (fs.exists(target))
+        fresh.join(spark.read.parquet(targetDir).select(col("id")), Seq("id"), "left_anti")
+      else fresh // first batch: sink dir absent
     toWrite.write.mode("append").parquet(targetDir)
   }
 

@@ -36,6 +36,12 @@ class Blake2bSpec extends SparkSuite {
     assert(Blake2b.genKey(Seq("#x", "carol", "ok")) == "efc2a5e8d01e5210")
   }
 
+  test("gen_key hashes null as the string 'None' like CPython (%s % None)") {
+    // python: gen_key over ['#x', 'alice', None] / [None, None]
+    assert(Blake2b.genKey(Seq("#x", "alice", null)) == "9ad7edfe2fc4691d")
+    assert(Blake2b.genKey(Seq(null, null)) == "e0cee8aef264f0b0")
+  }
+
   test("gen_key handles non-ASCII like CPython") {
     assert(Blake2b.genKey(Seq("unicode ✓ test", "dave", "#zh")) == "63a2403194299323")
   }

@@ -27,6 +27,15 @@ class IrcParserSpec extends SparkSuite {
     assert(got.toSeq == Seq(("carol", "#heat", "/me waves")))
   }
 
+  test("ACTION rewrite replaces EVERY occurrence like str.replace " +
+    "(irclogbot.py:137-138 byte-compat)") {
+    val got = parseOne(":carol!~c@h PRIVMSG #heat :ACTION waves ACTION again")
+    assert(got.toSeq == Seq(("carol", "#heat", "/me waves /me again")))
+    // no leading ACTION → untouched even if it appears mid-string
+    val guarded = parseOne(":carol!~c@h PRIVMSG #heat :she typed ACTION loudly")
+    assert(guarded.toSeq == Seq(("carol", "#heat", "she typed ACTION loudly")))
+  }
+
   test("17-char nick dropped, 16-char kept (irclogbot.py:139-141)") {
     val got = parseOne(
       ":abcdefghijklmnopq!~u@h PRIVMSG #x :hi",

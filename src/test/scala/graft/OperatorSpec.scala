@@ -44,6 +44,14 @@ class OperatorSpec extends SparkSuite {
     assert(salted.exceptAll(direct).count() == 0)
   }
 
+  test("uuid() generates unique well-formed ids (F4 — nondeterministic, no oracle)") {
+    val ids = Tables(spark, sf, "events").limit(100)
+      .select(expr("uuid()").as("u")).as[String].collect()
+    assert(ids.distinct.length == 100)
+    val Rfc4122 = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"
+    assert(ids.forall(_.matches(Rfc4122)))
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

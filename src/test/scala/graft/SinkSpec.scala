@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 
 import graft.sinks.IrcSink
 
+/** JVM-static ES-client stand-in for the K2 retry tests: records every write
+  * attempt per id; "POISON" always throws, "FLAKY<n>" throws on the first n
+  * attempts. local-mode tasks share the JVM, so the maps see all partitions.
+  */
+object K2Probe {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  val written = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  val dead = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def reset(): Unit = { attempts.clear(); written.clear(); dead.clear() }
+  def deadLetter(id: String): Unit = dead.add(id)
+  def write(nick: String, id: String): Unit = {
+    val n = attempts.merge(id, 1, (a, b) => a + b)
+    if (nick == "POISON") throw new RuntimeException(s"mapping rejected $id")
+    nick match {
+      case s if s.startsWith("FLAKY") && n <= s.drop(5).toInt =>
+        throw new RuntimeException(s"transient $id attempt $n")
+      case _ => written.put(id, true)
+    }
+  }
+}
+
 class SinkSpec extends SparkSuite {
   import spark.implicits._
 
@@ -24,6 +45,34 @@ class SinkSpec extends SparkSuite {
     val back = IrcSink.read(spark, path)
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("channel", "nick", "remark", "posted", "id", "day"))
+  }
+
+  test("K2: poisoned record drops after bounded retries without failing the batch " +
+    "(irclogbot.py:46-59)") {
+    K2Probe.reset()
+    val recs = records(
+      ("#x", "alice", "m1", "2024-01-01 10:00:00", "id1"),
+      ("#x", "POISON", "m2", "2024-01-01 10:00:01", "id2"),
+      ("#x", "bob", "m3", "2024-01-01 10:00:02", "id3"))
+    val (ok, dropped) = IrcSink.writeEachWithRetry(
+      recs,
+      r => K2Probe.write(r.getAs[String]("nick"), r.getAs[String]("id")),
+      maxAttempts = 5,
+      onDrop = r => K2Probe.deadLetter(r.getAs[String]("id")))
+    assert(ok == 2 && dropped == 1)
+    assert(K2Probe.written.keySet.toArray.toSet == Set[Any]("id1", "id3"))
+    assert(K2Probe.attempts.get("id2") == 5) // exactly maxAttempts, then gave up
+    assert(K2Probe.dead.contains("id2")) // dead-letter hook saw the record
+  }
+
+  test("K2: transiently-failing record is retried to success") {
+    K2Probe.reset()
+    val recs = records(("#x", "FLAKY2", "m", "2024-01-01 10:00:00", "idF"))
+    val (ok, dropped) = IrcSink.writeEachWithRetry(
+      recs, r => K2Probe.write(r.getAs[String]("nick"), r.getAs[String]("id")))
+    assert(ok == 1 && dropped == 0)
+    assert(K2Probe.attempts.get("idF") == 3) // failed twice, third attempt landed
+    assert(K2Probe.written.containsKey("idF"))
   }
 
   test("compaction keeps exactly one earliest row per id (unbounded dedup)") {

@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set(("alice", 130L, 100L)))
   }
 
+  test("backpressure: maxFilesPerTrigger bounds per-micro-batch input (ST8)") {
+    val base = Files.createTempDirectory("graft_bp").toString
+    val inDir = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // 3 files × 2 lines, but each trigger may admit at most ONE file
+    (1 to 3).foreach { i =>
+      Files.write(java.nio.file.Paths.get(s"$inDir/f$i.txt"),
+        (s":u${i}a!~u@h PRIVMSG #x :m${i}a\n:u${i}b!~u@h PRIVMSG #x :m${i}b")
+          .getBytes("UTF-8"))
+    }
+    val q = IrcStream.start(
+      IrcStream.fromTextDir(spark, inDir, maxFilesPerTrigger = 1),
+      s"$base/sink", s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    // all 6 records landed…
+    assert(spark.read.parquet(s"$base/sink").count() == 6)
+    // …across ≥ 3 data batches, none exceeding one file's 2 rows
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 3,
+      s"expected >=3 bounded batches, got ${dataBatches.length}")
+    assert(dataBatches.forall(_.numInputRows <= 2),
+      s"a batch exceeded the 1-file bound: ${dataBatches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("SQL facade: users can run SQL over registered views") {
     GraftCatalog.registerAll(spark, sf)
     val n = spark.sql(
