@@ -48,9 +48,19 @@ object TextFunctions {
     * manager dedups by plan equality, so repeated calls over the same input
     * share one InMemoryRelation. At 100 TB this frame is the materialized
     * postings table maintained by compaction; the query side is unchanged.
+    *
+    * Cache lifecycle: the InMemoryRelation is pinned until the CALLER calls
+    * `.unpersist()` on the returned frame (or the session ends — fine for
+    * one-shot drivers like Verify/Bench, a leak in a long-lived session).
+    * Note searchText's `lower(text)` postings are a DIFFERENT plan from
+    * h8_bm25/t4_tfidf's raw-text postings, so a session using both holds
+    * two cached copies; pass `cache = false` to opt out entirely.
     */
-  def postings(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(tokens(text)).as("term")).cache()
+  def postings(docs: DataFrame, id: Column, text: Column,
+      cache: Boolean = true): DataFrame = {
+    val p = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    if (cache) p.cache() else p
+  }
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")

@@ -70,11 +70,14 @@ object IrcSearch {
         col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
             (col("dl") * col("n").cast("double") / col("total_dl")))))
-    val perTerm = terms.map(t =>
-      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
+    // Pivot columns are named positionally (s_0, s_1, … in sorted-term
+    // order), never from the term text: a query term containing '.' or '`'
+    // would otherwise make col("s_$t") parse as a nested-field reference.
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("term_score"))).as(s"s_$i") }
     val piv = scored.groupBy(col("__id")).agg(perTerm.head, perTerm.tail: _*)
-    val score = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _)
-    val nHit = terms.map(t => when(col(s"s_$t").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val score = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _)
+    val nHit = terms.indices.map(i => when(col(s"s_$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
     piv.select(col("__id").as(idCol),
         round(score, 6).as("score"), nHit.as("n_terms_hit"))
       .orderBy(col("score").desc, col(idCol))

@@ -37,6 +37,15 @@ class SearchSpec extends SparkSuite {
     assert(got.toSet == Set(1L, 2L, 3L)) // doc 4 matches nothing
   }
 
+  test("searchText handles query terms with column-syntax metachars ('.', '`')") {
+    val docs = Seq(
+      (1L, "see foo.bar for details"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val got = IrcSearch.searchText(docs, "doc_id", "text", "foo.bar `tick", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // would throw AnalysisException with term-named cols
+  }
+
   test("searchText on the fixture corpus returns deterministic top-k") {
     val docs = Tables(spark, sf, "documents")
     val a = IrcSearch.searchText(docs, "doc_id", "text", "merge scan hash", 5)
