@@ -47,6 +47,19 @@ object SimHashDedup {
       (acc, b) => acc + b)
   }
 
+  /** [[simhash]] with the md5 hash family: per-token hash = top 60 bits of
+    * the md5 hex (bits 60-63 of the signature are structurally 0). Exactly
+    * mirrorable in DuckDB (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)` +
+    * per-bit majority via list ops), putting the SimHash signature under the
+    * differential oracle. Engine default stays xxhash64 (full 64 bits,
+    * cheaper); both share the [[graft.functions.SimHashFromHashes]] /
+    * [[graft.functions.SimHash64]] counting kernel.
+    */
+  def simhashMd5(text: Column): Column =
+    call_function("simhash_h",
+      transform(TextFunctions.tokens(text),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -50,3 +50,45 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[SimHash64]] over PRE-FOLDED token hashes (array<long>) instead of raw
+  * tokens — the hash family is supplied by the caller, which is what lets
+  * the md5-based, DuckDB-mirrorable variant (60 useful bits from the top 15
+  * md5 hex chars) share the counting kernel. Null elements are skipped for
+  * the bit counts but still raise the majority-vote denominator, matching
+  * the declarative fold.
+  */
+case class SimHashFromHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_h"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < 64) {
+          ones(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (2L * ones(i) > n) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -122,5 +122,7 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig_h", exprs => MinHashFromHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_h", exprs => SimHashFromHashes(exprs(0)), "built-in")
   }
 }

@@ -156,6 +156,28 @@ object DedupQueries extends QueryGroup {
       (s, d) => SimHashDedup.signatures(
         Tables(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // D2 — SimHash signatures with the md5 hash family (60 useful bits),
+    // fully DuckDB-mirrored: per-bit majority vote over per-token hashes.
+    Q("d2_simhash_md5",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), SimHashDedup.simhashMd5(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id,
+             |         list_transform(toks,
+             |           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+             |  FROM tk)
+             |SELECT doc_id,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(generate_series(0, 59), j ->
+             |           CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > len(hs)
+             |                THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+             |         (acc, v) -> acc + v) AS simhash
+             |FROM hs ORDER BY doc_id""".stripMargin))
   )
 }

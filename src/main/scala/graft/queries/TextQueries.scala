@@ -200,11 +200,33 @@ object TextQueries extends QueryGroup {
     // X4 — heuristic language ID (rows-only: stopword-vote heuristic, no SQL
     // mirror; accuracy against the fixture lang column asserted in
     // TextFunctionsSpec).
+    // x4 — heuristic lang-ID, now oracle-paired: DuckDB has no struct
+    // greatest, so the argmax-with-tiebreak is encoded as
+    // max(lpad(score)||lang) — identical (score, lang) ordering to Spark's
+    // greatest(struct(score, lang)).getField("lang").
     Q("x4_lang_id",
       (s, d) => Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id")),
-      None)
+      Some {
+        def votes(words: Seq[String], lang: String): String = {
+          val lst = words.map(w => s"'$w'").mkString(",")
+          s"lpad(CAST(len(list_filter(toks, x -> x IN ($lst))) AS VARCHAR), 6, '0') || '$lang'"
+        }
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, text,
+           |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |            ELSE substr(greatest(
+           |              ${votes(Seq("the", "and", "of", "to", "is", "with"), "en")},
+           |              ${votes(Seq("der", "die", "das", "und", "ist", "mit"), "de")},
+           |              ${votes(Seq("el", "la", "los", "que", "es", "con"), "es")},
+           |              ${votes(Seq("le", "la", "les", "est", "avec", "dans"), "fr")}), 7)
+           |       END AS lang_pred
+           |FROM t ORDER BY doc_id""".stripMargin
+      })
   )
 }
