@@ -79,25 +79,41 @@ object VectorFunctions {
 
   /** [[signLshBucket]] with an md5-derived hyperplane family instead of
     * xxhash64: h(i, j) = md5("i,j") top-60-bits mod 2000001, scaled to
-    * [-1, 1]. Identical structure, but every op (md5, hex parse, mod,
-    * double scale, in-order fold) is exactly reproducible in DuckDB, so the
-    * LSH-bucketed pairwise path can carry the differential oracle. Engine
-    * default stays [[signLshBucket]] (xxhash64 is ~20× cheaper per plane).
+    * [-1, 1]. Identical structure, but every op is exactly reproducible in
+    * DuckDB (which computes the md5 inline in SQL), so the LSH-bucketed
+    * pairwise path can carry the differential oracle.
+    *
+    * The hyperplane is data-INDEPENDENT, so the md5/hex-parse/mod/scale
+    * chain runs ONCE on the driver (java MessageDigest MD5 = the same md5)
+    * and ships as a literal array — the per-row work is just the float×
+    * double fold, not 256 string hashes. Supports dims ≤ 1024 (the literal
+    * row length; `slice` trims it to the vector's size). Engine default
+    * stays [[signLshBucket]].
     */
   def signLshBucketMd5(v: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { i =>
+      val plane = typedLit(md5Plane(i))
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => {
-          val h = pmod(
-            conv(substring(md5(concat(lit(s"$i,"), j.cast("string"))), 1, 15),
-              16, 10).cast("long"),
-            lit(2000001L))
-          x.cast("double") * ((h.cast("double") / lit(1000000.0)) - lit(1.0))
-        }),
+        zip_with(v, slice(plane, lit(1), size(v)), (x, h) => x.cast("double") * h),
         lit(0.0),
         (acc, x) => acc + x)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  private val MaxLshDim = 1024
+
+  /** Row i of the md5 hyperplane: ((md5("i,j")[0,15) as hex % 2000001) /
+    * 1e6) - 1 for j < [[MaxLshDim]] — bit-identical to the inline SQL form
+    * on both engines (verified by the v6_ann_md5 differential oracle).
+    */
+  private def md5Plane(i: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(MaxLshDim) { j =>
+      val hex = md.digest(s"$i,$j".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
   }
 }

@@ -41,11 +41,12 @@ object Ann {
     val e = normed(embeddings, id, vec)
     val a = e.select(col("vec_id").as("va"), col("v").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("v").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        (VectorFunctions.dotNative(col("ea"), col("eb")) /
-          (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    val cos = VectorFunctions.dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))
+    // threshold goes INTO the join condition, after the cheap va < vb: And
+    // short-circuits, so the dot never evaluates for the mirrored half of
+    // the pair space (a pushed-down filter would land BEFORE the id test).
+    a.join(b, col("va") < col("vb") && cos >= threshold)
+      .select(col("va"), col("vb"), cos.as("cos"))
   }
 
   /** (vec_id, v, nrm) with the L2 norm precomputed once per vector — the
@@ -92,11 +93,12 @@ object Ann {
       col("v").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
       col("v").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        (VectorFunctions.dotNative(col("ea"), col("eb")) /
-          (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    val cos = VectorFunctions.dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))
+    // bucket equality is the hash-join key; va < vb short-circuits before
+    // the dot (see pairsExact)
+    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb") &&
+        cos >= threshold)
+      .select(col("va"), col("vb"), cos.as("cos"))
   }
 
   /** IVF coarse codebook from any cluster/label column: one centroid per
