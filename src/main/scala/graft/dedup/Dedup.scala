@@ -70,4 +70,60 @@ object Dedup {
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       minCosine: Double): DataFrame =
     graft.similarity.Ann.pairsExact(df, id, vec, minCosine)
+
+  /** Connected components over the undirected candidate-pair graph — the
+    * CLUSTER-FORMATION step every near-dup pipeline needs after pair
+    * generation (keep one representative per duplicate cluster, drop the
+    * rest). Iterative min-label propagation: each round every node takes the
+    * min of its own and its neighbors' labels; at convergence a node's label
+    * IS the min doc id of its component — deterministic, so the result can
+    * carry a differential oracle (recursive-CTE closure in DuckDB).
+    *
+    * Distribution: the driver holds only the loop and a per-round change
+    * count (same posture as Ann.kmeansCentroids); each round is one
+    * edges⋈labels shuffle + a min-aggregate. Rounds needed = graph diameter
+    * (near-dup clusters are shallow). At 100 TB swap in the
+    * large-star/small-star alternation (O(log n) rounds, same contract).
+    *
+    * @param pairs candidate pairs with columns (da, db)
+    * @param nodes one row per node, single column `node` (includes
+    *              singletons, which keep their own id as component)
+    * @return (node, comp) — comp = min node id of the component
+    */
+  def components(pairs: DataFrame, nodes: DataFrame, maxIters: Int = 30): DataFrame = {
+    // cache the (possibly expensive) pair query BEFORE mirroring it, so the
+    // union's two branches don't each recompute it
+    val p = pairs.select(col("da"), col("db")).cache()
+    val edges = p.select(col("da").as("a"), col("db").as("b"))
+      .union(p.select(col("db").as("a"), col("da").as("b")))
+      .cache()
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nmin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(nmin, col("node") === col("a"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    p.unpersist()
+    require(changed == 0, s"components did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** One-call near-dup dedup: cluster the candidate pairs, keep the min-id
+    * representative per cluster. Returns (doc_id, comp, is_rep).
+    */
+  def dedupGroups(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame =
+    components(pairs, docs.select(id.as("node")))
+      .select(col("node").as("doc_id"), col("comp"),
+        (col("comp") === col("node")).as("is_rep"))
 }

@@ -150,6 +150,56 @@ object DedupQueries extends QueryGroup {
              |WHERE est_jaccard >= 0.5
              |ORDER BY da, db""".stripMargin)),
 
+    // D3 — cluster formation: connected components over the Jaccard
+    // candidate-pair graph, min-id representative per cluster — the step
+    // every near-dup pipeline runs after pair generation. Spark side is
+    // iterative min-label propagation (Dedup.components); the oracle closes
+    // the same graph with a recursive CTE. Deterministic because the
+    // converged label is the component's min doc id.
+    Q("d3_dedup_groups",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = graft.dedup.Dedup.jaccardPairs(
+          docs, col("doc_id"), col("text"), 0.5,
+          Seq(col("lang"), col("source")))
+        graft.dedup.Dedup.dedupGroups(docs, col("doc_id"), pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT da, db
+             |  FROM inter
+             |  JOIN sizes sa ON sa.doc_id = da
+             |  JOIN sizes sb ON sb.doc_id = db
+             |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+             |edges AS (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(node, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+             |SELECT node AS doc_id, min(r) AS comp, (min(r) = node) AS is_rep
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // D2 — SimHash near-dup candidates (rows-only; hamming properties in
     // SimHashDedupSpec).
     Q("d2_simhash",

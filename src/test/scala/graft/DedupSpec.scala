@@ -88,6 +88,22 @@ class DedupFacadeSpec extends SparkSuite {
       g.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 2L))
   }
 
+  test("Dedup.components: chain collapses to min id, singleton keeps its own") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val got = Dedup.components(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("Dedup.dedupGroups marks exactly one representative per cluster") {
+    val docs = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("da", "db")
+    val g = Dedup.dedupGroups(docs, col("doc_id"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(g == Set((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
+  }
+
   test("Dedup.jaccardPairs with blocking matches the unblocked result on one block") {
     val docs = Tables(spark, sf, "documents").limit(100)
     val un = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
