@@ -119,6 +119,49 @@ object Dedup {
     labels
   }
 
+  /** [[components]] with pointer jumping (path shortcutting): each round
+    * does the neighbor-min step AND then re-points every label at its
+    * label's label — O(log diameter) rounds instead of O(diameter), at the
+    * price of one extra labels⋈labels shuffle per round. Same output
+    * contract; equality with [[components]] asserted in DedupFacadeSpec.
+    * Prefer this at scale when clusters can be long chains (e.g. temporal
+    * near-dup drift); prefer [[components]] when clusters are shallow
+    * (typical LSH candidate graphs) and rounds are already ≤ 3.
+    */
+  def componentsFast(pairs: DataFrame, nodes: DataFrame, maxIters: Int = 20): DataFrame = {
+    val p = pairs.select(col("da"), col("db")).cache()
+    val edges = p.select(col("da").as("a"), col("db").as("b"))
+      .union(p.select(col("db").as("a"), col("da").as("b")))
+      .cache()
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nmin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val l1 = labels.join(nmin, col("node") === col("a"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: comp(v) ← comp(comp(v)); labels only ever move down
+      // within the component, so the shortcut is safe and halves chains
+      val next = l1.as("x")
+        .join(l1.select(col("node").as("n2"), col("comp").as("c2")),
+          col("x.comp") === col("n2"), "left_outer")
+        .select(col("x.node").as("node"),
+          coalesce(col("c2"), col("x.comp")).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    p.unpersist()
+    require(changed == 0, s"componentsFast did not converge in $maxIters rounds")
+    labels
+  }
+
   /** One-call near-dup dedup: cluster the candidate pairs, keep the min-id
     * representative per cluster. Returns (doc_id, comp, is_rep).
     */

@@ -96,6 +96,25 @@ class DedupFacadeSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("Dedup.componentsFast equals components on chains, cliques and fixture pairs") {
+    // 8-node chain (worst case for plain propagation) + 3-clique + singleton
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)))
+      .toDF("da", "db")
+    val nodes = ((1L to 8L) ++ Seq(20L, 21L, 22L) :+ 99L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = toMap(Dedup.components(pairs, nodes))
+    val fast = toMap(Dedup.componentsFast(pairs, nodes))
+    assert(fast == slow)
+    assert(fast(8L) == 1L && fast(22L) == 20L && fast(99L) == 99L)
+    // fixture candidate graph: both algorithms agree end-to-end
+    val docs = Tables(spark, sf, "documents")
+    val jp = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+      Seq(col("lang"), col("source")))
+    val n = docs.select(col("doc_id").as("node"))
+    assert(toMap(Dedup.componentsFast(jp, n)) == toMap(Dedup.components(jp, n)))
+  }
+
   test("Dedup.dedupGroups marks exactly one representative per cluster") {
     val docs = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("doc_id", "text")
     val pairs = Seq((10L, 11L)).toDF("da", "db")
