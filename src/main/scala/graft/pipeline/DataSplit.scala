@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic dataset-preparation operators for training pipelines:
+  * content-hash sampling, train/valid/test splitting, and token-budget
+  * chunk packing.
+  *
+  * All decisions are pure functions of the data (md5 of the id — NO rand()),
+  * so: (a) re-running the pipeline on the same corpus reproduces the same
+  * split bit-for-bit, (b) adding documents never reshuffles existing
+  * assignments (the property that keeps eval sets stable across corpus
+  * versions), and (c) every op is exactly mirrorable in the DuckDB oracle.
+  * Everything is map-side except packing's per-partition window — no
+  * shuffle for sample/split at any scale.
+  */
+object DataSplit {
+
+  /** Uniform [0, 100) bucket from the md5 of (salt, id) — the same 60-bit
+    * fold the dedup family uses ([[graft.dedup.MinHashDedup.md5Fold]] uses
+    * mod P; here mod 100 for percentages).
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(100L))
+
+  /** Keep ~pct% of rows, deterministically, by id hash. */
+  def sample(df: DataFrame, id: Column, pct: Int, salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(id, salt) < pct)
+
+  /** Stable train/valid/test assignment: `train` below trainPct,
+    * `valid` in the next validPct, `test` above.
+    */
+  def split(id: Column, trainPct: Int = 80, validPct: Int = 10,
+      salt: String = "split"): Column = {
+    val b = hashBucket(id, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  /** Pack documents into ~`budget`-token chunks in id order per group: the
+    * window cumsum form (chunk = floor of the tokens BEFORE this doc /
+    * budget) — deterministic, one shuffle on the group key, and the chunk id
+    * every sequence-packing job needs before concatenation. A doc larger
+    * than `budget` owns its chunks alone (the cumsum advances past them).
+    */
+  def packChunks(df: DataFrame, group: Column, id: Column, text: Column,
+      budget: Int): DataFrame = {
+    val tok = TextFunctions.tokenCount(text)
+    df.select(group.as("grp"), id.as("doc_id"), tok.as("n_tok"))
+      .withColumn("chunk",
+        floor((sum(col("n_tok")).over(
+          Window.partitionBy(col("grp")).orderBy(col("doc_id"))) - col("n_tok"))
+          / budget))
+  }
+}

@@ -12,6 +12,7 @@ object Registry {
     DedupQueries,
     VectorQueries,
     MultimodalQueries,
+    PipelineQueries,
     HeadlineQueries)
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataSplit
+
+class DataSplitSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("split assignment is stable under corpus growth (hash of id, not position)") {
+    val docs = Tables(spark, sf, "documents")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), DataSplit.split(col("doc_id")).as("s"))
+        .as[(Long, String)].collect().toMap
+    val full = asg(docs)
+    val part = asg(half)
+    // every doc present in both corpora got the SAME split
+    assert(part.forall { case (id, s) => full(id) == s })
+  }
+
+  test("sample keeps roughly pct% and is deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val s1 = DataSplit.sample(docs, col("doc_id"), 10).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val s2 = DataSplit.sample(docs, col("doc_id"), 10).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(s1 == s2)
+    assert(math.abs(s1.size / n - 0.10) < 0.06, s"sampled ${s1.size} of $n")
+  }
+
+  test("train/valid/test cover everything and land near 80/10/10") {
+    val docs = Tables(spark, sf, "documents")
+    val byS = docs.select(DataSplit.split(col("doc_id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    val n = byS.values.sum.toDouble
+    assert(byS.keySet == Set("train", "valid", "test"))
+    assert(math.abs(byS("train") / n - 0.8) < 0.1)
+  }
+
+  test("packChunks: chunks are contiguous in id order and reset per group") {
+    val docs = Seq(
+      ("en", 1L, "a b c d"), ("en", 2L, "e f g"), ("en", 3L, "h i j k l"),
+      ("de", 10L, "x y z"))
+      .toDF("lang", "doc_id", "text")
+    val got = DataSplit.packChunks(docs, col("lang"), col("doc_id"), col("text"), 5)
+      .orderBy("grp", "doc_id")
+      .as[(String, Long, Int, Long)].collect().toSeq
+    // en: tokens 4,3,5 → before-sums 0,4,7 → chunks 0,0,1; de restarts at 0
+    assert(got == Seq(("de", 10L, 3, 0L), ("en", 1L, 4, 0L),
+      ("en", 2L, 3, 0L), ("en", 3L, 5, 1L)))
+  }
+}
