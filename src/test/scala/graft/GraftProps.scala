@@ -42,4 +42,45 @@ object GraftProps extends Properties("graft") {
       val bytes = s.getBytes("UTF-8")
       Blake2b.digest(bytes, 8).length == 8 && Blake2b.digest(bytes, 32).length == 32
     }
+
+  // ---- native dedup kernels (evaluated directly, no Spark session) ----
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def utf8Arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+  private def simhash(ts: Seq[String]): Long =
+    graft.functions.SimHash64(null).nullSafeEval(utf8Arr(ts)).asInstanceOf[Long]
+  private def minhash(hs: Seq[Long], k: Int = 16): Seq[Long] =
+    graft.functions.MinHashFromHashes(null, k)
+      .nullSafeEval(new GenericArrayData(hs.toArray[Any]))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+
+  private val tokenLists = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  property("simhash is token-order independent (bit counts commute)") =
+    forAll(tokenLists) { ts =>
+      simhash(ts) == simhash(scala.util.Random.shuffle(ts))
+    }
+
+  property("simhash is invariant under uniform duplication (majority vote scales)") =
+    forAll(tokenLists) { ts =>
+      simhash(ts) == simhash(ts ++ ts)
+    }
+
+  private val hashLists = Gen.listOf(Gen.chooseNum(0L, 2147483646L))
+
+  property("minhash signature is order independent and dedup invariant (min laws)") =
+    forAll(hashLists) { hs =>
+      val base = minhash(hs)
+      base == minhash(scala.util.Random.shuffle(hs)) && base == minhash(hs ++ hs)
+    }
+
+  property("minhash values stay in [0, P]; empty input gives the P sentinel") =
+    forAll(hashLists) { hs =>
+      minhash(hs).forall(v => v >= 0L && v <= 2147483647L) &&
+        minhash(Nil).forall(_ == 2147483647L)
+    }
 }
