@@ -193,6 +193,28 @@ object IrcStream {
       .foreachBatch((b: DataFrame, id: Long) => upsertBatch(b, id, targetDir))
       .start()
 
+  /** The reference's ACTUAL write loop, end-to-end (irclogbot.py:46-59):
+    * stream → parse → dedup → per-RECORD sink write with bounded retry →
+    * drop (dead-letter). Use when the sink is a record-level client (the ES
+    * analog) rather than a bulk file store; [[start]] is the bulk-parquet
+    * form. A poisoned record costs only itself, never the batch.
+    */
+  def startWithRecordSink(
+      lines: DataFrame, checkpointDir: String,
+      write: org.apache.spark.sql.Row => Unit,
+      maxAttempts: Int = 5,
+      onDrop: org.apache.spark.sql.Row => Unit = _ => (),
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    deduped(records(lines), watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, _: Long) =>
+        graft.sinks.IrcSink.writeEachWithRetry(b, write, maxAttempts, onDrop): Unit)
+      .start()
+
   /** Liveness signal (the heartbeat-file analog, keep_alive.py:19-32): logs
     * batch progress; a supervisor watches for silence instead of mtime.
     */

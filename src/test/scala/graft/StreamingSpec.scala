@@ -187,6 +187,25 @@ class StreamingSpec extends SparkSuite {
       s"a batch exceeded the 1-file bound: ${dataBatches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("record sink stream drops a poisoned record after bounded retries " +
+    "without failing the batch (K2 e2e)") {
+    implicit val ctx = sqlCtx
+    K2Probe.reset()
+    val base = Files.createTempDirectory("graft_k2").toString
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #x :fine message",
+      ":POISON!~p@h PRIVMSG #x :always rejected",
+      ":bob!~b@h PRIVMSG #x :also fine")
+    val q = IrcStream.startWithRecordSink(ms.toDF(), s"$base/ckpt",
+      r => K2Probe.write(r.getAs[String]("nick"), r.getAs[String]("id")),
+      onDrop = r => K2Probe.deadLetter(r.getAs[String]("id")))
+    q.processAllAvailable(); q.stop()
+    assert(K2Probe.written.size == 2) // alice + bob landed
+    assert(K2Probe.dead.size == 1)    // the poisoned record dead-lettered
+    assert(K2Probe.attempts.values.toArray.map(_.asInstanceOf[Integer].intValue).max == 5)
+  }
+
   test("SQL facade: users can run SQL over registered views") {
     GraftCatalog.registerAll(spark, sf)
     val n = spark.sql(
