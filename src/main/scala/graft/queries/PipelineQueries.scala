@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.pipeline.DataSplit
 
 /** Dataset-preparation operators (the training-pipeline north star):
@@ -46,6 +48,71 @@ object PipelineQueries extends QueryGroup {
               |            ELSE 'test' END AS split,
               |       count(*) AS n
               |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // x7 — repetition scoring + within-language quantile filter: distinct-
+    // token ratio ranks each doc against its language peers; keep the top
+    // 80% (drop the most repetitive tail). percent_rank is deterministic
+    // because the ordering key (ratio, doc_id) is unique.
+    Q("x7_repetition_filter",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val ratio = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("rep_ratio"), col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), ratio.as("rep_ratio"))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.2)
+          .select(col("doc_id"), col("lang"), col("rep_ratio"),
+            round(col("pr"), 6).as("pr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang,
+             |         round(CAST(len(list_distinct(
+             |                 list_filter(string_split(text, ' '), t -> t <> '')))
+             |               AS DOUBLE)
+             |               / len(list_filter(string_split(text, ' '), t -> t <> '')),
+             |               6) AS rep_ratio
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, lang, rep_ratio,
+             |         percent_rank() OVER (PARTITION BY lang
+             |                              ORDER BY rep_ratio, doc_id) AS pr
+             |  FROM r)
+             |SELECT doc_id, lang, rep_ratio, round(pr, 6) AS pr
+             |FROM p WHERE pr >= 0.2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // x8 — PII-style redaction: mask email-shaped tokens, long digit runs,
+    // and a dictionary entity ("customer" stands in for a name list) before
+    // training. Pure regexp_replace (DuckDB needs the 'g' flag to match
+    // Spark's replace-all; the word-only fixture exercises the dictionary
+    // stage, the regex stages guard real corpora).
+    Q("x8_redact",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "\\d{6,}", "<NUM>"),
+            "\\bcustomer\\b", "<ENTITY>").as("redacted"))
+        .filter(col("redacted") =!= col("text"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, text,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(text,
+             |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |             '\d{6,}', '<NUM>', 'g'),
+             |           '\b(customer)\b', '<ENTITY>', 'g') AS redacted
+             |  FROM documents)
+             |SELECT doc_id, redacted FROM r
+             |WHERE redacted <> text
+             |ORDER BY doc_id""".stripMargin)),
 
     // x6 — token-budget chunk packing: cumsum window per lang, chunk id =
     // tokens-before / budget. One shuffle on the group key.
