@@ -185,6 +185,41 @@ object VectorQueries extends QueryGroup {
       },
       None),
 
+    // V9 — k-NN JOIN over md5-LSH buckets: every vector's top-3 same-bucket
+    // neighbors with rank — the per-document "similar docs" surface, fully
+    // DuckDB-mirrored (bucket expr identical to v6_ann_md5's).
+    Q("v9_knn_join_md5",
+      (s, d) => graft.similarity.Ann.knnJoinLshMd5(
+        Tables(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("va"), col("rk")),
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, embedding,
+              |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |           list_transform(generate_series(0, 3), i ->
+              |             CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |               list_transform(generate_series(1, len(embedding)), j ->
+              |                 CAST(embedding[j] AS DOUBLE) *
+              |                 ((CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ',' ||
+              |                     CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+              |                   % 2000001) / 1000000.0 - 1.0))),
+              |               (acc, v) -> acc + v) >= 0
+              |             THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+              |           (acc2, v2) -> acc2 + v2) AS bucket,
+              |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |a AS (SELECT bucket, vec_id AS va, embedding AS ea, nrm AS na FROM bk),
+              |b AS (SELECT bucket AS bucket_b, vec_id AS vb, embedding AS eb, nrm AS nb FROM bk),
+              |p AS (SELECT va, vb, (${duckDot("ea", "eb")}) / (na * nb) AS cos_raw
+              |      FROM a JOIN b ON bucket = bucket_b AND va <> vb),
+              |r AS (SELECT va, vb, cos_raw,
+              |             row_number() OVER (PARTITION BY va
+              |                                ORDER BY cos_raw DESC, vb) AS rk
+              |      FROM p)
+              |SELECT va, vb, round(cos_raw, 6) AS cos, CAST(rk AS INTEGER) AS rk
+              |FROM r WHERE rk <= 3
+              |ORDER BY va, rk""".stripMargin)),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).

@@ -83,6 +83,31 @@ object Ann {
         VectorFunctions.signLshBucketMd5(vec, nBits).as("bucket")),
       threshold)
 
+  /** k-NN JOIN: for EVERY vector, its top-k nearest same-bucket neighbors
+    * (both directions, unlike the canonical-pair queries) — the "find
+    * similar documents for each document" surface. One bucket-keyed
+    * shuffle, then a per-left-row ranking window; ties broken on the
+    * neighbor id so the result is deterministic. md5 hyperplane family →
+    * DuckDB-mirrorable (VectorQueries v9_knn_join_md5).
+    */
+  def knnJoinLshMd5(embeddings: DataFrame, id: Column, vec: Column,
+      k: Int, nBits: Int = 4): DataFrame = {
+    val bk = embeddings.select(id.as("vec_id"), vec.as("v"),
+        VectorFunctions.signLshBucketMd5(vec, nBits).as("bucket"))
+      .withColumn("nrm", sqrt(VectorFunctions.dotNative(col("v"), col("v"))))
+    val a = bk.select(col("bucket"), col("vec_id").as("va"),
+      col("v").as("ea"), col("nrm").as("na"))
+    val b = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
+      col("v").as("eb"), col("nrm").as("nb"))
+    val cos = VectorFunctions.dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Same-bucket pair scoring shared by the LSH families: the bucket column
     * is the shuffle key, norms are per-side, the pair loop is one dot.
     */
