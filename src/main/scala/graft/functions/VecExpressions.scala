@@ -124,5 +124,16 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash_h", exprs => SimHashFromHashes(exprs(0)), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime row-level filtering but does NOT expose them in the public
+    // registry — surface them for the BloomPrune operator.
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
   }
 }

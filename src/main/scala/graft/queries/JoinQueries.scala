@@ -95,6 +95,33 @@ object JoinQueries extends QueryGroup {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // J8 — bloom-pruned semi-join (the 100 TB shuffle-shrinker): a compact
+    // bloom over the filter side's keys prunes the fact scan BEFORE the
+    // shuffle; the exact semi-join afterwards removes the bounded false
+    // positives, so the RESULT equals the plain semi-join — which is the
+    // oracle. Demonstrates Spark's bloom_filter_agg/might_contain machinery
+    // under the hash gate.
+    Q("j8_bloom_semi",
+      (s, d) => {
+        val hi = Tables(s, d, "orders")
+          .filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey"))
+        val pruned = graft.operators.BloomPrune.pruned(
+          Tables(s, d, "lineitem"), col("l_orderkey"), hi, col("o_orderkey"),
+          expectedItems = 100000L, numBits = 1000000L)
+        pruned.join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem
+             |WHERE l_orderkey IN
+             |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // J5 — non-equi (range) join; broadcast NL over the 10-row dim.
     Q("j5_range_join",
       (s, d) => Tables(s, d, "part")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Bucketing, Salt}
+import graft.operators.{AsOfJoin, BloomPrune, Bucketing, Salt}
 
 class OperatorSpec extends SparkSuite {
   import spark.implicits._
@@ -42,6 +42,23 @@ class OperatorSpec extends SparkSuite {
       Map("us" -> col("user_id")))
     assert(direct.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(direct).count() == 0)
+  }
+
+  test("bloom prune: no false negatives, real pruning, deterministic") {
+    val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"))
+    val keys = Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey"))
+    val pruned = BloomPrune.pruned(li, col("l_orderkey"), keys, col("o_orderkey"),
+      expectedItems = 10000L, numBits = 100000L)
+    val exact = li.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // every true match survives the bloom (no false negatives)
+    assert(exact.exceptAll(pruned).count() == 0)
+    // the filter actually prunes (false-positive rate is bounded, not 1)
+    val (full, kept) = (li.count(), pruned.count())
+    assert(kept < full, s"bloom kept everything ($kept of $full)")
+    // deterministic across evaluations (bit-OR is commutative)
+    assert(kept == BloomPrune.pruned(li, col("l_orderkey"), keys,
+      col("o_orderkey"), 10000L, 100000L).count())
   }
 
   test("uuid() generates unique well-formed ids (F4 — nondeterministic, no oracle)") {
