@@ -137,6 +137,40 @@ object Dedup {
     labels
   }
 
+  /** Incremental near-dup for append-only ingest: candidate pairs of a NEW
+    * batch against an EXISTING signature store plus within the batch itself,
+    * without re-pairing the existing corpus against itself. `existingSigs`
+    * is the persisted (doc_id, sig) frame (maintained by compaction at
+    * scale); new signatures are banded and joined against the existing
+    * bands + themselves. Returns the same (da, db, est_jaccard) schema as
+    * [[minhashPairs]], with `da` < `db`.
+    */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame, id: Column, text: Column,
+      existingSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val newSigs = MinHashDedup.signatures(newDocs, id, text, numHashes).cache()
+    val allSigs = existingSigs.select(col("doc_id"), col("sig")).union(newSigs)
+    val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
+    val allBands = MinHashDedup.banded(allSigs, numHashes, bands)
+    val cand = newBands
+      .join(allBands.select(col("band").as("band_b"),
+          col("band_hash").as("band_hash_b"), col("doc_id").as("db")),
+        col("band") === col("band_b") && col("band_hash") === col("band_hash_b") &&
+          col("doc_id") =!= col("db"))
+      .select(least(col("doc_id"), col("db")).as("da"),
+        greatest(col("doc_id"), col("db")).as("db"))
+      .distinct()
+    cand
+      .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"),
+        round(MinHashDedup.estimateJaccard(col("sa"), col("sb"), numHashes), 6)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** [[components]] with pointer jumping (path shortcutting): each round
     * does the neighbor-min step AND then re-points every label at its
     * label's label — O(log diameter) rounds instead of O(diameter), at the

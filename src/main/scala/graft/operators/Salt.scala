@@ -43,4 +43,23 @@ object Salt {
         sums.keys.map(n => sum(col(s"__ps_$n")).as(n)).toSeq: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Skew-join salting: spread a hot join key over `buckets` partitions by
+    * salting the SKEWED (fact) side deterministically and replicating the
+    * other side once per bucket, then joining on (key, salt). Result is
+    * row-identical to the plain join (asserted in OperatorSpec); only the
+    * shuffle shape changes — no single reducer owns a hot key. Use when AQE
+    * skew handling can't kick in (e.g. the skew only materializes after
+    * upstream transforms, or the join is wrapped in a cogroup). The
+    * replicated side grows ×buckets — size it like a broadcast budget.
+    */
+  def saltedJoin(
+      skewed: DataFrame, other: DataFrame, key: String, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salt = pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(buckets))
+    val l = skewed.withColumn("__salt", salt)
+    val r = other
+      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

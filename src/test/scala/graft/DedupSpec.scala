@@ -88,6 +88,25 @@ class DedupFacadeSpec extends SparkSuite {
       g.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 2L))
   }
 
+  test("Dedup.incrementalMinhashPairs finds new-vs-existing and new-vs-new dups, " +
+    "never existing-vs-existing") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // dup of 1 (NOT re-paired)
+      (3L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val existingSigs = MinHashDedup.signatures(existing, col("doc_id"), col("text"))
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"), // dup of 1 & 2
+      (11L, "brand new content with no duplicate anywhere at all"),
+      (12L, "brand new content with no duplicate anywhere at all")) // dup of 11
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashPairs(fresh, col("doc_id"), col("text"),
+        existingSigs)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (11L, 12L))) // no (1,2): not re-paired
+  }
+
   test("Dedup.components: chain collapses to min id, singleton keeps its own") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")

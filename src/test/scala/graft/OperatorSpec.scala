@@ -44,6 +44,17 @@ class OperatorSpec extends SparkSuite {
     assert(salted.exceptAll(direct).count() == 0)
   }
 
+  test("salted join equals the plain join row-for-row") {
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val ord = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, Seq("o_orderkey"))
+    val salted = Salt.saltedJoin(li, ord, "o_orderkey", buckets = 8)
+      .select(plain.columns.map(col): _*)
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
   test("bloom prune: no false negatives, real pruning, deterministic") {
     val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"))
     val keys = Tables(spark, sf, "orders")
