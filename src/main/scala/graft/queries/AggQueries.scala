@@ -184,6 +184,69 @@ object AggQueries extends QueryGroup {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy(col("event_type")),
-      None)
+      None),
+
+    // A9 — retention cohorts: users bucketed by first-seen week, distinct
+    // actives per week offset. Both engines Monday-truncate weeks, and the
+    // offsets are exact multiples of 7 days, so days/7 is exact.
+    Q("a9_retention_cohorts",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        e.distinct()
+          .join(cohorts, "user_id")
+          .select(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"),
+            col("user_id"))
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1)
+             |SELECT cohort,
+             |       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+             |       count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY cohort, week_offset""".stripMargin)),
+
+    // A10 — ordered funnel: users reaching view → click-after-view →
+    // purchase-after-click, counted per stage. min-timestamps are exact µs,
+    // so the strict-after comparisons are engine-independent.
+    Q("a10_funnel",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("tv"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("tc"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        stage(v, "1_view").union(stage(c, "2_click")).union(stage(p, "3_purchase"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS tv FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(ts) AS tc FROM events e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts > tv GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(ts) AS tp FROM events e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > tc GROUP BY 1)
+             |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+             |UNION ALL SELECT '2_click', count(*) FROM c
+             |UNION ALL SELECT '3_purchase', count(*) FROM p
+             |ORDER BY stage""".stripMargin))
   )
 }
