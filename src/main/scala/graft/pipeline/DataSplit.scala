@@ -43,6 +43,13 @@ object DataSplit {
       .otherwise("test")
   }
 
+  /** k-fold cross-validation assignment: fold i = hash bucket mod k — the
+    * same stability contract as [[split]] (documents keep their fold as the
+    * corpus grows).
+    */
+  def fold(id: Column, k: Int, salt: String = "fold"): Column =
+    pmod(hashBucket(id, salt), lit(k.toLong))
+
   /** Pack documents into ~`budget`-token chunks in id order per group: the
     * window cumsum form (chunk = floor of the tokens BEFORE this doc /
     * budget) — deterministic, one shuffle on the group key, and the chunk id

@@ -79,15 +79,20 @@ object IrcStream {
     * Inputs need columns (key, ts, ...); output prefixes l_/r_.
     */
   def correlate(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, maxGapSec: Long, watermark: String = "1 minute"): DataFrame = {
+      tsCol: String, maxGapSec: Long, watermark: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
       .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
     val r = right.withWatermark(tsCol, watermark)
       .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    // leftOuter/fullOuter: unmatched rows are emitted null-padded once the
+    // watermark passes their join window — late-arrival tolerance without
+    // unbounded state, the streaming form of J3.
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
         col(s"r_$tsCol") <= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $maxGapSec SECONDS"))
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $maxGapSec SECONDS"),
+      joinType)
   }
 
   /** Stream-static dimension enrichment: join the live record stream with a

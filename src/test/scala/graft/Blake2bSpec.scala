@@ -44,6 +44,9 @@ class Blake2bSpec extends SparkSuite {
 
   test("gen_key handles non-ASCII like CPython") {
     assert(Blake2b.genKey(Seq("unicode ✓ test", "dave", "#zh")) == "63a2403194299323")
+    // 4-byte UTF-8 (emoji, surrogate pair in UTF-16) + CJK in one value
+    assert(Blake2b.genKey(Seq("#chat", "carol", "emoji 🎉 and 中文 mixed"))
+      == "0ef0bb905fbe146e")
   }
 
   test("compatKey column form matches genKey") {

@@ -39,6 +39,17 @@ class DataSplitSpec extends SparkSuite {
     assert(math.abs(byS("train") / n - 0.8) < 0.1)
   }
 
+  test("k-fold assignment covers all folds and stays stable under growth") {
+    val docs = Tables(spark, sf, "documents")
+    val folds = docs.select(col("doc_id"), DataSplit.fold(col("doc_id"), 5).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(folds.values.toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), DataSplit.fold(col("doc_id"), 5).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(half.forall { case (id, f) => folds(id) == f })
+  }
+
   test("packChunks: chunks are contiguous in id order and reset per group") {
     val docs = Seq(
       ("en", 1L, "a b c d"), ("en", 2L, "e f g"), ("en", 3L, "h i j k l"),

@@ -187,6 +187,31 @@ class StreamingSpec extends SparkSuite {
       s"a batch exceeded the 1-file bound: ${dataBatches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("left-outer correlate emits unmatched buys null-padded after the watermark") {
+    implicit val ctx = sqlCtx
+    val clicks = MemoryStream[(Long, String)]
+    val buys = MemoryStream[(Long, String)]
+    def toDf(ms: MemoryStream[(Long, String)]) = ms.toDF()
+      .selectExpr("_2 AS user", "timestamp_seconds(_1) AS ts")
+    clicks.addData((100L, "alice"))
+    buys.addData((130L, "alice"), (700L, "bob")) // bob has no click in window
+    val q = IrcStream.correlate(
+        toDf(buys), toDf(clicks), key = "user", tsCol = "ts", maxGapSec = 60,
+        watermark = "10 seconds", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("corr_outer")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance both watermarks far past bob@700's window so the unmatched
+    // row is finalized and emitted null-padded
+    clicks.addData((5000L, "zz")); buys.addData((5000L, "zz"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corr_outer")
+      .selectExpr("l_user", "r_user").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got.contains(("alice", Some("alice")))) // matched pair
+    assert(got.contains(("bob", None)), s"unmatched buy not emitted: $got")
+  }
+
   test("record sink stream drops a poisoned record after bounded retries " +
     "without failing the batch (K2 e2e)") {
     implicit val ctx = sqlCtx
