@@ -121,14 +121,15 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nmin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      // carry the previous label through the update so convergence is a
+      // plain filter on the materialized frame — no extra join per round
       val next = labels.join(nmin, col("node") === col("a"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
+      changed = next.filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("comp"))
       iter += 1
     }
     edges.unpersist()
@@ -192,20 +193,19 @@ object Dedup {
       val nmin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
       val l1 = labels.join(nmin, col("node") === col("a"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jump: comp(v) ← comp(comp(v)); labels only ever move down
       // within the component, so the shortcut is safe and halves chains
       val next = l1.as("x")
         .join(l1.select(col("node").as("n2"), col("comp").as("c2")),
           col("x.comp") === col("n2"), "left_outer")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.prev").as("prev"),
           coalesce(col("c2"), col("x.comp")).as("comp"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
+      changed = next.filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("comp"))
       iter += 1
     }
     edges.unpersist()
