@@ -220,6 +220,82 @@ object VectorQueries extends QueryGroup {
               |FROM r WHERE rk <= 3
               |ORDER BY va, rk""".stripMargin)),
 
+    // V7 — the IVF index/probe pipeline under the hash gate: deterministic
+    // centroids (per-dim rounded avg, the construction v4_centroid proved
+    // hash-stable), argmax assignment and probe via ranking windows with
+    // pinned tie-breaks, cosine as a cast-each-element-then-multiply double
+    // fold mirrored verbatim in the oracle. The engine path (UDAF centroids
+    // + Ann.knnIvf) stays v7_ivf_knn (rows-only).
+    Q("v7_ivf_oracle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+        def cosD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+        val emb = Tables(s, d, "embeddings")
+        val cents = emb.select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("dim"),
+            col("col").cast("double").as("x"))
+          .groupBy(col("label"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("v"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+            _.getField("v")).as("cvec"))
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val probe = cents.crossJoin(broadcast(q))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(cosD(col("cvec"), col("qv")).desc, col("label"))))
+          .filter(col("rk") <= 3).select(col("label"))
+        val assign = emb.select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(cents.withColumnRenamed("label", "cid")))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(cosD(col("cvec"), col("embedding")).desc, col("cid"))))
+          .filter(col("rk") === 1).select(col("vec_id"), col("cid").as("label"))
+        emb.select(col("vec_id"), col("embedding"))
+          .join(assign, "vec_id").join(broadcast(probe), "label")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cosD(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      },
+      Some {
+        def dotD(a: String, b: String): String =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(generate_series(1, len($a)),
+             |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        def cosD(a: String, b: String): String =
+          s"(${dotD(a, b)}) / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+        s"""WITH cd AS (
+           |  SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+           |  FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+           |  GROUP BY label, i),
+           |cents AS (
+           |  SELECT label, list(v ORDER BY dim) AS cvec FROM cd GROUP BY label),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT label FROM (
+           |    SELECT label,
+           |           row_number() OVER (ORDER BY ${cosD("cvec", "qv")} DESC, label) AS rk
+           |    FROM cents CROSS JOIN q) WHERE rk <= 3),
+           |assign AS (
+           |  SELECT vec_id, label FROM (
+           |    SELECT e.vec_id, c.label,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosD("c.cvec", "e.embedding")} DESC, c.label) AS rk
+           |    FROM embeddings e CROSS JOIN cents c
+           |    WHERE e.vec_id <> 0) WHERE rk = 1),
+           |hits AS (
+           |  SELECT e.vec_id, round(${cosD("e.embedding", "qv")}, 6) AS cos
+           |  FROM embeddings e
+           |  JOIN assign a ON a.vec_id = e.vec_id
+           |  JOIN probe p ON p.label = a.label
+           |  CROSS JOIN q)
+           |SELECT vec_id, cos FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).
