@@ -296,6 +296,70 @@ object VectorQueries extends QueryGroup {
            |SELECT vec_id, cos FROM hits ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       }),
 
+    // V8 — Lloyd's k-means under the hash gate: deterministic init (first k
+    // vectors), argmin assignment with pinned tie-breaks, per-dim
+    // rounded-avg recentering, two unrolled iterations; squared-L2 as a
+    // cast-each-element double fold mirrored verbatim. Output is the final
+    // (cid, dim, centroid) rows. The engine path (Ann.kmeansCentroids,
+    // arbitrary iters, un-rounded FP) stays v8_kmeans_codebook (rows-only).
+    Q("v8_kmeans_oracle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def l2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => {
+            val dd = x.cast("double") - y.cast("double"); dd * dd
+          }), lit(0.0), (acc, v) => acc + v)
+        val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        var cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+        var dims: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val assigned = emb.crossJoin(broadcast(cents))
+            .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+              .orderBy(l2D(col("cvec"), col("embedding")).asc, col("cid"))))
+            .filter(col("rk") === 1)
+            .select(col("cid"), col("embedding"))
+          dims = assigned.select(col("cid"), posexplode(col("embedding")))
+            .select(col("cid"), (col("pos") + 1).as("dim"),
+              col("col").cast("double").as("x"))
+            .groupBy(col("cid"), col("dim"))
+            .agg(round(avg(col("x")), 6).as("v"))
+          cents = dims.groupBy(col("cid"))
+            .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+              _.getField("v")).as("cvec"))
+        }
+        dims.select(col("cid"), col("dim"), col("v").as("centroid"))
+          .orderBy(col("cid"), col("dim"))
+      },
+      Some {
+        def l2D(a: String, b: String): String =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(generate_series(1, len($a)),
+             |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+             |         (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        def iter(n: Int, prev: String): String =
+          s"""a$n AS (
+             |  SELECT cid, embedding FROM (
+             |    SELECT e.vec_id, c.cid, e.embedding,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |             ORDER BY ${l2D("c.cvec", "e.embedding")} ASC, c.cid) AS rk
+             |    FROM embeddings e CROSS JOIN $prev c) WHERE rk = 1),
+             |d$n AS (
+             |  SELECT cid, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+             |  FROM a$n CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+             |  GROUP BY 1, 2),
+             |c$n AS (SELECT cid, list(v ORDER BY dim) AS cvec FROM d$n GROUP BY cid)""".stripMargin
+        s"""WITH c0 AS (
+           |  SELECT vec_id AS cid,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+           |  FROM embeddings WHERE vec_id < 4),
+           |${iter(1, "c0")},
+           |${iter(2, "c1")}
+           |SELECT cid, dim, v AS centroid FROM d2 ORDER BY cid, dim""".stripMargin
+      }),
+
     // V6 — sign-LSH ANN candidate pairs (rows-only: the bucket family is
     // xxhash64-seeded, not DuckDB-expressible; recall vs pairsExact is
     // asserted in AnnSpec).
