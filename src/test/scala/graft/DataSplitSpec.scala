@@ -50,6 +50,16 @@ class DataSplitSpec extends SparkSuite {
     assert(half.forall { case (id, f) => folds(id) == f })
   }
 
+  test("packChunks: empty text contributes zero tokens, never breaks a chunk") {
+    val docs = Seq(("en", 1L, "a b"), ("en", 2L, ""), ("en", 3L, "c d e"))
+      .toDF("lang", "doc_id", "text")
+    val got = DataSplit.packChunks(docs, col("lang"), col("doc_id"), col("text"), 4)
+      .orderBy("doc_id").select("doc_id", "n_tok", "chunk")
+      .as[(Long, Int, Long)].collect().toSeq
+    // tokens 2,0,3 → before-sums 0,2,2 → chunks 0,0,0 (empty doc is free)
+    assert(got == Seq((1L, 2, 0L), (2L, 0, 0L), (3L, 3, 0L)))
+  }
+
   test("packChunks: chunks are contiguous in id order and reset per group") {
     val docs = Seq(
       ("en", 1L, "a b c d"), ("en", 2L, "e f g"), ("en", 3L, "h i j k l"),

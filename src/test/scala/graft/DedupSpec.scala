@@ -134,6 +134,14 @@ class DedupFacadeSpec extends SparkSuite {
     assert(toMap(Dedup.componentsFast(jp, n)) == toMap(Dedup.components(jp, n)))
   }
 
+  test("Dedup.components: empty pair set leaves every node its own component") {
+    val pairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Dedup.components(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("Dedup.dedupGroups marks exactly one representative per cluster") {
     val docs = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("doc_id", "text")
     val pairs = Seq((10L, 11L)).toDF("da", "db")
