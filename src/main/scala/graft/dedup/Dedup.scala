@@ -35,6 +35,14 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame =
     MinHashDedup.candidatePairs(df, id, text, minEstJaccard = minEstJaccard)
 
+  /** [[minhashPairs]] with the md5 hash family — cross-engine reproducible
+    * (the variant the differential oracle checks); xxhash64 default is
+    * cheaper per shingle.
+    */
+  def minhashPairsMd5(df: DataFrame, id: Column, text: Column,
+      minEstJaccard: Double = 0.5): DataFrame =
+    MinHashDedup.candidatePairsMd5(df, id, text, minEstJaccard = minEstJaccard)
+
   /** SimHash near-dup candidate pairs (Hamming distance). */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame =
