@@ -147,4 +147,21 @@ class EngineSpec extends SparkSuite {
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact)) // same threshold, pruned candidates only
   }
+
+  test("knn-join: per-vector neighbor lists are bounded by k with contiguous ranks " +
+    "and symmetric same-bucket membership") {
+    val emb = Tables(spark, sf, "embeddings")
+    val k = 3
+    val rows = graft.similarity.Ann.knnJoinLshMd5(emb, col("vec_id"), col("embedding"), k)
+      .select("va", "vb", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byVa = rows.groupBy(_._1)
+    assert(byVa.values.forall(_.length <= k))
+    // ranks are 1..n with no gaps per va
+    assert(byVa.values.forall(g => g.map(_._3).sorted.toSeq == (1 to g.length).toSeq))
+    // membership is same-bucket symmetric: if (a,b) appears, b's bucket
+    // contains a, so (b,a) appears too (possibly at a different rank)
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    assert(pairs.forall { case (a, b) => pairs.contains((b, a)) || byVa(b).length == k })
+  }
 }
