@@ -247,6 +247,61 @@ object AggQueries extends QueryGroup {
              |SELECT '1_view' AS stage, count(*) AS n_users FROM v
              |UNION ALL SELECT '2_click', count(*) FROM c
              |UNION ALL SELECT '3_purchase', count(*) FROM p
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // A11 — funnel conversion RATE: distinct users per stage plus the
+    // step-over-step rate with GUARDED division (prev stage 0 or absent →
+    // NULL, never a divide error / Inf). Counts are exact longs; the rate is
+    // one double divide + round(6) on both engines, so it hashes exactly.
+    Q("a11_funnel_rate",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("tv"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("tc"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        val stages =
+          stage(v, "1_view").union(stage(c, "2_click")).union(stage(p, "3_purchase"))
+        // 3-row frame: the unpartitioned lag window is deliberate, not a
+        // scale hazard — the funnel is already fully aggregated.
+        val w = Window.orderBy(col("stage"))
+        stages
+          .withColumn("prev", lag(col("n_users"), 1).over(w))
+          .select(col("stage"), col("n_users"),
+            when(coalesce(col("prev"), lit(0L)) === 0L, lit(null).cast("double"))
+              .otherwise(round(
+                col("n_users").cast("double") / col("prev").cast("double"), 6))
+              .as("conv_rate"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS tv FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(ts) AS tc FROM events e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts > tv GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(ts) AS tp FROM events e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > tc GROUP BY 1),
+             |s AS (
+             |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+             |  UNION ALL SELECT '2_click', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase', count(*) FROM p),
+             |r AS (SELECT stage, n_users,
+             |             lag(n_users) OVER (ORDER BY stage) AS prev
+             |      FROM s)
+             |SELECT stage, n_users,
+             |       CASE WHEN coalesce(prev, 0) = 0 THEN NULL
+             |            ELSE round(CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+             |       END AS conv_rate
+             |FROM r ORDER BY stage""".stripMargin))
   )
 }

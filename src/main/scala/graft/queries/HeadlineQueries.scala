@@ -119,6 +119,26 @@ object HeadlineQueries extends QueryGroup {
              |       round(quantile_cont(tc, 0.9) / 100.0, 6) AS p90
              |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // The ENGINE percentile path: approx_percentile (t-digest-style
+    // quantile sketch). Unlike exact `percentile` — whose ObjectHashAggregate
+    // buffers every value of a group on one executor and OOMs on a hot group
+    // at 100 TB — the sketch is fixed-size per group and merges map-side, so
+    // the plan is a normal partial+final aggregate. Rows-only by design
+    // (sketch results aren't DuckDB-mirrorable); the error bound vs the
+    // exact h6 oracle row is asserted in EngineSpec, mirroring the
+    // a3_cardinality / a3_approx_cardinality exact-for-oracle /
+    // approximate-for-scale pattern.
+    Q("h6_percentiles_approx",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tc"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(tc, array(0.5, 0.9), 10000)").as("pcts"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("pcts"), 1) / 100.0, 6).as("median"),
+          round(element_at(col("pcts"), 2) / 100.0, 6).as("p90"))
+        .orderBy(col("o_orderpriority")),
+      None),
+
     // Sorted-array aggregation (deterministic collect): distinct sources per
     // lang as an ordered list, serialized to a CSV string so the driver's
     // pandas compare can hash the row (ndarray cells are unhashable).
