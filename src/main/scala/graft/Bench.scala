@@ -50,11 +50,47 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = math.rint(ok.map(_._2).sum * 1000) / 1000
+    // Streaming path throughput (parse → watermarked dedup → noop), so
+    // streaming regressions show up round-over-round, not only in specs.
+    // Data is staged into the MemoryStream BEFORE the clock starts; the
+    // timed region is the micro-batch drain.
+    val streamRate: Double = try {
+      val cl = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import cl.implicits._
+      implicit val ctx = cl.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val n = 100000
+      (0 until n).grouped(10000).foreach { chunk =>
+        ms.addData(chunk.map(i =>
+          s":nick${i % 97}!~u@host PRIVMSG #chan${i % 13} :message body number $i with a few padding tokens"))
+      }
+      val t0 = System.nanoTime()
+      val q = graft.streaming.IrcStream
+        .deduped(graft.streaming.IrcStream.records(ms.toDF()))
+        .writeStream.format("noop").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      math.rint(n / ((System.nanoTime() - t0) / 1e9))
+    } catch { case _: Throwable => -1.0 }
+    val streamingJson =
+      s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000}"""
+    val perQueryJson =
+      s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"errors":$errsJson}"""
+    val headlineJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     // Per-query detail first (may exceed the driver's tail window), then the
     // compact headline as the LAST line so it always lands inside the
     // driver's 2 KB tail capture.
-    println(s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"errors":$errsJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(perQueryJson)
+    println(streamingJson)
+    println(headlineJson)
+    // The stdout tail capture truncates ~40 of the per-query numbers, so ALSO
+    // persist the full artifact to a committed file (round-4 advice #2).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val w = new java.io.PrintWriter(outPath, "UTF-8")
+    try {
+      w.println(perQueryJson); w.println(streamingJson); w.println(headlineJson)
+    } finally w.close()
     spark.stop()
   }
 }

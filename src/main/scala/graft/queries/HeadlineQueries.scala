@@ -119,13 +119,14 @@ object HeadlineQueries extends QueryGroup {
              |       round(quantile_cont(tc, 0.9) / 100.0, 6) AS p90
              |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // The ENGINE percentile path: approx_percentile (t-digest-style
-    // quantile sketch). Unlike exact `percentile` — whose ObjectHashAggregate
-    // buffers every value of a group on one executor and OOMs on a hot group
-    // at 100 TB — the sketch is fixed-size per group and merges map-side, so
-    // the plan is a normal partial+final aggregate. Rows-only by design
-    // (sketch results aren't DuckDB-mirrorable); the error bound vs the
-    // exact h6 oracle row is asserted in EngineSpec, mirroring the
+    // The ENGINE percentile path: approx_percentile (Greenwald-Khanna
+    // QuantileSummaries sketch). Unlike exact `percentile` — which buffers
+    // every value of a group on one executor and OOMs on a hot group at
+    // 100 TB — the GK summary keeps bounded per-group state (O(1/accuracy))
+    // and merges map-side partials, so no group can exhaust an executor.
+    // Rows-only by design (sketch results aren't DuckDB-mirrorable); the
+    // error bound vs the exact h6 oracle row is asserted in EngineSpec
+    // ("approx_percentile within rank tolerance of exact"), mirroring the
     // a3_cardinality / a3_approx_cardinality exact-for-oracle /
     // approximate-for-scale pattern.
     Q("h6_percentiles_approx",

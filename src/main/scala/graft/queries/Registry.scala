@@ -21,4 +21,6 @@ object Registry {
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
     qs
   }
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -42,6 +42,24 @@ class EngineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("approx_percentile within rank tolerance of exact (h6 GK bound)") {
+    // GK guarantees rank error ≤ accuracy⁻¹·n, not value error, so the bound
+    // is checked in VALUE space: at sf0.001 each priority group holds ~300
+    // orders, where one rank step (exact interpolates between neighbors, the
+    // sketch returns an actual data point) moves the value ~1%, so 3%
+    // relative is the tight-but-stable bound — a broken sketch path is off
+    // by far more.
+    val exact = Registry.byName("h6_percentiles").run(spark, sf)
+    val approx = Registry.byName("h6_percentiles_approx").run(spark, sf)
+    val bad = exact
+      .select(col("o_orderpriority"), col("median").as("m_x"), col("p90").as("p_x"))
+      .join(approx.select(col("o_orderpriority"), col("median").as("m_a"), col("p90").as("p_a")),
+        "o_orderpriority")
+      .filter(abs(col("m_x") - col("m_a")) > col("m_x") * 0.03 ||
+        abs(col("p_x") - col("p_a")) > col("p_x") * 0.03)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
   test("language-ID heuristic identifies crafted texts per language") {
     // NB the documents fixture cannot exercise this: its lang labels are
     // synthetic over one shared English vocabulary (verified by inspection),
