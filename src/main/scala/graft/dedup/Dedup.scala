@@ -63,10 +63,12 @@ object Dedup {
       pruneSingletons: Boolean = false): DataFrame = {
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
-    val toks = df.select((id.as("doc_id") +: block) :+
+    // cached via the session-visible registry: reused by the self-join's two
+    // sides AND the size aggregate; callers release with Caches.unpersistAll()
+    val toks = graft.Caches.track(
+      df.select((id.as("doc_id") +: block) :+
         explode(TextFunctions.bigrams(text)).as("term"): _*)
-      .distinct()
-      .cache()
+      .distinct())
     val bnames = toks.columns.filter(_.startsWith("__b"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val toksShared = if (!pruneSingletons) toks else {
@@ -159,7 +161,8 @@ object Dedup {
       existingSigs: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
       minEstJaccard: Double = 0.5): DataFrame = {
-    val newSigs = MinHashDedup.signatures(newDocs, id, text, numHashes).cache()
+    val newSigs = graft.Caches.track(
+      MinHashDedup.signatures(newDocs, id, text, numHashes))
     val allSigs = existingSigs.select(col("doc_id"), col("sig")).union(newSigs)
     val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
     val allBands = MinHashDedup.banded(allSigs, numHashes, bands)

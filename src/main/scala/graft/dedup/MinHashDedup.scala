@@ -120,7 +120,7 @@ object MinHashDedup {
       numHashes: Int = 64, bands: Int = 8, shingleWidth: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame =
     candidatePairsFrom(
-      signatures(df, id, text, numHashes, shingleWidth).cache(),
+      graft.Caches.track(signatures(df, id, text, numHashes, shingleWidth)),
       numHashes, bands, minEstJaccard)
 
   /** [[candidatePairs]] with the md5 hash family and string band keys — the
@@ -131,8 +131,8 @@ object MinHashDedup {
       numHashes: Int = 64, bands: Int = 8, shingleWidth: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame =
     candidatePairsFrom(
-      df.select(id.as("doc_id"),
-        signatureMd5(text, numHashes, shingleWidth).as("sig")).cache(),
+      graft.Caches.track(df.select(id.as("doc_id"),
+        signatureMd5(text, numHashes, shingleWidth).as("sig"))),
       numHashes, bands, minEstJaccard, stringBandKey)
 
   private def candidatePairsFrom(

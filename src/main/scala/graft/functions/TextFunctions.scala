@@ -49,9 +49,10 @@ object TextFunctions {
     * share one InMemoryRelation. At 100 TB this frame is the materialized
     * postings table maintained by compaction; the query side is unchanged.
     *
-    * Cache lifecycle: the InMemoryRelation is pinned until the CALLER calls
-    * `.unpersist()` on the returned frame (or the session ends — fine for
-    * one-shot drivers like Verify/Bench, a leak in a long-lived session).
+    * Cache lifecycle: tracked in [[graft.Caches]] — pinned until the caller
+    * invokes `graft.Caches.unpersistAll()` (or `.unpersist()` on the
+    * returned frame directly, or the session ends — fine for one-shot
+    * drivers like Verify/Bench, a leak in a long-lived session).
     * Note searchText's `lower(text)` postings are a DIFFERENT plan from
     * h8_bm25/t4_tfidf's raw-text postings, so a session using both holds
     * two cached copies; pass `cache = false` to opt out entirely.
@@ -59,7 +60,7 @@ object TextFunctions {
   def postings(docs: DataFrame, id: Column, text: Column,
       cache: Boolean = true): DataFrame = {
     val p = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    if (cache) p.cache() else p
+    if (cache) graft.Caches.track(p) else p
   }
 
   val stopwords: Seq[String] =

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real and tested (schema, typed Encoders,
   * partition-preserving `mapPartitions` batching — the Scala analog of a
-  * Pandas-batch UDF); the *codec* itself is STUBBED with a deterministic
-  * fake ([[MediaCodec.decodeStub]]) because no image/audio libraries exist
-  * in this container. Swapping in a real codec changes one function, none of
-  * the plumbing.
+  * Pandas-batch UDF). The codec ([[MediaCodec.decode]]) really decodes
+  * PNG/JPEG/GIF/BMP via the in-JDK `javax.imageio`; payloads outside those
+  * containers (audio/video — no in-JDK codec) take the deterministic
+  * [[MediaCodec.decodeStub]] fallback, so swapping in a full media library
+  * still changes one function, none of the plumbing.
   */
 case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
 
@@ -26,10 +27,10 @@ case class MediaFeatures(
     histogram: Array[Long])
 
 object MediaCodec {
-  /** STUB: a real implementation would decode the image/audio container.
-    * This deterministic fake derives "pixels" from the payload bytes so the
-    * downstream plumbing (batching, schema, aggregation) is fully
-    * exercisable and reproducible.
+  /** Deterministic fake for payloads no in-JDK codec handles (audio/video
+    * containers, synthetic text payloads): derives "pixels" from the raw
+    * bytes so the downstream plumbing (batching, schema, aggregation) is
+    * fully exercisable and reproducible.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val n = payload.length
@@ -37,6 +38,50 @@ object MediaCodec {
     val height = math.max(1, n / math.max(width, 1))
     val pixels = payload.map(b => b & 0xff)
     (width, height, pixels)
+  }
+
+  /** Container sniff by magic bytes — PNG / JPEG / GIF / BMP are the formats
+    * the in-JDK `javax.imageio` codecs decode. Cheap (4 byte compares), so
+    * the non-image hot path never constructs a reader.
+    */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) || // JPEG SOI
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode via `javax.imageio` (in-JDK, zero extra deps):
+    * grayscale luma pixels from the decoded raster. Non-image payloads (or
+    * corrupt containers) fall back to [[decodeStub]] — audio/video codecs
+    * aren't in the JDK, so those kinds stay on the deterministic stub.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img =
+      if (!looksLikeImage(payload)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+    if (img == null) decodeStub(payload)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer BT.601 luma from sRGB
+          px(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
   }
 }
 
@@ -65,7 +110,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { rec =>
-        val (w, h, px) = MediaCodec.decodeStub(rec.payload)
+        val (w, h, px) = MediaCodec.decode(rec.payload)
         val hist = new Array[Long](8)
         var sum = 0L
         px.foreach { p => hist(p >> 5) += 1; sum += p }

@@ -88,6 +88,23 @@ class DedupFacadeSpec extends SparkSuite {
       g.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 2L))
   }
 
+  test("operator-internal caches are registered and released by Caches.unpersistAll") {
+    import org.apache.spark.storage.StorageLevel
+    graft.Caches.unpersistAll() // isolate from caches of earlier tests
+    val docs = Tables(spark, sf, "documents").limit(50)
+    Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5).count()
+    Dedup.minhashPairs(docs, col("doc_id"), col("text")).count()
+    val tracked = graft.Caches.snapshot
+    assert(tracked.size == 2, s"expected 2 tracked caches, got ${tracked.size}")
+    assert(tracked.forall(_.storageLevel != StorageLevel.NONE), "caches not pinned")
+    graft.Caches.unpersistAll()
+    assert(tracked.forall(_.storageLevel == StorageLevel.NONE), "caches survived release")
+    assert(graft.Caches.snapshot.isEmpty)
+    // operators stay correct after release (re-cache on next use)
+    assert(Dedup.minhashPairs(docs, col("doc_id"), col("text")).count() >= 0)
+    graft.Caches.unpersistAll()
+  }
+
   test("Dedup.incrementalMinhashPairs finds new-vs-existing and new-vs-new dups, " +
     "never existing-vs-existing") {
     val existing = Seq(
