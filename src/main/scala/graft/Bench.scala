@@ -27,6 +27,13 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         Some(math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
       } catch { case _: Throwable => None }
+      // Release operator-internal caches after EVERY rep (mirrors
+      // Verify.scala): without this, postings/signature caches from earlier
+      // queries stay pinned for the whole 98-query run and compete with
+      // execution memory — which made round-5's numbers hostage to
+      // cache-manager behavior. Runs after the timestamp is taken, so the
+      // bookkeeping cost is not billed to the query.
+      finally Caches.unpersistAll()
     }
     // Optional comma-separated name filter for local iteration
     // (SPARK_GRAFT_BENCH_ONLY=d2_simhash,f8_map_functions).

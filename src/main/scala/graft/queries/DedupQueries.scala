@@ -44,13 +44,13 @@ object DedupQueries extends QueryGroup {
     // and keep posting lists sparse, bounding the candidate join.
     Q("d2_jaccard_neardup",
       (s, d) => {
-        // cached: the distinct postings frame feeds sizes + both self-join
-        // branches
-        val toks = Tables(s, d, "documents")
+        // cached via the Caches registry (NOT a raw .cache()) so
+        // Verify/Bench can release it per query: the distinct postings
+        // frame feeds sizes + both self-join branches
+        val toks = graft.Caches.track(Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
             explode(graft.functions.TextFunctions.bigrams(col("text"))).as("term"))
-          .distinct()
-          .cache()
+          .distinct())
         val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = toks.select(col("doc_id").as("da"), col("lang"), col("source"), col("term"))
         val b = toks.select(col("doc_id").as("db"), col("lang").as("lb"),

@@ -190,7 +190,8 @@ object VectorQueries extends QueryGroup {
     // DuckDB-mirrored (bucket expr identical to v6_ann_md5's).
     Q("v9_knn_join_md5",
       (s, d) => graft.similarity.Ann.knnJoinLshMd5(
-        Tables(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 3)
+        Tables(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 3,
+        nBits = 4) // pinned: the oracle SQL hard-codes the 4-bit bucket expr
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy(col("va"), col("rk")),
       Some(s"""WITH bk AS (

@@ -96,6 +96,28 @@ object WindowQueries extends QueryGroup {
              |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              |ORDER BY event_type, event_id""".stripMargin)),
 
+    // W5 — SLIDING time windows (ST5's batch mirror): 10-minute windows
+    // advancing every minute, so each event contributes to size/slide = 10
+    // overlapping buckets. Spark's `window()` aligns starts to epoch
+    // multiples of the slide, which DuckDB mirrors as
+    // date_trunc('minute', ts) - k minutes for k in 0..9. Sum goes through
+    // exact integer cents; (ws, event_type) is a unique total order.
+    Q("w5_sliding_window",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"), col("cents"))
+        .orderBy(col("ws"), col("event_type")),
+      Some("""WITH w AS (
+             |  SELECT date_trunc('minute', ts) - to_minutes(g.k) AS ws, event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events CROSS JOIN (SELECT unnest(range(0, 10)) AS k) g)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+             |       count(*) AS n, CAST(sum(vc) AS BIGINT) AS cents
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // W4 — batch sessionization: the lag-gap → session-start flag →
     // running-sum session id pattern (30-minute inactivity gap). This is the
     // batch mirror of the streaming session_window (ST5).

@@ -83,17 +83,36 @@ object Ann {
         VectorFunctions.signLshBucketMd5(vec, nBits).as("bucket")),
       threshold)
 
+  /** Bucket-count sizing for the LSH knn-join: enough sign bits that the
+    * EXPECTED bucket holds ~`targetBucketSize` vectors, clamped to [1, 24].
+    * The per-bucket self-join is O(bucketSize²), so bucket count must GROW
+    * with the corpus — a fixed nBits that works at 2k vectors is a
+    * straggler wall at 100 TB (16 buckets of ~10⁹ rows each). With this
+    * rule the per-bucket work stays ~targetBucketSize² regardless of n.
+    * Population bound on the fixture is asserted in EngineSpec.
+    */
+  def derivedNBits(n: Long, targetBucketSize: Long = 256L): Int = {
+    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** k-NN JOIN: for EVERY vector, its top-k nearest same-bucket neighbors
     * (both directions, unlike the canonical-pair queries) — the "find
     * similar documents for each document" surface. One bucket-keyed
     * shuffle, then a per-left-row ranking window; ties broken on the
     * neighbor id so the result is deterministic. md5 hyperplane family →
-    * DuckDB-mirrorable (VectorQueries v9_knn_join_md5).
+    * DuckDB-mirrorable (VectorQueries v9_knn_join_md5, which pins nBits=4
+    * to keep its oracle SQL stable).
+    *
+    * `nBits <= 0` (the default) derives the fan-out from the corpus size
+    * via [[derivedNBits]] — one count() job, then the sizing rule above.
+    * Callers at known scale can pass nBits explicitly to skip the count.
     */
   def knnJoinLshMd5(embeddings: DataFrame, id: Column, vec: Column,
-      k: Int, nBits: Int = 4): DataFrame = {
+      k: Int, nBits: Int = 0): DataFrame = {
+    val bits = if (nBits > 0) nBits else derivedNBits(embeddings.count())
     val bk = embeddings.select(id.as("vec_id"), vec.as("v"),
-        VectorFunctions.signLshBucketMd5(vec, nBits).as("bucket"))
+        VectorFunctions.signLshBucketMd5(vec, bits).as("bucket"))
       .withColumn("nrm", sqrt(VectorFunctions.dotNative(col("v"), col("v"))))
     val a = bk.select(col("bucket"), col("vec_id").as("va"),
       col("v").as("ea"), col("nrm").as("na"))
@@ -205,15 +224,30 @@ object Ann {
       .limit(k)
   }
 
-  /** LSH top-k for one query: probe the query's bucket only, fall back to
-    * exact if the bucket has fewer than k members (local-mode convenience;
-    * the cluster path multi-probes adjacent buckets instead).
+  /** LSH top-k for one query with MULTI-PROBE: score the query's own bucket
+    * plus, when `hamming >= 1`, its nBits Hamming-1 neighbor buckets (each
+    * one sign bit flipped). A near neighbor that falls on the wrong side of
+    * ONE hyperplane — the dominant LSH miss mode — lands in exactly such a
+    * bucket, so probing them recovers most of the recall a single probe
+    * loses, at (nBits+1)/2^nBits of the corpus instead of 1/2^nBits.
+    * Recall(multi) > recall(single) is asserted against exact top-k in
+    * EngineSpec. The probe set stays a broadcast join: candidates remain
+    * bucket-local, never all-pairs.
     */
   def knnLsh(embeddings: DataFrame, id: Column, vec: Column,
-      query: DataFrame, queryVec: Column, k: Int, nBits: Int = 8): DataFrame = {
+      query: DataFrame, queryVec: Column, k: Int, nBits: Int = 8,
+      hamming: Int = 1): DataFrame = {
     val bk = bucketed(embeddings, id, vec, nBits)
-    val q = query.select(queryVec.as("qv"),
-      VectorFunctions.signLshBucket(queryVec, nBits).as("qbucket"))
+    val base = query.select(queryVec.as("qv"),
+      VectorFunctions.signLshBucket(queryVec, nBits).as("qb"))
+    // bucket ^ (1 << i) flips hyperplane i's sign bit; lit(0) keeps the
+    // home bucket. explode → one probe row per bucket, still tiny (nBits+1
+    // rows per query) and broadcast below.
+    val flips: Seq[Column] =
+      if (hamming >= 1) lit(0L) +: (0 until nBits).map(i => lit(1L << i))
+      else Seq(lit(0L))
+    val q = base.select(col("qv"),
+      explode(array(flips.map(f => col("qb").bitwiseXOR(f)): _*)).as("qbucket"))
     bk.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"),
         VectorFunctions.cosineNative(col("v"), col("qv")).as("cos"))

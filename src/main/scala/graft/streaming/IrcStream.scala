@@ -20,9 +20,11 @@ import graft.ingest.IrcParser
   *
   * State-bound note (SURVEY §7.4(4)): the reference's ES upsert dedups over
   * unbounded time; a stream can only dedup within the watermark. The gap is
-  * closed by the sink-side anti-join in [[upsertBatch]] (exact, bounded by
-  * sink size) — at 100 TB the same role is played by an upsert-capable sink
-  * (keyed store / MERGE INTO) or periodic compaction over the id column.
+  * closed by the sink-side anti-join in [[upsertBatch]] — exact, and
+  * partition-PRUNED: it reads only the (channel, day) sink partitions the
+  * batch touches, so its cost tracks batch footprint, not sink size. A
+  * duplicate arriving later than the retention of its day partition is swept
+  * by [[graft.sinks.IrcSink.compact]].
   */
 object IrcStream {
 
@@ -113,6 +115,19 @@ object IrcStream {
       .groupBy(session_window(col("posted"), gap), col("nick"))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding-window message counts (ST5, second half): overlapping windows
+    * of `size` advancing every `slide` — each record contributes to
+    * size/slide windows (the ES `date_histogram` with overlapping buckets /
+    * moving-average surface). Batch mirror: `w5_sliding_window` in
+    * WindowQueries, oracle-paired against a DuckDB window-start series.
+    */
+  def slidingCounts(recs: DataFrame, size: String = "10 minutes",
+      slide: String = "1 minute", watermark: String = "10 minutes"): DataFrame =
+    recs
+      .withWatermark("posted", watermark)
+      .groupBy(window(col("posted"), size, slide), col("channel"))
+      .agg(count(lit(1)).as("n"))
+
   /** Arbitrary keyed state (ST6): running per-nick message counts via
     * flatMapGroupsWithState — state lives per key across micro-batches,
     * emitting an updated total on every batch a nick appears in.
@@ -161,25 +176,56 @@ object IrcStream {
       .toDF("nick", "n")
   }
 
-  /** Idempotent per-batch upsert into a parquet directory keyed on `id`:
-    * within-batch dedup, then anti-join against ids already in the sink.
+  /** Idempotent per-batch upsert into a (channel × day)-partitioned parquet
+    * directory keyed on `id`: within-batch dedup, then anti-join against ids
+    * already in the sink — but ONLY the sink partitions this batch touches.
     * Replays of the same batch after a crash insert nothing new —
     * at-least-once delivery + idempotent write = effectively-once (K1/ST7).
+    *
+    * Scale contract: a micro-batch covers a handful of (channel, day) pairs
+    * (its events are "now"-clustered), so the anti-join's read side is a few
+    * partition directories of the sink, NEVER the whole table — at 100 TB
+    * the difference between a seconds-long batch and a scan-the-world stall.
+    * The layout matches [[graft.sinks.IrcSink.append]]; batch schema must
+    * carry `channel` and `posted` (the partition keys' sources).
     */
   def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates("id")
+      .withColumn("day", date_format(col("posted"), "yyyy-MM-dd"))
     // Explicit existence probe, NOT a broad catch: a transient FS error while
     // reading the sink must fail the batch (so it's retried) rather than
     // silently skip the anti-join and write duplicate ids.
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val toWrite =
-      if (fs.exists(target))
-        fresh.join(spark.read.parquet(targetDir).select(col("id")), Seq("id"), "left_anti")
-      else fresh // first batch: sink dir absent
-    toWrite.write.mode("append").parquet(targetDir)
+    if (fs.exists(target)) {
+      // persisted: the frame feeds the partition probe, the anti-join and
+      // the write — one parse instead of three
+      fresh.persist()
+      try {
+        // The batch's partition footprint, collected to the driver: bounded
+        // by (channels in batch) × (days in batch), i.e. tiny by the scale
+        // contract above — this is partition METADATA, not data.
+        val parts = fresh.select(col("channel"), col("day")).distinct().collect()
+        val channels = parts.map(_.getString(0)).distinct.toSeq
+        val days = parts.map(_.getString(1)).distinct.toSeq
+        fresh.join(existingIds(spark, targetDir, channels, days), Seq("id"), "left_anti")
+          .write.partitionBy("channel", "day").mode("append").parquet(targetDir)
+      } finally fresh.unpersist()
+    } else // first batch: sink dir absent
+      fresh.write.partitionBy("channel", "day").mode("append").parquet(targetDir)
   }
+
+  /** Ids already present in the sink, restricted to the given partition
+    * values. `channel` and `day` are partition columns of the sink layout,
+    * so both `isin` filters are PartitionFilters — Spark lists and reads
+    * only the matching directories (asserted in StreamingSpec).
+    */
+  private[graft] def existingIds(spark: SparkSession, targetDir: String,
+      channels: Seq[String], days: Seq[String]): DataFrame =
+    spark.read.parquet(targetDir)
+      .filter(col("channel").isin(channels: _*) && col("day").isin(days: _*))
+      .select(col("id"))
 
   /** Run the full pipeline: raw lines → records → dedup → upsert sink.
     * Restart with the same checkpointLocation resumes exactly where the

@@ -166,6 +166,47 @@ class EngineSpec extends SparkSuite {
     assert(lsh.subsetOf(exact)) // same threshold, pruned candidates only
   }
 
+  test("LSH multi-probe recovers recall a single probe loses (Hamming-1 buckets)") {
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val nBits = 4; val k = 10
+    // recall vs exact top-k, summed over several query vectors (the fixture
+    // is near-noise per-query, so one query's recall is too coarse)
+    def recall(hamming: Int): Int = (0L until 5L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding"))
+      val rest = emb.filter(col("vec_id") =!= qid)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = ids(Ann.knnExact(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k))
+      val lsh = ids(Ann.knnLsh(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k, nBits, hamming))
+      (exact & lsh).size
+    }.sum
+    val single = recall(0); val multi = recall(1)
+    assert(multi > single,
+      s"multi-probe recall ($multi) must beat single-probe ($single) on the fixture")
+  }
+
+  test("derived knn-join fan-out bounds bucket population (no fixed 16-bucket default)") {
+    import graft.similarity.Ann
+    // sizing rule sanity: buckets grow with n, work per bucket stays ~target²
+    assert(Ann.derivedNBits(100) == 1)
+    assert(Ann.derivedNBits(2048, 256) == 3)
+    assert(Ann.derivedNBits(2_000_000) == 13)
+    assert(Ann.derivedNBits(Long.MaxValue) == 24) // clamp
+    // fixture: with the derived fan-out, no bucket exceeds 4× the target
+    val emb = Tables(spark, sf, "embeddings")
+    val target = 256L
+    val bits = Ann.derivedNBits(emb.count(), target)
+    val maxPop = emb.select(graft.functions.VectorFunctions
+        .signLshBucketMd5(col("embedding"), bits).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxPop <= 4 * target,
+      s"derived nBits=$bits left a bucket of $maxPop (> ${4 * target})")
+  }
+
   test("knn-join: per-vector neighbor lists are bounded by k with contiguous ranks " +
     "and symmetric same-bucket membership") {
     val emb = Tables(spark, sf, "embeddings")

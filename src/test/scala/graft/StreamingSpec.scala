@@ -49,18 +49,74 @@ class StreamingSpec extends SparkSuite {
 
   test("foreachBatch upsert is idempotent across replays (K1/ST7)") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/sink"
-    val batch = Seq(
-      ("id1", "#x", "alice", "m1"),
-      ("id1", "#x", "alice", "m1"), // in-batch dup
-      ("id2", "#x", "bob", "m2")).toDF("id", "channel", "nick", "remark")
+    def mk(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    val batch = mk(
+      ("id1", "#x", "alice", "m1", "2024-01-01 10:00:00"),
+      ("id1", "#x", "alice", "m1", "2024-01-01 10:00:00"), // in-batch dup
+      ("id2", "#x", "bob", "m2", "2024-01-01 10:00:01"))
     IrcStream.upsertBatch(batch, 0L, dir)
     // crash-replay of the same batch + one new record
-    val replay = batch.union(
-      Seq(("id3", "#y", "carol", "m3")).toDF("id", "channel", "nick", "remark"))
+    val replay = batch.union(mk(("id3", "#y", "carol", "m3", "2024-01-02 09:00:00")))
     IrcStream.upsertBatch(replay, 0L, dir)
     val sink = spark.read.parquet(dir)
     assert(sink.count() == 3)
     assert(sink.select("id").distinct().count() == 3)
+  }
+
+  test("upsert anti-join reads only the batch's (channel, day) partitions (K1 at scale)") {
+    val dir = Files.createTempDirectory("graft_upsert_prune").toString + "/sink"
+    def mk(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    // seed FOUR sink partitions: 2 channels × 2 days
+    IrcStream.upsertBatch(mk(
+      ("a1", "#x", "alice", "m1", "2024-01-01 10:00:00"),
+      ("a2", "#x", "alice", "m2", "2024-01-02 10:00:00"),
+      ("b1", "#y", "bob", "m3", "2024-01-01 10:00:00"),
+      ("b2", "#y", "bob", "m4", "2024-01-02 10:00:00")), 0L, dir)
+    // a 1-partition probe must list exactly ONE of the four directories
+    val probe = IrcStream.existingIds(spark, dir, Seq("#x"), Seq("2024-01-01"))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the probe plan")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      s"anti-join read ${scans.map(_.selectedPartitions.partitionCount).sum} partitions, wanted 1")
+    assert(probe.collect().map(_.getString(0)).toSeq == Seq("a1"))
+    // and the pruned upsert still dedups: replaying a1 into its partition
+    // inserts nothing
+    IrcStream.upsertBatch(mk(("a1", "#x", "alice", "m1", "2024-01-01 10:00:00")), 1L, dir)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("sliding windows: each record lands in size/slide overlapping windows (ST5)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #x :m1",
+      ":bob!~b@h PRIVMSG #x :m2", // same processing second ⇒ same windows
+      ":carol!~c@h PRIVMSG #y :m3")
+    val q = IrcStream.slidingCounts(IrcStream.records(ms.toDF()),
+        size = "10 minutes", slide = "1 minute")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sliding_out")
+      .select(col("channel"), col("window.start").as("ws"), col("n"))
+    // 10-minute window sliding by 1 minute ⇒ every record appears in exactly
+    // 10 windows; both #x records share a second, so all 10 have n=2
+    val x = out.filter(col("channel") === "#x").select("n").as[Long].collect()
+    assert(x.length == 10, s"expected 10 overlapping windows, got ${x.length}")
+    assert(x.forall(_ == 2L))
+    assert(out.filter(col("channel") === "#y").count() == 10)
+    // window starts are distinct and 1 minute apart
+    val starts = out.filter(col("channel") === "#x")
+      .select(col("ws").cast("long")).as[Long].collect().sorted
+    assert(starts.distinct.length == 10)
+    assert(starts.sliding(2).forall(p => p(1) - p(0) == 60L))
   }
 
   test("session windows fold gap-close messages per nick (ST5)") {
@@ -255,7 +311,8 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     val sink = spark.read.parquet(s"$base/sink")
     assert(sink.count() == 2)
+    // channel + day come back as partition columns of the pruned-upsert layout
     assert(sink.columns.toSet ==
-      Set("nick", "channel", "remark", "posted", "id"))
+      Set("nick", "channel", "remark", "posted", "id", "day"))
   }
 }
