@@ -105,8 +105,12 @@ object Ann {
     * to keep its oracle SQL stable).
     *
     * `nBits <= 0` (the default) derives the fan-out from the corpus size
-    * via [[derivedNBits]] — one count() job, then the sizing rule above.
-    * Callers at known scale can pass nBits explicitly to skip the count.
+    * via [[derivedNBits]] — one EAGER count() job, after which the bucketing
+    * pass recomputes `embeddings`' lineage from scratch: two full scans when
+    * the input is an uncached multi-stage frame. Hot paths should either
+    * pass nBits explicitly (no count, one scan) or hand in a cached frame;
+    * a parquet-backed input is cheap either way (the count is
+    * metadata-only there).
     */
   def knnJoinLshMd5(embeddings: DataFrame, id: Column, vec: Column,
       k: Int, nBits: Int = 0): DataFrame = {

@@ -20,11 +20,12 @@ import graft.ingest.IrcParser
   *
   * State-bound note (SURVEY §7.4(4)): the reference's ES upsert dedups over
   * unbounded time; a stream can only dedup within the watermark. The gap is
-  * closed by the sink-side anti-join in [[upsertBatch]] — exact, and
-  * partition-PRUNED: it reads only the (channel, day) sink partitions the
-  * batch touches, so its cost tracks batch footprint, not sink size. A
-  * duplicate arriving later than the retention of its day partition is swept
-  * by [[graft.sinks.IrcSink.compact]].
+  * closed by the sink-side anti-join in [[upsertBatch]] — exact over ALL
+  * time, and partition-PRUNED: ids embed the channel, so the probe reads
+  * only the id column of the sink CHANNEL partitions the batch touches
+  * (never other channels, never non-id columns). Cost tracks the batch's
+  * channel footprint, not sink size; [[graft.sinks.IrcSink.compact]] is a
+  * storage-side sweep, not a correctness dependency.
   */
 object IrcStream {
 
@@ -60,7 +61,9 @@ object IrcStream {
 
   /** Watermarked exact dedup by content id (ST3): state is bounded by the
     * watermark; a duplicate arriving later than `watermark` after the
-    * original can reach the sink, where [[upsertBatch]] still drops it.
+    * original can reach the sink, where [[upsertBatch]] still drops it —
+    * regardless of which DAY the late copy's processing-time stamp lands on
+    * (the v2 id excludes time, so the sink probe prunes on channel only).
     */
   def deduped(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
     parsed
@@ -178,21 +181,43 @@ object IrcStream {
 
   /** Idempotent per-batch upsert into a (channel × day)-partitioned parquet
     * directory keyed on `id`: within-batch dedup, then anti-join against ids
-    * already in the sink — but ONLY the sink partitions this batch touches.
-    * Replays of the same batch after a crash insert nothing new —
+    * already in the sink — but ONLY the sink CHANNEL partitions this batch
+    * touches. Replays of the same batch after a crash insert nothing new —
     * at-least-once delivery + idempotent write = effectively-once (K1/ST7).
     *
-    * Scale contract: a micro-batch covers a handful of (channel, day) pairs
-    * (its events are "now"-clustered), so the anti-join's read side is a few
-    * partition directories of the sink, NEVER the whole table — at 100 TB
-    * the difference between a seconds-long batch and a scan-the-world stall.
+    * Why channel, not (channel, day): the v2 id deliberately excludes time
+    * (logbot_roundrobin.py:50-54), so a cross-bot duplicate arriving past
+    * the watermark can carry a processing-time stamp on a DIFFERENT day than
+    * the original. Probing only the batch's own days would miss the original
+    * and re-insert (the round-6 bug). Ids embed the channel
+    * (IrcParser.record: keyV2(channel, nick, remark)), so channel-pruning is
+    * EXACT — a duplicate can only ever live in its own channel's partitions —
+    * and the probe still never scans other channels' data.
+    *
+    * Scale contract: a micro-batch covers a handful of channels, so the
+    * anti-join's read side is those channels' directories, never the whole
+    * table. A channel's full history is wider than one day's, but the probe
+    * reads ONLY the `id` column (column-pruned parquet scan), so its cost is
+    * the channel's id footprint, not its data. If even that grows hot,
+    * [[graft.sinks.IrcSink.compact]] remains the storage-side sweep; the
+    * correctness of THIS path no longer depends on it.
     * The layout matches [[graft.sinks.IrcSink.append]]; batch schema must
-    * carry `channel` and `posted` (the partition keys' sources).
+    * carry `channel` and a NON-NULL `posted` (the partition keys' sources —
+    * a null `posted` would land in the Hive default partition and be
+    * enforced fatal below, since every source stamps `posted` from
+    * current_timestamp or wire time).
     */
   def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates("id")
-      .withColumn("day", date_format(col("posted"), "yyyy-MM-dd"))
+      // Non-null `posted` is a hard precondition: a null would write to
+      // __HIVE_DEFAULT_PARTITION__, which no channel probe ever re-reads,
+      // making the row permanently un-dedupable. Fail the batch loudly
+      // (it indicates an upstream stamping bug) rather than corrupt the sink.
+      .withColumn("day",
+        when(col("posted").isNotNull, date_format(col("posted"), "yyyy-MM-dd"))
+          .otherwise(raise_error(lit(
+            "upsertBatch: null `posted` — every record must carry a non-null timestamp"))))
     // Explicit existence probe, NOT a broad catch: a transient FS error while
     // reading the sink must fail the batch (so it's retried) rather than
     // silently skip the anti-join and write duplicate ids.
@@ -203,28 +228,30 @@ object IrcStream {
       // the write — one parse instead of three
       fresh.persist()
       try {
-        // The batch's partition footprint, collected to the driver: bounded
-        // by (channels in batch) × (days in batch), i.e. tiny by the scale
-        // contract above — this is partition METADATA, not data.
-        val parts = fresh.select(col("channel"), col("day")).distinct().collect()
-        val channels = parts.map(_.getString(0)).distinct.toSeq
-        val days = parts.map(_.getString(1)).distinct.toSeq
-        fresh.join(existingIds(spark, targetDir, channels, days), Seq("id"), "left_anti")
+        // The batch's channel footprint, collected to the driver: bounded by
+        // (channels in batch), i.e. tiny — this is partition METADATA, not
+        // data.
+        val channels = fresh.select(col("channel")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        fresh.join(existingIds(spark, targetDir, channels), Seq("id"), "left_anti")
           .write.partitionBy("channel", "day").mode("append").parquet(targetDir)
       } finally fresh.unpersist()
     } else // first batch: sink dir absent
       fresh.write.partitionBy("channel", "day").mode("append").parquet(targetDir)
   }
 
-  /** Ids already present in the sink, restricted to the given partition
-    * values. `channel` and `day` are partition columns of the sink layout,
-    * so both `isin` filters are PartitionFilters — Spark lists and reads
-    * only the matching directories (asserted in StreamingSpec).
+  /** Ids already present in the sink, restricted to the given channels —
+    * ALL days of those channels, because the v2 id excludes time and a late
+    * duplicate may stamp a different day (see [[upsertBatch]]). `channel` is
+    * a partition column of the sink layout, so the `isin` filter is a
+    * PartitionFilter — Spark lists and reads only the matching channel
+    * directories (asserted in StreamingSpec) — and the single-column select
+    * prunes the scan to the `id` column.
     */
   private[graft] def existingIds(spark: SparkSession, targetDir: String,
-      channels: Seq[String], days: Seq[String]): DataFrame =
+      channels: Seq[String]): DataFrame =
     spark.read.parquet(targetDir)
-      .filter(col("channel").isin(channels: _*) && col("day").isin(days: _*))
+      .filter(col("channel").isin(channels: _*))
       .select(col("id"))
 
   /** Run the full pipeline: raw lines → records → dedup → upsert sink.

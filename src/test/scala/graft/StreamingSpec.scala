@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSuite {
     assert(sink.select("id").distinct().count() == 3)
   }
 
-  test("upsert anti-join reads only the batch's (channel, day) partitions (K1 at scale)") {
+  test("upsert anti-join reads only the batch's channel partitions (K1 at scale)") {
     val dir = Files.createTempDirectory("graft_upsert_prune").toString + "/sink"
     def mk(rows: (String, String, String, String, String)*) =
       rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
@@ -76,19 +76,51 @@ class StreamingSpec extends SparkSuite {
       ("a2", "#x", "alice", "m2", "2024-01-02 10:00:00"),
       ("b1", "#y", "bob", "m3", "2024-01-01 10:00:00"),
       ("b2", "#y", "bob", "m4", "2024-01-02 10:00:00")), 0L, dir)
-    // a 1-partition probe must list exactly ONE of the four directories
-    val probe = IrcStream.existingIds(spark, dir, Seq("#x"), Seq("2024-01-01"))
+    // a single-channel probe must list that channel's TWO day directories
+    // (every day — the v2 id excludes time) and neither of #y's
+    val probe = IrcStream.existingIds(spark, dir, Seq("#x"))
     val scans = probe.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty, "expected a FileSourceScanExec in the probe plan")
-    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
-      s"anti-join read ${scans.map(_.selectedPartitions.partitionCount).sum} partitions, wanted 1")
-    assert(probe.collect().map(_.getString(0)).toSeq == Seq("a1"))
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 2,
+      s"probe read ${scans.map(_.selectedPartitions.partitionCount).sum} partitions, wanted #x's 2 of 4")
+    // column pruning: the probe reads only the id column off disk
+    assert(scans.forall(_.requiredSchema.fieldNames.toSeq == Seq("id")),
+      s"probe read columns ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}, wanted id only")
+    assert(probe.collect().map(_.getString(0)).sorted.toSeq == Seq("a1", "a2"))
     // and the pruned upsert still dedups: replaying a1 into its partition
     // inserts nothing
     IrcStream.upsertBatch(mk(("a1", "#x", "alice", "m1", "2024-01-01 10:00:00")), 1L, dir)
     assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("upsert drops a same-id duplicate arriving on a DIFFERENT day (K1/ST7 cross-day)") {
+    // the exact case the v2 time-less id creates: original at 23:55, the
+    // cross-bot duplicate stamped past midnight — day-pruned probing missed
+    // it (round-6 bug); channel-pruned probing must not
+    val dir = Files.createTempDirectory("graft_upsert_xday").toString + "/sink"
+    def mk(p: String) =
+      Seq(("id1", "#x", "alice", "m1", p)).toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    IrcStream.upsertBatch(mk("2024-01-01 23:55:00"), 0L, dir)
+    IrcStream.upsertBatch(mk("2024-01-02 00:05:00"), 1L, dir)
+    val sink = spark.read.parquet(dir)
+    assert(sink.filter(col("id") === "id1").count() == 1,
+      "cross-day duplicate was re-inserted")
+    assert(sink.count() == 1)
+  }
+
+  test("upsert fails loudly on a null posted instead of corrupting the sink") {
+    val dir = Files.createTempDirectory("graft_upsert_null").toString + "/sink"
+    val bad = Seq(("id1", "#x", "alice", "m1"))
+      .toDF("id", "channel", "nick", "remark")
+      .withColumn("posted", lit(null).cast("timestamp"))
+    val e = intercept[Exception] { IrcStream.upsertBatch(bad, 0L, dir) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null `posted`")),
+      s"expected the null-posted precondition error, got: $e")
   }
 
   test("sliding windows: each record lands in size/slide overlapping windows (ST5)") {
