@@ -9,6 +9,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims finished broadcasts/shuffles when a GC
+      // actually runs; its default periodic-GC interval (30 min) never fires
+      // inside a few-minute bench, so ~300 broadcast exchanges pile up in an
+      // 8 GB heap and the resulting full-GC pause lands on whichever query
+      // is running when the heap fills — deterministically the same victims
+      // (h3/j4_semi in r5-r6) because the query order is fixed. Fire it
+      // every 30 s so cleanup cost is spread instead of ambushing one query.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-listing paths once so per-query timings
@@ -43,17 +51,27 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timed = selected.map { case (name, fn) =>
       val runs = (1 to reps).flatMap(_ => once(fn))
+      // Sweep query-local garbage (broadcasts, codegen classes) OFF this
+      // query's bill and BEFORE the next query's clock starts — between
+      // queries, not between reps, so steady-state reuse is still measured.
+      System.gc()
       // A failed run poisons the query: report -1 rather than folding a
       // partial time-to-failure into the totals.
       val median =
         if (runs.size < reps) -1.0
         else runs.sorted.apply(runs.size / 2)
-      name -> median
+      (name, median, runs)
     }
-    val errors = timed.collect { case (n, t) if t < 0 => n }
+    val errors = timed.collect { case (n, t, _) if t < 0 => n }
     val ok = timed.filter(_._2 >= 0)
     val qs = timed
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // All rep times per query, so a regression report can distinguish "the
+    // plan got slower" (all reps high) from "one rep was ambushed" (median
+    // dragged by an outlier) without a re-run.
+    val repsDetail = timed
+      .map { case (k, _, rs) => s"\"" + k + "\":[" + rs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = math.rint(ok.map(_._2).sum * 1000) / 1000
@@ -82,7 +100,7 @@ object Bench {
     val streamingJson =
       s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000}"""
     val perQueryJson =
-      s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"errors":$errsJson}"""
+      s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$repsDetail,"errors":$errsJson}"""
     val headlineJson =
       s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     // Per-query detail first (may exceed the driver's tail window), then the

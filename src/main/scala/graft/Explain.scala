@@ -2,27 +2,132 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor: prints the formatted physical plan for selected queries so
-  * scan pruning (`ReadSchema`/`PushedFilters`), join strategy and
-  * whole-stage-codegen coverage can be inspected.
-  * Run: `sbt "runMain graft.Explain [query ...]"`.
+/** Plan auditor: EXECUTES each query (so AQE finalizes its runtime
+  * re-planning) and dumps the FINAL formatted physical plan, so scan pruning
+  * (`ReadSchema`/`PushedFilters`), the join strategy AQE actually picked,
+  * and whole-stage-codegen coverage can be audited at bench scale — not the
+  * tentative `isFinalPlan=false` plan Catalyst guesses before runtime stats.
+  *
+  * Run: `sbt "runMain graft.Explain [query ...]"` — no args = ALL queries,
+  * written to PLANS.md (env `SPARK_GRAFT_PLANS_OUT` overrides the path;
+  * `SPARK_GRAFT_SF_DIR` the data, default sf0.1 = bench scale;
+  * `SPARK_GRAFT_CPUS` the parallelism, default 32 = bench config).
   */
 object Explain {
+
+  /** Cost/contract notes rendered above the matching dump — the places a
+    * plan reader needs context the plan text can't carry.
+    */
+  private val notes: Map[String, String] = Map(
+    "d2_minhash_md5" ->
+      ("""Cost note: this is the ORACLE-GATED flagship variant — band keys are
+        |strings (`band:h1:h2:...`) and the hash family is md5, so the whole
+        |minhash→band→bucket-join pipeline is DuckDB-mirrorable and sits under
+        |the differential hash gate. That choice costs ~4× vs the engine
+        |default `d2_minhash_lsh` (xxhash64 family, long band keys), which is
+        |the PRODUCTION path at scale: same banding math, same recall bound
+        |(asserted in EngineSpec), a fraction of the shuffle bytes. The
+        |shuffle here still carries only (band, band_hash, doc_id) — never
+        |shingle sets — so even the oracle variant is bucketed, not
+        |all-pairs.""".stripMargin),
+    "h6_percentiles" ->
+      ("""Contract note: exact `percentile` buffers every group value on one
+        |executor by design — it is the ORACLE BASELINE (DuckDB
+        |`quantile_cont` mirror), not the scale path. The production path is
+        |`h6_percentiles_approx` (Greenwald-Khanna `approx_percentile`,
+        |bounded per-group state, map-side merge; error bound vs this exact
+        |oracle asserted in EngineSpec) — the same exact-for-oracle /
+        |approximate-for-scale pattern as a3_cardinality /
+        |a3_approx_cardinality. Do not "optimize" the exact variant: its
+        |single-node sort IS the semantics being mirrored.""".stripMargin),
+    "d2_jaccard_neardup" ->
+      ("""Contract note: exact n-gram Jaccard over all same-size-block pairs —
+        |block-quadratic by design, the labeled BASELINE for the LSH recall
+        |specs. The scale path is d2_minhash_lsh / d2_simhash; this one exists
+        |to define "truth" at oracle scale.""".stripMargin),
+    "j8_bloom_semi" ->
+      ("""Literal note: the broadcast bloom filter prints as a ~125 KB hex
+        |literal in plan text; lines below are truncated at 400 chars. The
+        |shape that matters: Scan(lineitem) → Filter[might_contain(bloom,
+        |xxhash64(key))] BEFORE the exchange — the bloom shrinks the shuffle,
+        |the exact semi-join after it removes the bounded false positives.""".stripMargin))
+
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("s6_scan_project", "j1_broadcast_join", "j2_shuffle_join",
-        "a2_date_histogram", "v5_cosine_neardup")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val all = args.isEmpty
+    val names = if (all) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+
+    val sb = new StringBuilder
     names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val section = new StringBuilder
+      section.append(s"\n========== $n ==========\n")
+      notes.get(n).foreach(t => section.append("\n").append(t).append("\n"))
+      try {
+        val df = SparkEntry.queries(n)(spark, dir)
+        // Materialize through the query's OWN QueryExecution so the
+        // AdaptiveSparkPlanExec inside it finalizes (a noop .write would
+        // execute a sibling plan and leave this one tentative).
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // md5 hyperplane arrays / bloom literals print as multi-KB lines;
+        // truncate so the dump stays readable.
+        txt.linesIterator.foreach { l =>
+          section.append(if (l.length > 400) l.take(400) + " …[truncated]" else l)
+          section.append('\n')
+        }
+      } catch {
+        case e: Throwable =>
+          section.append(s"EXPLAIN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\n")
+      } finally Caches.unpersistAll()
+      print(section)
+      sb.append(section)
+    }
+
+    if (all) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
+      val header =
+        s"""# PLANS — physical-plan audit (generated by `sbt "runMain graft.Explain"`)
+          |
+          |Every query below was EXECUTED at `$dir` on local[$cpus] before its
+          |plan was dumped, so `AdaptiveSparkPlan` sections show
+          |`isFinalPlan=true` — the strategy AQE actually ran at bench scale,
+          |not the pre-runtime guess.
+          |
+          |What to look for (the 100 TB checklist from the build notes):
+          |
+          |- **Scans**: `PushedFilters` carries the query predicates into the
+          |  parquet reader (row-group skipping); `ReadSchema` lists only the
+          |  projected columns (column pruning). See s6: an 11-column table
+          |  read as 4 columns with the shipdate range pushed.
+          |- **Joins**: dimension tables appear under `BroadcastExchange` +
+          |  `BroadcastHashJoin` (no fact shuffle for dims, j1/h3); fact-fact
+          |  joins run under `AdaptiveSparkPlan` so AQE picks/rewrites the
+          |  strategy at runtime — the final dumps show what it picked.
+          |- **Codegen**: operator trees sit inside `WholeStageCodegen` spans;
+          |  the native expressions (float_vec_dot, minhash_sig, word_ngrams)
+          |  evaluate inside those spans rather than falling back to
+          |  interpreted rows.
+          |- **Aggregation**: every groupBy shows a partial `HashAggregate`
+          |  before the `Exchange` and a final one after — map-side combine by
+          |  construction.
+          |
+          |Long literal lines (md5 hyperplane arrays, bloom filters) are
+          |truncated at 400 chars. Inline "Cost note"/"Contract note" blocks
+          |flag the queries whose plan is deliberately NOT the scale path
+          |(oracle baselines with a documented production twin).
+          |""".stripMargin
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try { w.println(header); w.print(sb) } finally w.close()
+      println(s"\n[explain] wrote ${names.size} plans to $out")
     }
     spark.stop()
   }

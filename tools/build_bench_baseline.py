@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Build tools/bench_baseline.json: best-known per-query median across every
+committed bench artifact. Handles both artifact shapes:
+
+  - Bench's own output (BENCH_full.json, BENCH_variance_*.json): one JSON
+    object per line, per-query medians under metric=per_query
+  - the driver's round wrapper (BENCH_rNN.json): a dict whose "tail" string
+    embeds (a truncated window of) the same per-query JSON -- parsed by
+    regex, so queries cut off by the 2 KB tail window are simply absent
+
+Usage: python3 tools/build_bench_baseline.py BENCH_*.json > tools/bench_baseline.json
+"""
+import json
+import re
+import sys
+
+PAIR = re.compile(r'\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)')
+NON_QUERIES = {"value", "bench_total_s", "sf"}
+
+
+def pairs_from_file(path):
+    out = {}
+    with open(path) as f:
+        txt = f.read()
+    try:
+        d = json.loads(txt)
+        if isinstance(d, dict) and "tail" in d:  # driver wrapper
+            for name, val in PAIR.findall(d["tail"]):
+                if name not in NON_QUERIES:
+                    out[name] = float(val)
+            return out
+    except json.JSONDecodeError:
+        pass
+    for line in txt.splitlines():  # Bench's own 3-line artifact
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "per_query":
+            out.update({k: v for k, v in d["queries"].items() if v >= 0})
+    return out
+
+
+def main():
+    best = {}
+    for path in sys.argv[1:]:
+        for name, sec in pairs_from_file(path).items():
+            if name not in best or sec < best[name]["best"]:
+                best[name] = {"best": sec, "source": path.split("/")[-1]}
+    json.dump(dict(sorted(best.items())), sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

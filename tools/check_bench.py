@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Mechanical per-query bench regression check (round-6 advice #6).
+
+Compares a BENCH_full.json artifact (the three-JSON-lines file Bench writes)
+against the committed best-known per-query medians in
+tools/bench_baseline.json, so a regression is detected by a script instead
+of a judge diff.
+
+A query is flagged when its median is BOTH >2x its best-known median AND
+>0.3s absolute above it (the absolute floor keeps 0.1s-class queries from
+flagging on scheduler jitter). With reps_detail present (round-7 Bench), a
+flag is classified:
+
+  - outlier-rep    at least one rep still ran near baseline: the PLAN is
+                   fine, the median was ambushed (GC pause / host
+                   contention) -> re-run before treating as a regression
+  - all-reps-slow  every rep was slow: a real plan/code regression (or a
+                   uniformly slower host -- compare the run's total first)
+
+Usage: python3 tools/check_bench.py [BENCH_full.json] [tools/bench_baseline.json]
+Exit 1 iff any query is flagged all-reps-slow or errored.
+"""
+import json
+import os
+import sys
+
+
+def load_bench(path):
+    per_query, detail, total = {}, {}, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") == "per_query":
+                per_query = d["queries"]
+                detail = d.get("reps_detail", {})
+            elif d.get("metric") == "total":
+                total = d.get("value")
+    return per_query, detail, total
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(here, "..", "BENCH_full.json")
+    base_path = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(here, "bench_baseline.json")
+    base = json.load(open(base_path))
+    queries, detail, total = load_bench(bench_path)
+
+    hard, soft, new = [], [], []
+    for name, sec in sorted(queries.items()):
+        entry = base.get(name)
+        if entry is None:
+            new.append((name, sec))
+            continue
+        best = entry["best"]
+        if sec < 0:
+            hard.append((name, sec, best, "ERROR (run failed)"))
+            continue
+        if sec > 2.0 * best and sec - best > 0.3:
+            reps = detail.get(name, [])
+            if reps and min(reps) <= 2.0 * best:
+                soft.append((name, sec, best,
+                             f"{sec / best:.1f}x outlier-rep (min rep {min(reps):.2f}s ok)"))
+            else:
+                hard.append((name, sec, best, f"{sec / best:.1f}x all-reps-slow"))
+
+    base_total = sum(v["best"] for v in base.values())
+    if total is not None:
+        print(f"total: {total:.1f}s vs baseline-sum {base_total:.1f}s "
+              f"({total / base_total:.2f}x)")
+    for name, sec in new:
+        print(f"new      {name:28s} {sec:7.3f}s (no baseline entry -- add it)")
+    for name, sec, best, why in soft:
+        print(f"soft     {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
+    for name, sec, best, why in hard:
+        print(f"REGRESS  {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
+    missing = sorted(set(base) - set(queries))
+    for name in missing:
+        print(f"missing  {name} (in baseline, absent from this run)")
+    print(f"== {len(hard)} hard, {len(soft)} soft/outlier, {len(new)} new, "
+          f"{len(missing)} missing / {len(queries)} run")
+    sys.exit(1 if hard else 0)
+
+
+if __name__ == "__main__":
+    main()
