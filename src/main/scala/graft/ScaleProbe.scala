@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff spot probe (round-6 advice #8): run the headline query SHAPES
+  * at ~sf1.0 and check nothing falls off a cliff the sf0.1 bench can't see
+  * (a join strategy flip into a straggler, LSH bucket blow-up, agg spill).
+  *
+  * No sf1.0 fixture exists, so the inputs are derived IN MEMORY from the
+  * provided sf0.1 parquet by key-offset replication (`xf`=10 copies, join
+  * keys remapped `k -> k*xf + rep` so fan-outs are preserved, never
+  * multiplied). This is a PERFORMANCE probe only — the derived frames carry
+  * no correctness claim and are never written; the differential oracle
+  * remains Verify at the driver's scale.
+  *
+  * Deliberate stress choices:
+  *  - documents: each copy appends a distinct token, making every original
+  *    doc a 10-member NEAR-dup family — the dense-bucket case that breaks
+  *    naive LSH (quadratic pair blow-up) at exactly 10× density.
+  *  - embeddings: each copy perturbs one rep-indexed dimension, so copies
+  *    are near-identical in angle (dense ANN buckets) without being exact
+  *    duplicates; knnJoinLshMd5's corpus-derived nBits must absorb the 10×.
+  *  - customer is NOT replicated (dims stay dims): each customer sees 10×
+  *    the orders, stressing the build side of h3's broadcast choice.
+  *
+  * Output: one JSON line, `{"metric":"sf1_spot", ..., "queries":{...}}`,
+  * also written to BENCH_sf1_spot.json.
+  */
+object ScaleProbe {
+
+  /** xf copies with long join keys remapped to stay keys (k*xf+rep). */
+  private def expand(df: DataFrame, xf: Int, keyCols: Seq[String]): DataFrame = {
+    val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(xf - 1L))))
+    keyCols.foldLeft(withRep)((d, k) =>
+      d.withColumn(k, col(k) * xf + col("rep")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val xf = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    val lineitem = expand(Tables(spark, sfDir, "lineitem"), xf, Seq("l_orderkey")).drop("rep")
+    val orders = expand(Tables(spark, sfDir, "orders"), xf, Seq("o_orderkey")).drop("rep")
+    val customer = Tables(spark, sfDir, "customer")
+    val docs = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
+      .withColumn("text", concat(col("text"), lit(" variant"), col("rep"))).drop("rep")
+    val emb = expand(Tables(spark, sfDir, "embeddings"), xf, Seq("vec_id"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === col("rep").cast("int"), x + lit(0.01f)).otherwise(x)))
+      .drop("rep")
+
+    val probes: Seq[(String, DataFrame)] = Seq(
+      "h1_shape" -> lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          count(lit(1)).as("n")),
+      "j2_shape" -> lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents")),
+      "h3_shape" -> customer
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(20),
+      "d2_minhash_lsh_shape" -> graft.dedup.MinHashDedup.candidatePairs(
+        docs, col("doc_id"), col("text")),
+      "v9_knn_join_shape" -> graft.similarity.Ann.knnJoinLshMd5(
+        emb, col("vec_id"), col("embedding"), k = 5))
+
+    val timed = probes.map { case (name, df) =>
+      val t0 = System.nanoTime()
+      val sec =
+        try {
+          df.write.mode("overwrite").format("noop").save()
+          math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        } catch { case _: Throwable => -1.0 }
+        finally Caches.unpersistAll()
+      System.gc()
+      println(s"[scaleprobe] $name: ${sec}s")
+      name -> sec
+    }
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs}"""
+    println(json)
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "BENCH_sf1_spot.json"), "UTF-8")
+    try w.println(json) finally w.close()
+    spark.stop()
+  }
+}
