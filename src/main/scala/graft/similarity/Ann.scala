@@ -168,15 +168,22 @@ object Ann {
     */
   def kmeansCentroids(embeddings: DataFrame, id: Column, vec: Column,
       k: Int, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
     val e = embeddings.select(id.as("vec_id"), vec.as("v"))
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cvec"))
     var i = 0
     while (i < iters) {
-      cents = ivfIndex(e, col("vec_id"), col("v"), cents)
+      val next = ivfIndex(e, col("vec_id"), col("v"), cents)
         .groupBy(col("cid"))
         .agg(graft.functions.CentroidAgg.centroid(col("v")).as("cvec_d"))
         .select(col("cid"), col("cvec_d").cast("array<float>").as("cvec"))
+      // A codebook is k rows by construction: materialize it on the driver
+      // each round and restart the lineage from a local relation. Without
+      // this, iteration i's plan re-embeds iterations 0..i-1 — O(iters²)
+      // recompute and unbounded plan depth once iters grows.
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
       i += 1
     }
     cents

@@ -157,6 +157,19 @@ class EngineSpec extends SparkSuite {
       trained2.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("k-means codebook plan depth is constant across iteration counts") {
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    // Each Lloyd round materializes the (tiny) codebook on the driver, so
+    // the returned plan must not grow with iters — the lineage-growth
+    // regression would make depth(iters=6) >> depth(iters=2).
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val d2 = depth(Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"), 8, 2))
+    val d6 = depth(Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"), 8, 6))
+    assert(d2 == d6, s"plan depth grew with iterations: $d2 -> $d6")
+  }
+
   test("ANN LSH pairs are a subset of exact pairs and recall high-cos pairs") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.similarity.Ann.pairsExact(emb, col("vec_id"), col("embedding"), 0.8)
