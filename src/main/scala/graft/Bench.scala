@@ -47,7 +47,15 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY=d2_simhash,f8_map_functions).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Randomize run order with a logged seed: a fixed alphabetical order
+    // means any slow-building heap/host pressure always lands on the same
+    // victim queries (h5/h6 in r7), which reads as a per-query regression.
+    // A fresh seed per run decorrelates victims across runs; set
+    // SPARK_GRAFT_BENCH_SEED to reproduce a specific order.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val selected = new scala.util.Random(seed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timed = selected.map { case (name, fn) =>
       val runs = (1 to reps).flatMap(_ => once(fn))
@@ -100,9 +108,9 @@ object Bench {
     val streamingJson =
       s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000}"""
     val perQueryJson =
-      s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$repsDetail,"errors":$errsJson}"""
+      s"""{"metric":"per_query","unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"reps_detail":$repsDetail,"errors":$errsJson}"""
     val headlineJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir"}"""
     // Per-query detail first (may exceed the driver's tail window), then the
     // compact headline as the LAST line so it always lands inside the
     // driver's 2 KB tail capture.

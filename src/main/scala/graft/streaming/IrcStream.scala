@@ -210,14 +210,17 @@ object IrcStream {
   def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates("id")
-      // Non-null `posted` is a hard precondition: a null would write to
-      // __HIVE_DEFAULT_PARTITION__, which no channel probe ever re-reads,
+      // Non-null `posted` AND non-empty `channel` are hard preconditions:
+      // either one null/empty would write under __HIVE_DEFAULT_PARTITION__,
+      // which no channel probe ever re-reads (isin never matches null),
       // making the row permanently un-dedupable. Fail the batch loudly
       // (it indicates an upstream stamping bug) rather than corrupt the sink.
       .withColumn("day",
-        when(col("posted").isNotNull, date_format(col("posted"), "yyyy-MM-dd"))
+        when(col("posted").isNotNull && col("channel").isNotNull && col("channel") =!= "",
+          date_format(col("posted"), "yyyy-MM-dd"))
           .otherwise(raise_error(lit(
-            "upsertBatch: null `posted` — every record must carry a non-null timestamp"))))
+            "upsertBatch: null `posted` or null/empty `channel` — every record " +
+              "must carry a non-null timestamp and a non-empty channel"))))
     // Explicit existence probe, NOT a broad catch: a transient FS error while
     // reading the sink must fail the batch (so it's retried) rather than
     // silently skip the anti-join and write duplicate ids.

@@ -49,6 +49,33 @@ class Blake2bSpec extends SparkSuite {
       == "0ef0bb905fbe146e")
   }
 
+  test("v1 (posted-inclusive) key matches CPython and differs from v2 (SURVEY §1.1)") {
+    // irclogbot.py:41-44 hashes {channel, nick, posted, remark}; the
+    // round-robin bot (logbot_roundrobin.py:48-54) deliberately drops
+    // `posted` so cross-observer duplicates collide. Pin BOTH shapes of the
+    // same record to CPython goldens so the variant distinction is a test,
+    // not a comment.  python3: gen_key({"channel":"#heat","nick":"bob",
+    // "posted":"2018-07-09T17:15:32","remark":"/me waves"})
+    val v1 = Blake2b.genKey(Seq("#heat", "bob", "2018-07-09T17:15:32", "/me waves"))
+    val v2 = Blake2b.genKey(Seq("#heat", "bob", "/me waves"))
+    assert(v1 == "cabe01eb2ba2beaa")
+    assert(v2 == "b6ed42d761b759e6")
+    assert(v1 != v2)
+    // and the md5-based engine keys preserve the same distinction on columns
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.functions.HashFunctions
+    val df = Seq(("#heat", "bob", "2018-07-09 17:15:32", "/me waves"))
+      .toDF("channel", "nick", "p", "remark")
+      .withColumn("posted", to_timestamp(col("p")))
+    val keys = df.select(
+      HashFunctions.keyV1(col("channel"), col("nick"), col("posted"), col("remark")).as("k1"),
+      HashFunctions.keyV2(col("channel"), col("nick"), col("remark")).as("k2"))
+      .collect().head
+    assert(keys.getString(0) != keys.getString(1),
+      "keyV1 must differ from keyV2 on the same record (posted-inclusive vs not)")
+  }
+
   test("compatKey column form matches genKey") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

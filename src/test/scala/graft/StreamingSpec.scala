@@ -30,6 +30,59 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("nick").as[String].collect().sorted.toSeq == Seq("alice", "bob"))
   }
 
+  test("socket source end-to-end over a loopback ServerSocket (S1 live transport)") {
+    // The literal reference transport (irclogbot.py:83-119): Spark's socket
+    // source connects as a client, exactly like the bot's irc.connect(). A
+    // local ServerSocket plays the IRC server — no egress needed. The feed
+    // includes a PING (must be routed out of the record path, P4) and a
+    // multi-line chunk written in one send() (one recv buffer, several lines).
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+      w.print(":alice!~a@h PRIVMSG #x :hello from the wire\r\n")
+      w.flush()
+      // one chunk, three lines — the bot's recv loop splits on \r\n
+      w.print("PING :server1\r\n:bob!~b@h PRIVMSG #y :second line\r\n" +
+        ":carol!~c@h PRIVMSG #x :third line\r\n")
+      w.flush()
+      // keep the connection open until the query is done reading; closing
+      // early can fail the source mid-batch
+      var open = true
+      while (open && !sock.isClosed)
+        try Thread.sleep(50) catch { case _: InterruptedException => open = false }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = IrcStream.records(
+        IrcStream.fromSocket(spark, "localhost", server.getLocalPort))
+      .writeStream.format("memory").queryName("socket_out")
+      .outputMode("append").start()
+    try {
+      // the socket source is push-based: poll until the 3 PRIVMSGs land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("socket_out").count() < 3 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+    } finally {
+      q.stop()
+      feeder.interrupt()
+      server.close()
+    }
+    val out = spark.table("socket_out")
+    assert(out.count() == 3, s"expected 3 records, got ${out.count()}")
+    assert(out.select("nick").as[String].collect().sorted.toSeq ==
+      Seq("alice", "bob", "carol"))
+    assert(out.select("channel").as[String].collect().sorted.toSeq ==
+      Seq("#x", "#x", "#y"))
+    // the PING never became a record (P4 routing), and ids were stamped
+    assert(out.filter(col("remark").contains("PING")).count() == 0)
+    assert(out.select("id").distinct().count() == 3)
+  }
+
   test("tumbling-window counts with watermark (ST4)") {
     implicit val ctx = sqlCtx
     val ms = MemoryStream[String]
@@ -121,6 +174,23 @@ class StreamingSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("null `posted`")),
       s"expected the null-posted precondition error, got: $e")
+  }
+
+  test("upsert fails loudly on a null or empty channel instead of corrupting the sink") {
+    // channel is the other partition key: a null/empty channel would land in
+    // __HIVE_DEFAULT_PARTITION__ and isin(null) never matches, so the row
+    // would be permanently un-dedupable — same corruption class as posted.
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (badChannel <- Seq(null: String, "")) {
+      val dir = Files.createTempDirectory("graft_upsert_nullch").toString + "/sink"
+      val bad = Seq(("id1", badChannel, "alice", "m1", "2024-01-01 10:00:00"))
+        .toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+      val e = intercept[Exception] { IrcStream.upsertBatch(bad, 0L, dir) }
+      assert(messages(e).exists(_.contains("channel")),
+        s"expected the channel precondition error for ${Option(badChannel)}, got: $e")
+    }
   }
 
   test("sliding windows: each record lands in size/slide overlapping windows (ST5)") {

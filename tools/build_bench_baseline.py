@@ -18,7 +18,11 @@ PAIR = re.compile(r'\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)')
 NON_QUERIES = {"value", "bench_total_s", "sf"}
 
 
-def pairs_from_file(path):
+def pairs_from_file(path, known=None):
+    """known: query names seen in >=1 structured per_query artifact. The
+    regex fallback for driver-wrapper tails admits only names in this set,
+    so a future numeric non-query field (e.g. a renamed streaming metric)
+    cannot be absorbed into the baseline as a fake query."""
     out = {}
     with open(path) as f:
         txt = f.read()
@@ -26,8 +30,13 @@ def pairs_from_file(path):
         d = json.loads(txt)
         if isinstance(d, dict) and "tail" in d:  # driver wrapper
             for name, val in PAIR.findall(d["tail"]):
-                if name not in NON_QUERIES:
-                    out[name] = float(val)
+                if name in NON_QUERIES:
+                    continue
+                if known is not None and name not in known:
+                    print(f"skip {path}: regex name {name!r} not in any "
+                          "structured artifact", file=sys.stderr)
+                    continue
+                out[name] = float(val)
             return out
     except json.JSONDecodeError:
         pass
@@ -45,9 +54,22 @@ def pairs_from_file(path):
 
 
 def main():
+    # Pass 1: names from structured artifacts only (wrapper files return {}
+    # here because their tails never contain a metric=per_query line).
+    known = set()
+    for path in sys.argv[1:]:
+        with open(path) as f:
+            txt = f.read()
+        for line in txt.splitlines():
+            try:
+                d = json.loads(line.strip())
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and d.get("metric") == "per_query":
+                known.update(d["queries"])
     best = {}
     for path in sys.argv[1:]:
-        for name, sec in pairs_from_file(path).items():
+        for name, sec in pairs_from_file(path, known or None).items():
             if name not in best or sec < best[name]["best"]:
                 best[name] = {"best": sec, "source": path.split("/")[-1]}
     json.dump(dict(sorted(best.items())), sys.stdout, indent=1)

@@ -17,8 +17,10 @@ flag is classified:
   - all-reps-slow  every rep was slow: a real plan/code regression (or a
                    uniformly slower host -- compare the run's total first)
 
-Usage: python3 tools/check_bench.py [BENCH_full.json] [tools/bench_baseline.json]
-Exit 1 iff any query is flagged all-reps-slow or errored.
+Usage: python3 tools/check_bench.py [--allow-missing] [BENCH_full.json] [tools/bench_baseline.json]
+Exit 1 iff any query is flagged all-reps-slow or errored, or (without
+--allow-missing) any baseline query is absent from the run -- a silently
+dropped query must not pass the gate.
 """
 import json
 import os
@@ -43,9 +45,11 @@ def load_bench(path):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else \
+    args = [a for a in sys.argv[1:] if a != "--allow-missing"]
+    allow_missing = "--allow-missing" in sys.argv[1:]
+    bench_path = args[0] if len(args) > 0 else \
         os.path.join(here, "..", "BENCH_full.json")
-    base_path = sys.argv[2] if len(sys.argv) > 2 else \
+    base_path = args[1] if len(args) > 1 else \
         os.path.join(here, "bench_baseline.json")
     base = json.load(open(base_path))
     queries, detail, total = load_bench(bench_path)
@@ -83,7 +87,9 @@ def main():
         print(f"missing  {name} (in baseline, absent from this run)")
     print(f"== {len(hard)} hard, {len(soft)} soft/outlier, {len(new)} new, "
           f"{len(missing)} missing / {len(queries)} run")
-    sys.exit(1 if hard else 0)
+    # A query dropped from SparkEntry.queries (or a filtered BENCH_ONLY run)
+    # must fail the gate unless the caller opted in with --allow-missing.
+    sys.exit(1 if hard or (missing and not allow_missing) else 0)
 
 
 if __name__ == "__main__":
