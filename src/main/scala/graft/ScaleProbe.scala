@@ -61,21 +61,23 @@ object ScaleProbe {
           when(i === col("rep").cast("int"), x + lit(0.01f)).otherwise(x)))
       .drop("rep")
 
-    val probes: Seq[(String, DataFrame)] = Seq(
-      "h1_shape" -> lineitem
+    // Thunks, not frames: the components probe runs its label-propagation
+    // actions during construction, so the clock must wrap the call itself.
+    val probes: Seq[(String, () => DataFrame)] = Seq[(String, () => DataFrame)](
+      "h1_shape" -> (() => lineitem
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("sum_disc_price_cents"),
-          count(lit(1)).as("n")),
-      "j2_shape" -> lineitem
+          count(lit(1)).as("n"))),
+      "j2_shape" -> (() => lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .as("revenue_cents")),
-      "h3_shape" -> customer
+            .as("revenue_cents"))),
+      "h3_shape" -> (() => customer
         .filter(col("c_mktsegment") === "BUILDING")
         .join(orders, col("c_custkey") === col("o_custkey"))
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -84,17 +86,28 @@ object ScaleProbe {
         .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("o_orderkey"))
-        .limit(20),
-      "d2_minhash_lsh_shape" -> graft.dedup.MinHashDedup.candidatePairs(
-        docs, col("doc_id"), col("text")),
-      "v9_knn_join_shape" -> graft.similarity.Ann.knnJoinLshMd5(
-        emb, col("vec_id"), col("embedding"), k = 5))
+        .limit(20)),
+      "d2_minhash_lsh_shape" -> (() => graft.dedup.MinHashDedup.candidatePairs(
+        docs, col("doc_id"), col("text"))),
+      // the round-8 addition: pairs → connected components at 10× density —
+      // every original doc is a 10-member family, so the label-propagation
+      // rounds (logged) must stay ~graph-diameter flat, not grow with xf
+      "d3_components_shape" -> (() => {
+        val pairs = graft.dedup.MinHashDedup.candidatePairs(
+          docs, col("doc_id"), col("text"))
+        val (labels, rounds) = graft.dedup.Dedup.componentsWithRounds(
+          pairs, docs.select(col("doc_id").as("node")))
+        println(s"[scaleprobe] d3_components_shape rounds=$rounds")
+        labels
+      }),
+      "v9_knn_join_shape" -> (() => graft.similarity.Ann.knnJoinLshMd5(
+        emb, col("vec_id"), col("embedding"), k = 5)))
 
-    val timed = probes.map { case (name, df) =>
+    val timed = probes.map { case (name, mk) =>
       val t0 = System.nanoTime()
       val sec =
         try {
-          df.write.mode("overwrite").format("noop").save()
+          mk().write.mode("overwrite").format("noop").save()
           math.rint((System.nanoTime() - t0) / 1e6) / 1e3
         } catch { case _: Throwable => -1.0 }
         finally Caches.unpersistAll()

@@ -118,7 +118,16 @@ object Dedup {
     *              singletons, which keep their own id as component)
     * @return (node, comp) — comp = min node id of the component
     */
-  def components(pairs: DataFrame, nodes: DataFrame, maxIters: Int = 30): DataFrame = {
+  def components(pairs: DataFrame, nodes: DataFrame, maxIters: Int = 30): DataFrame =
+    componentsWithRounds(pairs, nodes, maxIters)._1
+
+  /** [[components]] plus the number of label-propagation rounds it took —
+    * the scale-posture observable (rounds = graph diameter): a probe that
+    * logs it can show the iterative-join path converges in a handful of
+    * rounds even at 10× density.
+    */
+  def componentsWithRounds(pairs: DataFrame, nodes: DataFrame,
+      maxIters: Int = 30): (DataFrame, Int) = {
     // cache the (possibly expensive) pair query BEFORE mirroring it, so the
     // union's two branches don't each recompute it
     val p = pairs.select(col("da"), col("db")).cache()
@@ -145,7 +154,7 @@ object Dedup {
     edges.unpersist()
     p.unpersist()
     require(changed == 0, s"components did not converge in $maxIters rounds")
-    labels
+    (labels, iter)
   }
 
   /** Incremental near-dup for append-only ingest: candidate pairs of a NEW
