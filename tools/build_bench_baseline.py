@@ -72,7 +72,15 @@ def main():
         for name, sec in pairs_from_file(path, known or None).items():
             if name not in best or sec < best[name]["best"]:
                 best[name] = {"best": sec, "source": path.split("/")[-1]}
-    json.dump(dict(sorted(best.items())), sys.stdout, indent=1)
+    # "_meta" is documentation, skipped by check_bench (leading underscore):
+    # record which measurement protocol the entries come from so a future
+    # rebuild doesn't silently mix protocols (round-7 advice: the 30s
+    # periodic-GC + off-clock System.gc() changed per-query comparability).
+    out = {"_meta": {"protocol": "round-7 bench protocol (periodic GC 30s, "
+                     "off-clock System.gc() between queries, median-of-reps)",
+                     "sources": sorted({v["source"] for v in best.values()})}}
+    out.update(sorted(best.items()))
+    json.dump(out, sys.stdout, indent=1)
     print()
 
 

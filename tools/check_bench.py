@@ -52,6 +52,8 @@ def main():
     base_path = args[1] if len(args) > 1 else \
         os.path.join(here, "bench_baseline.json")
     base = json.load(open(base_path))
+    # keys starting with "_" are metadata (protocol note), not queries
+    base = {k: v for k, v in base.items() if not k.startswith("_")}
     queries, detail, total = load_bench(bench_path)
 
     hard, soft, new = [], [], []
