@@ -1,0 +1,120 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The reference's ACTUAL sink contract, as a pluggable adapter: every record
+  * becomes an Elasticsearch index action
+  * `es_client.index(index="irclog", doc_type="irc", id=<blake2b>, body=<doc>)`
+  * (/root/reference/irclogbot.py:50-51; ES 6.3.1 per requirements.txt:9).
+  *
+  * Zero-egress design: the DSL layer (action metadata + document source,
+  * exactly the `_bulk` NDJSON wire shape) is pure and golden-testable; the
+  * transport is a tiny serializable trait a production deployment implements
+  * with an HTTP client and tests implement with a local spool directory.
+  * Retry/drop semantics reuse [[IrcSink.writeEachWithRetry]] (MAX_RETRIES=5,
+  * then dead-letter — irclogbot.py:46-59), so a poisoned record costs only
+  * itself.
+  *
+  * Scale contract: documents are rendered and sent per-partition (executor-
+  * side, no driver round-trip); a bulk request's size is bounded by
+  * `bulkSize`, the standard ES ingestion knob. Nothing here shuffles.
+  */
+object EsShapedSink {
+
+  /** Where records land: the reference pins index=irclog, doc_type=irc. */
+  final case class IndexSpec(index: String = "irclog", docType: String = "irc")
+
+  /** Transport seam: production = HTTP POST to `/_bulk`; tests = local spool.
+    * Must be serializable (instances ship to executors) and idempotent under
+    * replay — the id is the content key, so re-sending an action is the
+    * upsert the reference already relies on.
+    */
+  trait BulkTransport extends Serializable {
+    def send(ndjsonLines: Seq[String]): Unit
+  }
+
+  /** Spool transport for egress-free use: each `send` appends its lines to a
+    * uniquely-named file under `dir` (one file per bulk request, so no
+    * cross-task write races). Doubles as a dead-letter quarantine.
+    */
+  final class SpoolTransport(dir: String) extends BulkTransport {
+    def send(ndjsonLines: Seq[String]): Unit = {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      val f = java.io.File.createTempFile("bulk_", ".ndjson", d)
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try ndjsonLines.foreach(w.println) finally w.close()
+    }
+  }
+
+  /** Minimal RFC 8259 string escaping — enough for the five document fields;
+    * non-ASCII passes through (the wire is UTF-8, like the reference's
+    * `txt.encode("utf-8")`).
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The `_bulk` action-metadata line for one record id. */
+  def actionLine(spec: IndexSpec, id: String): String =
+    s"""{"index":{"_index":"${jsonEscape(spec.index)}","_type":"${jsonEscape(spec.docType)}","_id":"${jsonEscape(id)}"}}"""
+
+  /** The document-source line: the reference's body dict
+    * (irclogbot.py:41-45) — channel, nick, posted (ISO seconds), remark,
+    * plus the id echoed into the body exactly like `body["id"] = hashval`.
+    * Field order fixed for golden-testability.
+    */
+  def sourceLine(channel: String, nick: String, posted: String,
+      remark: String, id: String): String =
+    s"""{"channel":"${jsonEscape(channel)}","nick":"${jsonEscape(nick)}","posted":"${jsonEscape(posted)}","remark":"${jsonEscape(remark)}","id":"${jsonEscape(id)}"}"""
+
+  private val IsoSeconds = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Render one record row (schema: channel, nick, remark, posted, id — the
+    * [[graft.ingest.IrcParser.record]] shape) as its two bulk NDJSON lines.
+    */
+  def renderAction(row: Row, spec: IndexSpec = IndexSpec()): Seq[String] = {
+    val posted = row.getAs[java.sql.Timestamp]("posted")
+    val postedStr = IsoSeconds.format(posted.toInstant)
+    val id = row.getAs[String]("id")
+    Seq(
+      actionLine(spec, id),
+      sourceLine(row.getAs[String]("channel"), row.getAs[String]("nick"),
+        postedStr, row.getAs[String]("remark"), id))
+  }
+
+  /** Per-record writer suitable for [[IrcSink.writeEachWithRetry]] /
+    * [[graft.streaming.IrcStream.startWithRecordSink]] — the literal
+    * `es_client.index(...)` call shape (one action per request), with the
+    * reference's retry/drop semantics supplied by the caller.
+    */
+  def recordWriter(transport: BulkTransport,
+      spec: IndexSpec = IndexSpec()): Row => Unit =
+    row => transport.send(renderAction(row, spec))
+
+  /** Batch/bulk form: group each partition's records into `_bulk` requests of
+    * at most `bulkSize` actions. Executor-side only; retries happen at the
+    * bulk-request granularity here (a failed request throws and the Spark
+    * task retry replays the partition — safe because ids upsert).
+    */
+  def writeBulk(records: DataFrame, transport: BulkTransport,
+      spec: IndexSpec = IndexSpec(), bulkSize: Int = 500): Unit =
+    records.foreachPartition { (rows: Iterator[Row]) =>
+      rows.grouped(bulkSize).foreach { chunk =>
+        transport.send(chunk.flatMap(renderAction(_, spec)).toSeq)
+      }
+    }
+}
