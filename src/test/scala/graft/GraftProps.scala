@@ -83,4 +83,20 @@ object GraftProps extends Properties("graft") {
       minhash(hs).forall(v => v >= 0L && v <= 2147483647L) &&
         minhash(Nil).forall(_ == 2147483647L)
     }
+
+  // ---- ES sink JSON escaping (pure string kernel) ----
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Arbitrary unicode strings (incl. control chars, quotes, emoji ranges);
+    * a rendered JSON string literal must parse back to the original via a
+    * real JSON parser (Jackson, already on Spark's classpath).
+    */
+  property("EsShapedSink.jsonEscape round-trips through a JSON parser") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.asciiChar, Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0001', '✓', '中'))
+    ).map(_.mkString)) { s =>
+      val literal = "\"" + graft.sinks.EsShapedSink.jsonEscape(s) + "\""
+      jackson.readValue(literal, classOf[String]) == s
+    }
 }
