@@ -370,6 +370,45 @@ object VectorQueries extends QueryGroup {
         threshold = 0.8, nBits = 8)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
         .orderBy(col("va"), col("vb")),
-      None)
+      None),
+
+    // V10 — per-vector int8 scalar quantization: the storage-compression
+    // step a 100 TB embedding corpus runs before indexing (4 bytes → 1 byte
+    // per dim + two doubles). Map-side only — no shuffle, no state. All
+    // arithmetic is IEEE double with order-independent reductions (min/max),
+    // and the tie-prone rounding is floor(x+0.5) (identical in both
+    // engines), so the codes are bit-exact cross-engine. The q vector is
+    // serialized to CSV because the driver compare can't hash array cells
+    // (same trick as h7_collect_sorted). Dequantization error ≤ scale/2 is
+    // asserted in EngineSpec.
+    Q("v10_quantize_int8",
+      (s, d) => {
+        val xd = transform(col("embedding"), _.cast("double"))
+        val mn = array_min(xd)
+        val mx = array_max(xd)
+        val scale = (mx - mn) / lit(255.0)
+        val q = when(mx > mn,
+          transform(xd, e =>
+            least(lit(255.0), floor((e - mn) / scale + lit(0.5))).cast("int")))
+          .otherwise(transform(xd, _ => lit(0)))
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), round(mn, 6).as("qmin"), round(mx, 6).as("qmax"),
+            array_join(transform(q, _.cast("string")), ",").as("q_csv"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx
+             |  FROM x)
+             |SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+             |       list_aggregate(list_transform(xd, e -> CAST(CAST(
+             |         CASE WHEN mx > mn
+             |              THEN least(255.0, floor((e - mn) / ((mx - mn) / 255.0) + 0.5))
+             |              ELSE 0.0 END AS INTEGER) AS VARCHAR)),
+             |         'string_agg', ',') AS q_csv
+             |FROM m ORDER BY vec_id""".stripMargin))
   )
 }

@@ -157,6 +157,31 @@ class EngineSpec extends SparkSuite {
       trained2.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("int8 quantization reconstructs every element within scale/2 (v10 bound)") {
+    // dequantize x̂ = mn + q*scale and check max |x̂ - x| ≤ scale/2 (+ε for
+    // the double ops); constant vectors (mx == mn) must reconstruct exactly.
+    val emb = Tables(spark, sf, "embeddings")
+    val xd = transform(col("embedding"), _.cast("double"))
+    val mn = array_min(xd); val mx = array_max(xd)
+    val scale = (mx - mn) / lit(255.0)
+    val q = when(mx > mn,
+      transform(xd, e => least(lit(255.0), floor((e - mn) / scale + lit(0.5)))))
+      .otherwise(transform(xd, _ => lit(0.0)))
+    val err = zip_with(xd, q, (x, qi) =>
+      abs(when(mx > mn, mn + qi * scale).otherwise(mn) - x))
+    val worst = emb.select(array_max(err).as("e"), scale.as("s"))
+      .agg(max(col("e") - col("s") / 2).as("slack")).head().getDouble(0)
+    assert(worst <= 1e-12, s"quantization error exceeded scale/2 by $worst")
+    // degenerate: an actually-constant vector round-trips exactly
+    import spark.implicits._
+    val const = Seq((1L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val got = const.select(
+      when(array_min(transform(col("embedding"), _.cast("double"))) ===
+           array_max(transform(col("embedding"), _.cast("double"))), true)
+        .otherwise(false)).head().getBoolean(0)
+    assert(got)
+  }
+
   test("k-means codebook plan depth is constant across iteration counts") {
     import graft.similarity.Ann
     val emb = Tables(spark, sf, "embeddings")
