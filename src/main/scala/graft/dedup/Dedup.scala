@@ -241,4 +241,36 @@ object Dedup {
     components(pairs, docs.select(id.as("node")))
       .select(col("node").as("doc_id"), col("comp"),
         (col("comp") === col("node")).as("is_rep"))
+
+  /** Decontamination — the train/eval hygiene step every pre-training
+    * pipeline runs: flag corpus docs sharing at least `minShared` DISTINCT
+    * word n-gram shingles with the benchmark/eval set. (The n-gram-overlap
+    * method of GPT-3 appendix C / Dolma; exact, not probabilistic.)
+    *
+    * Scale posture: one distinct-shingle explode per side, then a semi-join
+    * keyed on the shingle — the eval side of a real pipeline is tiny
+    * (benchmarks), so Catalyst broadcasts it and the corpus is never
+    * shuffled; with a large eval set it degrades to one hash join on the
+    * shingle key, still linear. Never doc×doc quadratic.
+    *
+    * @return one row per corpus doc: (doc_id, n_shared, contaminated)
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      id: Column, text: Column, n: Int = 3, minShared: Int = 5): DataFrame = {
+    val corpusSh = corpus
+      .select(id.as("doc_id"), explode(TextFunctions.shingles(text, n)).as("term"))
+      .distinct()
+    val evalSh = evalSet
+      .select(explode(TextFunctions.shingles(text, n)).as("term"))
+      .distinct()
+    val shared = corpusSh
+      .join(evalSh, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(id.as("doc_id"))
+      .join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
 }

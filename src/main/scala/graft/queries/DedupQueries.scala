@@ -264,6 +264,43 @@ object DedupQueries extends QueryGroup {
              |SELECT node AS doc_id, min(r) AS comp, (min(r) = node) AS is_rep
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // D4 — decontamination: corpus docs sharing ≥5 distinct trigram shingles
+    // with the eval/benchmark slice (source src0 stands in for the benchmark
+    // set). Exact integer counts — fully oracle-mirrored.
+    Q("d4_decontaminate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.dedup.Dedup.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, source, term FROM (
+             |    SELECT doc_id, source,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |ev AS (SELECT DISTINCT term FROM sh WHERE source = 'src0'),
+             |shared AS (
+             |  SELECT s.doc_id, count(*) AS n_shared
+             |  FROM sh s JOIN ev USING (term)
+             |  WHERE s.source <> 'src0'
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |       coalesce(shared.n_shared, 0) AS n_shared,
+             |       coalesce(shared.n_shared, 0) >= 5 AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+             |LEFT JOIN shared USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // D2 — SimHash near-dup candidates (rows-only; hamming properties in
     // SimHashDedupSpec).
     Q("d2_simhash",
