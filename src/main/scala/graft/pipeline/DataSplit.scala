@@ -50,6 +50,26 @@ object DataSplit {
   def fold(id: Column, k: Int, salt: String = "fold"): Column =
     pmod(hashBucket(id, salt), lit(k.toLong))
 
+  /** Finer-grained [0, 10000) bucket for per-mille-level mixture rates. */
+  def hashBucket10k(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(10000L))
+
+  /** Mixture sampling — the data-mixing step that weights sources into a
+    * target training blend (e.g. wiki ×1.0, CC ×0.1): keep each row with its
+    * stratum's rate, decided by id hash so the blend is reproducible and
+    * grows stably with the corpus. Strata missing from `rates` are dropped
+    * (an explicit mixture is a whitelist). Map-side only — no shuffle, no
+    * per-stratum scan: one pass, one comparison per row at any scale.
+    */
+  def mixtureSample(df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], salt: String = "mix"): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket10k(id, salt) < rate * 10000.0)
+  }
+
   /** Pack documents into ~`budget`-token chunks in id order per group: the
     * window cumsum form (chunk = floor of the tokens BEFORE this doc /
     * budget) — deterministic, one shuffle on the group key, and the chunk id

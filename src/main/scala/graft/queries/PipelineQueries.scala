@@ -129,6 +129,28 @@ object PipelineQueries extends QueryGroup {
              |SELECT grp, doc_id, n_tok,
              |       CAST(floor((sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id)
              |                   - n_tok) / 512) AS BIGINT) AS chunk
-             |FROM t ORDER BY grp, doc_id""".stripMargin))
+             |FROM t ORDER BY grp, doc_id""".stripMargin)),
+
+    // x9 — mixture sampling: per-source keep rates (the data-mixing step
+    // that blends corpora at target weights). Hash-decided per row, so the
+    // blend is reproducible and stable under corpus growth; sources outside
+    // the mixture drop out. Map-side only.
+    Q("x9_mixture_sample",
+      (s, d) => DataSplit.mixtureSample(Tables(s, d, "documents"),
+        col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source")),
+      Some("""WITH m AS (
+             |  SELECT source,
+             |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bkt,
+             |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+             |              WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+             |              ELSE 0.0 END AS rate
+             |  FROM documents)
+             |SELECT source, count(*) AS n_kept
+             |FROM m WHERE bkt < rate * 10000.0
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

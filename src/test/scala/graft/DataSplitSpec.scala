@@ -50,6 +50,29 @@ class DataSplitSpec extends SparkSuite {
     assert(half.forall { case (id, f) => folds(id) == f })
   }
 
+  test("mixture sampling honors per-stratum rates, drops unlisted strata, stays growth-stable") {
+    val docs = Tables(spark, sf, "documents")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src5" -> 0.0)
+    val kept = DataSplit.mixtureSample(docs, col("doc_id"), col("source"), rates)
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // rate 1.0 keeps everything; rate 0.0 and unlisted sources keep nothing
+    assert(bySrc("src0") == totals("src0"))
+    assert(!bySrc.contains("src5") && !bySrc.contains("src9"))
+    // rate 0.5 keeps roughly half (hash-uniform; generous tolerance at sf0.001)
+    val frac = bySrc("src1").toDouble / totals("src1")
+    assert(frac > 0.2 && frac < 0.8, s"src1 kept fraction $frac")
+    // growth stability: the same doc keeps its decision in a half corpus
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val keptHalf = DataSplit.mixtureSample(half, col("doc_id"), col("source"), rates)
+      .select("doc_id").as[Long].collect().toSet
+    val keptFullEven = kept.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptHalf == keptFullEven)
+  }
+
   test("packChunks: empty text contributes zero tokens, never breaks a chunk") {
     val docs = Seq(("en", 1L, "a b"), ("en", 2L, ""), ("en", 3L, "c d e"))
       .toDF("lang", "doc_id", "text")
