@@ -383,16 +383,21 @@ object VectorQueries extends QueryGroup {
     // asserted in EngineSpec.
     Q("v10_quantize_int8",
       (s, d) => {
-        val xd = transform(col("embedding"), _.cast("double"))
-        val mn = array_min(xd)
-        val mx = array_max(xd)
-        val scale = (mx - mn) / lit(255.0)
-        val q = when(mx > mn,
-          transform(xd, e =>
-            least(lit(255.0), floor((e - mn) / scale + lit(0.5))).cast("int")))
-          .otherwise(transform(xd, _ => lit(0)))
+        // mn/mx/scale are MATERIALIZED as projection columns before the
+        // per-element lambda references them: embedding array_min/array_max
+        // inside the lambda body would re-reduce the whole vector per
+        // element — O(d²) per row (measured 1.9s vs 0.6s at sf0.1).
+        val q = when(col("mx") > col("mn"),
+          transform(col("xd"), e =>
+            least(lit(255.0), floor((e - col("mn")) / col("scale") + lit(0.5))).cast("int")))
+          .otherwise(transform(col("xd"), _ => lit(0)))
         Tables(s, d, "embeddings")
-          .select(col("vec_id"), round(mn, 6).as("qmin"), round(mx, 6).as("qmax"),
+          .withColumn("xd", transform(col("embedding"), _.cast("double")))
+          .withColumn("mn", array_min(col("xd")))
+          .withColumn("mx", array_max(col("xd")))
+          .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+          .select(col("vec_id"), round(col("mn"), 6).as("qmin"),
+            round(col("mx"), 6).as("qmax"),
             array_join(transform(q, _.cast("string")), ",").as("q_csv"))
           .orderBy(col("vec_id"))
       },
