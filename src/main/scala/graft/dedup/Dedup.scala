@@ -242,6 +242,18 @@ object Dedup {
       .select(col("node").as("doc_id"), col("comp"),
         (col("comp") === col("node")).as("is_rep"))
 
+  /** Apply the dedup: keep only each cluster's min-id representative —
+    * the corpus a training run actually reads. Composition of
+    * [[dedupGroups]] + a semi-join back to the full rows (so surviving
+    * docs keep ALL their columns, not just the id).
+    */
+  def keepRepresentatives(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val reps = dedupGroups(docs, id, pairs)
+      .filter(col("is_rep"))
+      .select(col("doc_id").as("__rep_id"))
+    docs.join(reps, id === col("__rep_id"), "left_semi")
+  }
+
   /** Decontamination — the train/eval hygiene step every pre-training
     * pipeline runs: flag corpus docs sharing at least `minShared` DISTINCT
     * word n-gram shingles with the benchmark/eval set. (The n-gram-overlap

@@ -264,6 +264,69 @@ object DedupQueries extends QueryGroup {
              |SELECT node AS doc_id, min(r) AS comp, (min(r) = node) AS is_rep
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // D5 — the dedup APPLIED: the surviving corpus after LSH near-dup
+    // clustering (keep each cluster's min-id representative, full rows).
+    // This is the frame a training run reads — the end product of the
+    // pair→cluster→filter pipeline, under the same recursive-CTE oracle.
+    Q("d5_dedup_apply",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = graft.dedup.Dedup.minhashPairsMd5(
+          docs, col("doc_id"), col("text"))
+        graft.dedup.Dedup.keepRepresentatives(docs, col("doc_id"), pairs)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |hv AS (
+             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
+             |  FROM sh GROUP BY 1),
+             |sigs AS (
+             |  SELECT t.doc_id,
+             |         list_transform(generate_series(0, 63), i -> coalesce(
+             |           list_min(list_transform(h.hs,
+             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
+             |           2147483647)) AS sig
+             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
+             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
+             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+             |pairs AS (
+             |  SELECT da, db
+             |  FROM cand
+             |  JOIN sigs sa ON sa.doc_id = cand.da
+             |  JOIN sigs sb ON sb.doc_id = cand.db
+             |  WHERE CAST(len(list_filter(generate_series(1, 64),
+             |          k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64 >= 0.5),
+             |edges AS (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(node, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+             |SELECT d.doc_id, d.lang, d.source, d.n_chars
+             |FROM documents d
+             |JOIN (SELECT node FROM reach GROUP BY node HAVING min(r) = node) k
+             |  ON k.node = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // D4 — decontamination: corpus docs sharing ≥5 distinct trigram shingles
     // with the eval/benchmark slice (source src0 stands in for the benchmark
     // set). Exact integer counts — fully oracle-mirrored.
