@@ -64,10 +64,14 @@ object DataSplit {
     */
   def mixtureSample(df: DataFrame, id: Column, stratum: Column,
       rates: Map[String, Double], salt: String = "mix"): DataFrame = {
-    val rate = rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-      when(stratum === k, lit(v)).otherwise(acc)
+    // Integer thresholds (round(rate*10000), resolved once on the driver) —
+    // the bucket compare is Long < Long, so an engine mirroring this in
+    // exact DECIMAL arithmetic (the DuckDB oracle) can never land one
+    // bucket apart from IEEE-double rounding of rate*10000 per row.
+    val thr = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(math.round(v * 10000.0))).otherwise(acc)
     }
-    df.filter(hashBucket10k(id, salt) < rate * 10000.0)
+    df.filter(hashBucket10k(id, salt) < thr)
   }
 
   /** Pack documents into ~`budget`-token chunks in id order per group: the

@@ -145,12 +145,12 @@ object PipelineQueries extends QueryGroup {
       Some("""WITH m AS (
              |  SELECT source,
              |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bkt,
-             |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-             |              WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
-             |              ELSE 0.0 END AS rate
+             |         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+             |              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+             |              ELSE 0 END AS thr
              |  FROM documents)
              |SELECT source, count(*) AS n_kept
-             |FROM m WHERE bkt < rate * 10000.0
+             |FROM m WHERE bkt < thr
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

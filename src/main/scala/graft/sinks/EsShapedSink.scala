@@ -39,11 +39,16 @@ object EsShapedSink {
     */
   final class SpoolTransport(dir: String) extends BulkTransport {
     def send(ndjsonLines: Seq[String]): Unit = {
-      val d = new java.io.File(dir)
-      d.mkdirs()
-      val f = java.io.File.createTempFile("bulk_", ".ndjson", d)
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try ndjsonLines.foreach(w.println) finally w.close()
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      val f = java.nio.file.Files.createTempFile(d, "bulk_", ".ndjson")
+      // Files.write throws IOException on a failed write (disk full,
+      // permission) — writeEachWithRetry's retry/dead-letter contract
+      // depends on send() throwing, which PrintWriter would swallow.
+      java.nio.file.Files.write(f,
+        ndjsonLines.mkString("", "\n", "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      ()
     }
   }
 
@@ -53,16 +58,29 @@ object EsShapedSink {
     */
   private[graft] def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\b' => sb.append("\\b")
-      case '\f' => sb.append("\\f")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c if Character.isHighSurrogate(c)
+            && i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)) =>
+          // Valid pair: both chars pass through; they encode to valid UTF-8.
+          sb.append(c).append(s.charAt(i + 1))
+          i += 1
+        case c if Character.isSurrogate(c) =>
+          // Unpaired surrogate cannot be encoded as UTF-8 on the wire;
+          // \uXXXX-escape it so the literal stays lexically valid JSON.
+          sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
     }
     sb.toString
   }
@@ -88,8 +106,15 @@ object EsShapedSink {
     */
   def renderAction(row: Row, spec: IndexSpec = IndexSpec()): Seq[String] = {
     val posted = row.getAs[java.sql.Timestamp]("posted")
-    val postedStr = IsoSeconds.format(posted.toInstant)
     val id = row.getAs[String]("id")
+    // Fail loudly on a stamping-bug precondition (matching upsertBatch's
+    // posture) instead of NPE-ing executor-side, where writeEachWithRetry
+    // would burn 5 retries and dead-letter the record as transport-poisoned.
+    require(posted != null,
+      "renderAction: null posted timestamp — upstream stamping bug, not a transport failure")
+    require(id != null,
+      "renderAction: null id — upstream content-key bug, not a transport failure")
+    val postedStr = IsoSeconds.format(posted.toInstant)
     Seq(
       actionLine(spec, id),
       sourceLine(row.getAs[String]("channel"), row.getAs[String]("nick"),

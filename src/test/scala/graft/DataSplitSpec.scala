@@ -73,6 +73,19 @@ class DataSplitSpec extends SparkSuite {
     assert(keptHalf == keptFullEven)
   }
 
+  test("mixture thresholds are exact integers — awkward rates can't round off-by-one-bucket") {
+    // 0.07*10000 is not exact in binary64 (699.9999...); the integer-threshold
+    // form must behave as bkt < 700 — the same semantics an exact-DECIMAL
+    // engine (the DuckDB oracle) computes — not as bkt < the IEEE product.
+    val docs = Tables(spark, sf, "documents")
+    val kept = DataSplit.mixtureSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 0.07)).select("doc_id").as[Long].collect().toSet
+    val expected = docs.filter(col("source") === "src0")
+      .filter(DataSplit.hashBucket10k(col("doc_id"), "mix") < 700)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+  }
+
   test("packChunks: empty text contributes zero tokens, never breaks a chunk") {
     val docs = Seq(("en", 1L, "a b"), ("en", 2L, ""), ("en", 3L, "c d e"))
       .toDF("lang", "doc_id", "text")

@@ -51,6 +51,42 @@ class EsShapedSinkSpec extends SparkSuite {
     assert(parsed.select("remark").as[String].head() == "line1\nline2 \\ 🎉")
   }
 
+  test("unpaired surrogates are \\uXXXX-escaped; valid pairs pass through") {
+    // A valid pair (U+1F389) is left as-is — it encodes to real UTF-8.
+    assert(EsShapedSink.jsonEscape("\ud83c\udf89") == "\ud83c\udf89")
+    // Lone high, lone low, and a high followed by a non-low are all escaped,
+    // since they cannot be encoded to UTF-8 on the wire.
+    assert(EsShapedSink.jsonEscape("x\ud800y") == "x\\ud800y")
+    assert(EsShapedSink.jsonEscape("x\udfffy") == "x\\udfffy")
+    assert(EsShapedSink.jsonEscape("\ud800\ud83c\udf89") == "\\ud800\ud83c\udf89")
+    // Round-trip: Jackson decodes the escapes back to the original chars.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val s = "a\ud800b\ud83c\udf89c\udc00"
+    assert(mapper.readValue("\"" + EsShapedSink.jsonEscape(s) + "\"", classOf[String]) == s)
+  }
+
+  test("renderAction fails loudly (named precondition) on null posted or id") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("channel", StringType),
+      StructField("nick", StringType), StructField("remark", StringType),
+      StructField("posted", TimestampType), StructField("id", StringType)))
+    val nullPosted = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("#c", "n", "r", null, "id1"), schema)
+    val e1 = intercept[IllegalArgumentException](EsShapedSink.renderAction(nullPosted))
+    assert(e1.getMessage.contains("stamping bug"))
+    val nullId = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("#c", "n", "r", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), null), schema)
+    val e2 = intercept[IllegalArgumentException](EsShapedSink.renderAction(nullId))
+    assert(e2.getMessage.contains("content-key bug"))
+  }
+
+  test("SpoolTransport.send throws on an unwritable spool directory") {
+    // PrintWriter would swallow this; the retry/dead-letter contract
+    // requires send() to throw so the caller can count the failure.
+    val t = new SpoolTransport("/proc/nonexistent/spool")
+    intercept[java.io.IOException](t.send(Seq("{}")))
+  }
+
   test("writeBulk spools partition-grouped bulk requests with every action present") {
     val dir = Files.createTempDirectory("graft_es_bulk").toString
     val recs = mkRecords(

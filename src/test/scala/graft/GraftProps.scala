@@ -94,7 +94,12 @@ object GraftProps extends Properties("graft") {
     */
   property("EsShapedSink.jsonEscape round-trips through a JSON parser") =
     forAll(Gen.listOf(Gen.oneOf(
-      Gen.asciiChar, Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0001', '✓', '中'))
+      Gen.asciiChar, Gen.alphaNumChar,
+      Gen.oneOf('"', '\\', '\n', '\t', '\u0001', '✓', '中'),
+      // Surrogate halves drawn independently: random interleaving produces
+      // lone highs, lone lows, and accidental valid pairs -- all must survive
+      // the round-trip (lone surrogates are \uXXXX-escaped by jsonEscape).
+      Gen.oneOf('\ud800', '\udbff', '\udc00', '\udfff'))
     ).map(_.mkString)) { s =>
       val literal = "\"" + graft.sinks.EsShapedSink.jsonEscape(s) + "\""
       jackson.readValue(literal, classOf[String]) == s
