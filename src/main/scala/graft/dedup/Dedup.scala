@@ -50,6 +50,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs within (blockCols) blocks.
     *
+    * Pair generation is the classic postings self-join (`a JOIN b ON a.term
+    * = b.term AND a.doc < b.doc` — the oracle mirrors it literally). A
+    * posting-list-expansion form (groupBy term → sorted doc array → explode
+    * C(|L|,2) pairs map-side) was measured in round 9 and LOST on this
+    * fixture: same-session medians 4.2 s vs 3.7 s (d2) and 5.0 s vs 1.3 s
+    * (d3) at sf0.1 — the join's pair stream pipelines straight into the
+    * partial aggregate inside one codegen stage, while the expansion pays
+    * collect_list materialization plus two Generate nodes. Revisit only
+    * with evidence on a Zipf-hot natural corpus, where per-term skew would
+    * favor expansion.
+    *
     * Optional `pruneSingletons`: prefilter the postings to terms with
     * df ≥ 2 before the quadratic self-join — result-preserving (a df=1 term
     * can't form a pair; set sizes still count every shingle). On a

@@ -43,32 +43,11 @@ object DedupQueries extends QueryGroup {
     // engine-independent. Shingles (vs unigrams) both sharpen the dup signal
     // and keep posting lists sparse, bounding the candidate join.
     Q("d2_jaccard_neardup",
-      (s, d) => {
-        // cached via the Caches registry (NOT a raw .cache()) so
-        // Verify/Bench can release it per query: the distinct postings
-        // frame feeds sizes + both self-join branches
-        val toks = graft.Caches.track(Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(graft.functions.TextFunctions.bigrams(col("text"))).as("term"))
-          .distinct())
-        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val a = toks.select(col("doc_id").as("da"), col("lang"), col("source"), col("term"))
-        val b = toks.select(col("doc_id").as("db"), col("lang").as("lb"),
-          col("source").as("sb"), col("term").as("tb"))
-        val inter = a.join(b,
-            col("term") === col("tb") && col("lang") === col("lb") &&
-              col("source") === col("sb") && col("da") < col("db"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
-          .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
-          .withColumn("jaccard",
-            col("i").cast("double") / (col("sza") + col("szb") - col("i")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy(col("da"), col("db"))
-      },
+      (s, d) => graft.dedup.Dedup.jaccardPairs(
+          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.5,
+          Seq(col("lang"), col("source")))
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db")),
       Some("""WITH tk AS (
              |  SELECT doc_id, lang, source,
              |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
