@@ -11,15 +11,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** `path = Some(dir)` writes an external table there instead of the
+    * session warehouse — Verify/Bench sessions run with the default
+    * warehouse (the repo cwd), so registry queries keep their bucket files
+    * in the system temp dir.
+    */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      key: String, sortCols: Seq[String] = Seq.empty): Unit = {
+      key: String, sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
     val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
-    df.write
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(sorted.head, sorted.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** Join two bucketed tables on their bucket key (shuffle-free when both

@@ -13,6 +13,7 @@ object Registry {
     VectorQueries,
     MultimodalQueries,
     PipelineQueries,
+    StorageQueries,
     HeadlineQueries)
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Bucketing
+
+/** Storage-layout operators under the differential gate: the two levers that
+  * convert a recurring shuffle/scan cost into a one-time write cost at
+  * 100 TB — bucketed (co-located) joins and partition-pruned scans. Both were
+  * previously spec-only (plan-shape asserts in OperatorSpec); these queries
+  * put the write→read round-trip itself under the DuckDB oracle, so the
+  * layout path is checked for CORRECTNESS, not just plan shape. The write
+  * cost is inside the measured query on purpose — that is the honest cost of
+  * the layout decision a pipeline would amortize.
+  *
+  * Reference basis: the reference's ES sink is itself a layout decision
+  * (index by id for upsert — irclogbot.py:50-51); these are the Spark-native
+  * equivalents for the analytics side.
+  */
+object StorageQueries extends QueryGroup {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Temp-dir namespace per sf dir, so sf0.001 tests / sf0.01 verify /
+    * sf0.1 bench never collide on table names or paths within a session.
+    */
+  private def tag(d: String): String = (d.hashCode & 0x7fffffff).toString
+
+  def all: Seq[Q] = Seq(
+
+    // J9 — bucketed co-located join: both fact tables written bucketed+sorted
+    // on the join key, then joined shuffle-free (no Exchange in the plan —
+    // asserted in OperatorSpec). Same result contract as j2's shuffle join.
+    Q("j9_bucketed_join",
+      (s, d) => {
+        val t = tag(d)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$t"
+        Bucketing.writeBucketed(
+          Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          s"bkt_orders_$t", 8, "o_orderkey", path = Some(s"$base/orders"))
+        Bucketing.writeBucketed(
+          Tables(s, d, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"),
+              col("l_extendedprice"), col("l_discount")),
+          s"bkt_lineitem_$t", 8, "o_orderkey", path = Some(s"$base/lineitem"))
+        Bucketing.bucketJoin(s, s"bkt_orders_$t", s"bkt_lineitem_$t", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // S7 — partitioned write + pruned scan: events land partitioned by day,
+    // the read filters on the partition column, and only the matching day
+    // directories are opened (partitionCount assert in OperatorSpec). The
+    // 100 TB posture: date-partitioning is the first-line scan reducer for
+    // any time-ranged query.
+    Q("s7_partitioned_prune",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_$t"
+        Tables(s, d, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_date").between(lit("2024-01-10"), lit("2024-01-16")))
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("value_cents"))
+          .orderBy(col("event_date"), col("event_type"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -96,4 +96,47 @@ class OperatorSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
   }
+
+  test("j9_bucketed_join registry query: the join itself plans shuffle-free") {
+    // Run the registry query's write phase, then re-derive the bare join
+    // (pre-aggregation) and assert no Exchange feeds the SortMergeJoin:
+    // the only hashpartitioning Exchange allowed is the post-join groupBy's.
+    val q = graft.queries.Registry.byName("j9_bucketed_join")
+    assert(q.run(spark, sf).count() == 5)
+    val t = (sf.hashCode & 0x7fffffff).toString
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = Bucketing.bucketJoin(spark, s"bkt_orders_$t", s"bkt_lineitem_$t", "o_orderkey")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"j9's bucketed join still shuffles:\n$plan")
+    }
+  }
+
+  test("s7_partitioned_prune reads only the 7 filtered day partitions of 30") {
+    val q = graft.queries.Registry.byName("s7_partitioned_prune")
+    assert(q.run(spark, sf).count() > 0)
+    val t = (sf.hashCode & 0x7fffffff).toString
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_$t"
+    // filter-only probe (no shuffle → no AQE wrapper hiding the scan node)
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date").between(lit("2024-01-10"), lit("2024-01-16")))
+      .select(col("event_type"))
+    pruned.count()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 7,
+      s"pruned scan read ${scans.map(_.selectedPartitions.partitionCount).sum} partitions, wanted 7 of 30")
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
