@@ -193,6 +193,53 @@ object HeadlineQueries extends QueryGroup {
              |              (dl * CAST(n AS DOUBLE) / total_dl))), 6) AS bm25
              |FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
              |WHERE term = 'merge'
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Correlated SCALAR subquery through the SQL surface: items priced at
+    // their order's minimum. Catalyst decorrelates the per-row subquery
+    // into an aggregate + join — the rewrite that keeps this shape viable
+    // at 100 TB (a naive per-row execution would be O(n) scans).
+    Q("h9_correlated_min",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_h9")
+        s.sql("""SELECT l_orderkey, l_linenumber,
+                |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+                |FROM lineitem_h9 l1
+                |WHERE l_extendedprice = (SELECT min(l_extendedprice)
+                |                         FROM lineitem_h9 l2
+                |                         WHERE l2.l_orderkey = l1.l_orderkey)
+                |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+             |FROM lineitem l1
+             |WHERE l_extendedprice = (SELECT min(l_extendedprice)
+             |                         FROM lineitem l2
+             |                         WHERE l2.l_orderkey = l1.l_orderkey)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Correlated EXISTS (the TPC-H Q4 shape on this schema): orders with at
+    // least one item shipped >60 days after the order date. Decorrelates to
+    // a left-semi join — EXISTS never multiplies rows, so the count is per
+    // order regardless of how many items qualify.
+    Q("h10_exists_late",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_h10")
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_h10")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_late_orders
+                |FROM orders_h10
+                |WHERE EXISTS (SELECT 1 FROM lineitem_h10
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_late_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
