@@ -54,6 +54,34 @@ object SortSetQueries extends QueryGroup {
              |SELECT o_orderpriority, o_orderkey, price_cents, rn
              |FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // O3 native variant — the custom TopKPerGroup physical operator
+    // (graft/plans/TopKPerGroup.scala): map-side k-bounded heaps prune each
+    // input partition to ≤k rows per group BEFORE the shuffle, vs the window
+    // form above which shuffles and fully sorts every group. Same rows as
+    // o3 minus the rank column; ordering made total by the o_orderkey
+    // tiebreaker. Oracle = the identical ranking-window SQL.
+    Q("o4_topk_native",
+      (s, d) => {
+        val base = Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"))
+        graft.operators.TopK.perGroup(base, 3,
+            group = Seq(col("o_orderpriority")),
+            order = Seq(col("price_cents").desc, col("o_orderkey")))
+          .orderBy(col("o_orderpriority"), col("price_cents").desc,
+            col("o_orderkey"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+             |                                     o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_orderpriority, o_orderkey, price_cents
+             |FROM r WHERE rn <= 3
+             |ORDER BY o_orderpriority, price_cents DESC, o_orderkey""".stripMargin)),
+
     Q("u1_union_all",
       (s, d) => Tables(s, d, "customer")
         .select(lit("cust").as("src"), col("c_custkey").as("key"))
