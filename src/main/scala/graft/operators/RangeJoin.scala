@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (equi-join-shaped) range join — SURVEY §2.6 J5 at fact×fact
+  * scale.
+  *
+  * A range predicate between two LARGE tables defeats every hash strategy:
+  * Catalyst can only plan `p BETWEEN lo AND hi` as a broadcast nested-loop
+  * or cartesian join, both of which are O(|L|·|R|) row comparisons and a
+  * single-executor wall at 100 TB (the broadcast variant additionally
+  * requires one side to fit in memory — j5_range_join gets away with it
+  * only because its build side is a dimension table).
+  *
+  * The standard fix (Databricks' range-join optimization, the interval-join
+  * of the streaming engines) recovers an equi-join by quantizing the range
+  * dimension into fixed-width bins: each range row is exploded to every bin
+  * it overlaps, each point row lands in exactly one bin, the bin id becomes
+  * a shuffle key for an ordinary hash join, and the exact predicate is
+  * re-checked on the candidates. Each matching pair is produced exactly
+  * once — a point belongs to one bin and a range covers that bin once — so
+  * no dedup pass is needed. Cost: |R| × (span/binWidth + 1) exploded rows
+  * and candidate pairs confined to co-binned rows; pick `binWidth` ≈ the
+  * typical range span so the explosion factor stays ~2 and the join stays
+  * shuffle-parallel on the bin key however large both sides grow.
+  */
+object RangeJoin {
+
+  /** Exact floor division on integral columns (`div` truncates toward zero
+    * and `floor(a / b)` detours through doubles; pmod keeps it integral and
+    * correct for negative values, e.g. pre-1970 epochs).
+    */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / w).cast("long")
+
+  /** Join `points` to every `ranges` row whose `[loCol, hiCol]` interval
+    * (inclusive) contains `pointCol`. All three columns must be integral
+    * (epoch micros, sizes, keys). Rows with `lo > hi` are empty intervals
+    * and dropped. Column names must be disjoint across the two inputs —
+    * callers alias, same as any self-join.
+    */
+  def pointInRange(points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
+    val r = ranges
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(col(loCol), binWidth), floorDiv(col(hiCol), binWidth))))
+    p.join(r, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -166,6 +166,37 @@ object JoinQueries extends QueryGroup {
              |SELECT pid, user_id, cid AS last_click_id, pus - cus AS gap_us
              |FROM j WHERE rn = 1 ORDER BY pid""".stripMargin)),
 
+    // J5 at fact×fact scale — binned range join (operators/RangeJoin.scala):
+    // purchases within ±30 s of each error, both sides the full events
+    // table. The raw BETWEEN predicate would plan as a broadcast
+    // nested-loop; binning the time axis at the window width turns it into
+    // a hash join on the bin key (asserted BNLJ/cartesian-free in
+    // RangeJoinSpec) with the exact predicate re-checked on co-binned
+    // candidates. Inner join ⇒ errors with no nearby purchase drop out,
+    // keeping the result deterministic.
+    Q("j10_range_join_binned",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val errs = e.filter(col("event_type") === "error").select(
+          col("event_id").as("err_id"),
+          (expr("unix_micros(ts)") - 30000000L).as("lo"),
+          (expr("unix_micros(ts)") + 30000000L).as("hi"))
+        val purch = e.filter(col("event_type") === "purchase").select(
+          col("event_id").as("p_id"), expr("unix_micros(ts)").as("pus"))
+        graft.operators.RangeJoin.pointInRange(purch, "pus", errs, "lo", "hi",
+            binWidth = 30000000L)
+          .groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_nearby"), min(col("p_id")).as("first_pid"))
+          .orderBy(col("err_id"))
+      },
+      Some("""SELECT e.event_id AS err_id, count(*) AS n_nearby,
+             |       min(p.event_id) AS first_pid
+             |FROM events e JOIN events p
+             |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 30000000
+             |                        AND epoch_us(e.ts) + 30000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // J7 — explicit cross join (5×5).
     Q("j7_cross_join",
       (s, d) => {
