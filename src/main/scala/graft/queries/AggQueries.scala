@@ -302,6 +302,48 @@ object AggQueries extends QueryGroup {
              |       CASE WHEN coalesce(prev, 0) = 0 THEN NULL
              |            ELSE round(CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE), 6)
              |       END AS conv_rate
-             |FROM r ORDER BY stage""".stripMargin))
+             |FROM r ORDER BY stage""".stripMargin)),
+
+    // A12 — exact heavy hitters: terms covering > 1/200 of the token
+    // stream. The full-shuffle formulation — every distinct term is a
+    // grouping key. Integer cross-multiply (cnt × 200 > N) instead of a
+    // division keeps the threshold exact on both engines.
+    Q("a12_heavy_hitters",
+      (s, d) => {
+        val terms = Tables(s, d, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        val n = terms.agg(count(lit(1)).as("n"))
+        terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(n))
+          .filter(col("cnt") * 200 > col("n"))
+          .select(col("term"), col("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+      },
+      Some(hhOracle)),
+
+    // A12 — the SCALE path for the same question: Misra-Gries sketch-prune
+    // (k=256 counters, treeAggregate — the shuffle never carries the
+    // vocabulary) + exact recount of the ≤ 256 candidates. k ≥ φ=200 makes
+    // the candidate set provably complete, so the output is bit-identical
+    // to the exact query — same oracle, full hash gate.
+    Q("a12_heavy_hitters_mg",
+      (s, d) => graft.operators.HeavyHitters.exactViaSketch(
+        Tables(s, d, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+        col("term"), phi = 200, k = 256),
+      Some(hhOracle))
   )
+
+  /** Shared oracle for both heavy-hitter formulations (they are required to
+    * agree bit-for-bit — that is the MG containment guarantee under test).
+    */
+  private val hhOracle: String =
+    """WITH u AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |           FROM documents),
+      |     n AS (SELECT count(*) AS n FROM u)
+      |SELECT term, count(*) AS cnt
+      |FROM u CROSS JOIN n
+      |GROUP BY term, n.n
+      |HAVING count(*) * 200 > n.n
+      |ORDER BY cnt DESC, term""".stripMargin
 }

@@ -151,6 +151,43 @@ object PipelineQueries extends QueryGroup {
              |  FROM documents)
              |SELECT source, count(*) AS n_kept
              |FROM m WHERE bkt < thr
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // x10 — overlapping context-window chunking: 64-token windows advancing
+    // by 48 (16-token overlap), the standard long-document → training-sample
+    // slicer. Map-side only (tokenize → sequence of starts → posexplode →
+    // slice); chunk boundaries are pure integer arithmetic so the DuckDB
+    // mirror is exact. The final short chunk is kept (a tail must not be
+    // silently dropped from a training corpus); empty docs chunk to nothing.
+    Q("x10_chunk_overlap",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(
+            "sequence(0, CASE WHEN n <= 64 THEN 0 ELSE ((n - 64 + 47) div 48) * 48 END, 48)"))
+            .as("tok_start"))
+        .select(col("doc_id"),
+          expr("tok_start div 48").cast("long").as("chunk_id"),
+          col("tok_start").cast("long").as("tok_start"),
+          expr("size(slice(toks, tok_start + 1, 64))").cast("long").as("n_toks"),
+          expr("array_join(slice(toks, tok_start + 1, 64), ' ')").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |           FROM documents),
+             |     z AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |     c AS (SELECT doc_id, toks,
+             |                  unnest(range(0, CASE WHEN n <= 64 THEN 1
+             |                                       ELSE ((n - 64 + 47) // 48) * 48 + 1 END,
+             |                               48)) AS tok_start
+             |           FROM z)
+             |SELECT doc_id,
+             |       CAST(tok_start // 48 AS BIGINT) AS chunk_id,
+             |       CAST(tok_start AS BIGINT) AS tok_start,
+             |       CAST(len(toks[tok_start + 1 : tok_start + 64]) AS BIGINT) AS n_toks,
+             |       array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -83,6 +83,32 @@ object StorageQueries extends QueryGroup {
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S8 — sorted size-capped compaction: range-cluster on the scan key,
+    // sort within partitions, cap records per file. The layout invariant
+    // this buys (asserted file-by-file in OperatorSpec): per-file [min, max]
+    // key intervals are PAIRWISE DISJOINT, so parquet footer min/max stats
+    // prune every file a point/range lookup doesn't need — the 100 TB
+    // answer to both the small-files problem and full-scan point queries.
+    // The oracle checks the round-trip loses/duplicates/corrupts nothing.
+    Q("s8_compaction",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$t"
+        Tables(s, d, "events")
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions(col("event_id"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 2000)
+          .parquet(out)
+        s.read.parquet(out)
+          .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+            col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+             |       CAST(round(value * 100) AS BIGINT) AS vc
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

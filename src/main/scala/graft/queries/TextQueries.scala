@@ -227,6 +227,60 @@ object TextQueries extends QueryGroup {
            |              ${votes(Seq("le", "la", "les", "est", "avec", "dans"), "fr")}), 7)
            |       END AS lang_pred
            |FROM t ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // T8 — PMI collocations: which adjacent word pairs co-occur far more
+    // than their unigram frequencies predict. All counts are exact longs;
+    // the PMI itself is ONE fixed IEEE op sequence (three multiplies, one
+    // divide, ln, round 6) mirrored verbatim in the oracle. Both unigram
+    // joins broadcast — the ≥5-count pair vocabulary is tiny next to the
+    // token stream that produced it.
+    Q("t8_collocations",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val uni = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val nu = uni.agg(sum(col("cnt")).as("nu"))
+        val pairs = docs
+          .select(explode(TextFunctions.bigrams(col("text"))).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("pcnt"))
+        val nb = pairs.agg(sum(col("pcnt")).as("nb"))
+        pairs
+          .filter(col("pcnt") >= 5)
+          .select(
+            substring_index(col("bigram"), " ", 1).as("term_a"),
+            substring_index(col("bigram"), " ", -1).as("term_b"),
+            col("pcnt"))
+          .join(broadcast(uni.select(col("term").as("term_a"), col("cnt").as("ca"))), "term_a")
+          .join(broadcast(uni.select(col("term").as("term_b"), col("cnt").as("cb"))), "term_b")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select(col("term_a"), col("term_b"), col("pcnt"),
+            round(log((col("pcnt") * lit(1.0) * col("nu") * col("nu"))
+              / (col("nb") * lit(1.0) * col("ca") * col("cb"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT $tok AS toks FROM documents),
+              |     u AS (SELECT unnest(toks) AS term FROM t),
+              |     uni AS (SELECT term, count(*) AS cnt FROM u GROUP BY 1),
+              |     nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM uni),
+              |     bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+              |                   THEN list_transform(generate_series(1, len(toks) - 1),
+              |                                       i -> toks[i] || ' ' || toks[i + 1])
+              |                   ELSE [] END) AS bigram
+              |            FROM t),
+              |     pairs AS (SELECT bigram, count(*) AS pcnt FROM bg GROUP BY 1),
+              |     nb AS (SELECT CAST(sum(pcnt) AS BIGINT) AS nb FROM pairs),
+              |     p AS (SELECT split_part(bigram, ' ', 1) AS term_a,
+              |                  split_part(bigram, ' ', 2) AS term_b, pcnt
+              |           FROM pairs WHERE pcnt >= 5)
+              |SELECT term_a, term_b, pcnt,
+              |       round(ln((pcnt * 1.0 * nu * nu) / (nb * 1.0 * ca.cnt * cb.cnt)), 6) AS pmi
+              |FROM p
+              |JOIN uni ca ON ca.term = p.term_a
+              |JOIN uni cb ON cb.term = p.term_b
+              |CROSS JOIN nu CROSS JOIN nb
+              |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin))
   )
 }

@@ -154,6 +154,37 @@ object WindowQueries extends QueryGroup {
              |SELECT user_id, session_id, count(*) AS n,
              |       min(us) AS start_us, max(us) AS end_us
              |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // W6 — distribution + frame-edge windows: percent_rank / cume_dist over
+    // a total per-partition order (cents, event_id — unique, so both are
+    // deterministic), plus first/last_value over the running frame. Doubles
+    // rounded to 6 after the (exact-rank / exact-count) division.
+    Q("w6_distribution",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("vc"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+          .withColumn("pr", round(percent_rank().over(wOrd), 6))
+          .withColumn("cd", round(cume_dist().over(wOrd), 6))
+          .withColumn("first_vc", first(col("vc")).over(wRun))
+          .withColumn("last_vc", last(col("vc")).over(wRun))
+          .orderBy(col("event_type"), col("vc"), col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events)
+             |SELECT event_id, event_type, vc,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd,
+             |       first_value(vc) OVER wr AS first_vc,
+             |       last_value(vc) OVER wr AS last_vc
+             |FROM c
+             |WINDOW w AS (PARTITION BY event_type ORDER BY vc, event_id),
+             |       wr AS (PARTITION BY event_type ORDER BY vc, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, vc, event_id""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, BloomPrune, Bucketing, Salt}
+import graft.operators.{AsOfJoin, BloomPrune, Bucketing, HeavyHitters, Salt}
 
 class OperatorSpec extends SparkSuite {
   import spark.implicits._
@@ -129,6 +129,53 @@ class OperatorSpec extends SparkSuite {
     assert(scans.nonEmpty)
     assert(scans.map(_.selectedPartitions.partitionCount).sum == 7,
       s"pruned scan read ${scans.map(_.selectedPartitions.partitionCount).sum} partitions, wanted 7 of 30")
+  }
+
+  test("misra-gries sketch keeps every term above N/k under any partitioning") {
+    import spark.implicits._
+    // 20 + 12 hot occurrences in a 132-token stream, k=8 → threshold
+    // N/k = 16.5: hot1 MUST survive; hot2 (12 < 16.5) may or may not.
+    val tokens =
+      Seq.fill(20)("hot1") ++ Seq.fill(12)("hot2") ++ (1 to 100).map(i => s"u$i")
+    for (parts <- Seq(1, 3, 7)) {
+      val ds = spark.createDataset(tokens).repartition(parts)
+      val sketch = HeavyHitters.misraGries(ds, k = 8)
+      assert(sketch.size <= 8, s"sketch overflowed k: ${sketch.size}")
+      assert(sketch.contains("hot1"),
+        s"MG guarantee broken at $parts partitions: $sketch")
+      // lower-bound property: sketch count never exceeds the true count
+      assert(sketch("hot1") <= 20)
+    }
+  }
+
+  test("heavy hitters via MG sketch-prune equal the exact full group-by") {
+    val terms = Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val n = terms.count()
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 > n)
+    val viaSketch = HeavyHitters.exactViaSketch(terms, col("term"), phi = 200, k = 256)
+    assert(exact.count() > 0, "fixture has no heavy hitters — test is vacuous")
+    assert(exact.exceptAll(viaSketch).count() == 0)
+    assert(viaSketch.exceptAll(exact).count() == 0)
+  }
+
+  test("s8_compaction layout: per-file key intervals are pairwise disjoint") {
+    val q = graft.queries.Registry.byName("s8_compaction")
+    val rows = q.run(spark, sf).count()
+    assert(rows > 0)
+    val t = (sf.hashCode & 0x7fffffff).toString
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$t"
+    val spans = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .orderBy(col("lo"))
+      .select(col("lo"), col("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.length >= 2, "compaction produced a single file — assert is vacuous")
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"file intervals overlap: hi=$hi1 vs next lo=$lo2 in ${spans.toSeq}")
+    }
   }
 
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
