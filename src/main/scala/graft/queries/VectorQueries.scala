@@ -414,6 +414,97 @@ object VectorQueries extends QueryGroup {
              |              THEN least(255.0, floor((e - mn) / ((mx - mn) / 255.0) + 0.5))
              |              ELSE 0.0 END AS INTEGER) AS VARCHAR)),
              |         'string_agg', ',') AS q_csv
-             |FROM m ORDER BY vec_id""".stripMargin))
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // V11 — product quantization, oracle tier: m=4 subspaces × k=4
+    // centroids, init = first 4 vectors' subvectors, ONE Lloyd round with
+    // round-6 centroid averaging, codes = (distance, cid)-ranked argmin —
+    // the v8 deterministic-kmeans mirror technique applied per subspace.
+    // Output is each vector's 4 codes as rows (vec_id, sub, code).
+    Q("v11_pq_codes",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def l2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => {
+            val dd = x - y; dd * dd
+          }), lit(0.0), (acc, v) => acc + v)
+        // one row per (vector, subspace): 16-dim double slice
+        val subs = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(array((0 until 4).map(i =>
+              transform(slice(col("embedding"), i * 16 + 1, 16), _.cast("double"))): _*))
+              .as(Seq("sub", "svec")))
+        val c0 = subs.filter(col("vec_id") < 4)
+          .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
+        val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist").asc, col("cid"))
+        def assign(cents: org.apache.spark.sql.DataFrame) = subs
+          .join(broadcast(cents), "sub")
+          .withColumn("dist", l2D(col("cvec"), col("svec")))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+        val c1 = assign(c0)
+          .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("cid"), (col("pos") + 1).as("dim"))
+          .agg(round(avg(col("x")), 6).as("v"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+            _.getField("v")).as("cvec"))
+        assign(c1)
+          .select(col("vec_id"), col("sub"), col("cid").as("code"))
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      Some {
+        val l2D =
+          """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |  list_transform(generate_series(1, len(c.cvec)),
+            |    i -> (c.cvec[i] - s.svec[i]) * (c.cvec[i] - s.svec[i]))),
+            |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH s AS (
+           |  SELECT vec_id, g.sub,
+           |         list_transform(embedding[g.sub * 16 + 1 : g.sub * 16 + 16],
+           |                        x -> CAST(x AS DOUBLE)) AS svec
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) g),
+           |c0 AS (SELECT sub, vec_id AS cid, svec AS cvec FROM s WHERE vec_id < 4),
+           |a1 AS (
+           |  SELECT sub, cid, svec FROM (
+           |    SELECT s.vec_id, s.sub, c.cid, s.svec,
+           |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |             ORDER BY $l2D ASC, c.cid) AS rk
+           |    FROM s JOIN c0 c ON c.sub = s.sub) WHERE rk = 1),
+           |d1 AS (
+           |  SELECT sub, cid, i AS dim, round(avg(svec[i]), 6) AS v
+           |  FROM a1 CROSS JOIN unnest(generate_series(1, 16)) AS t(i)
+           |  GROUP BY 1, 2, 3),
+           |c1 AS (SELECT sub, cid, list(v ORDER BY dim) AS cvec FROM d1 GROUP BY 1, 2)
+           |SELECT vec_id, sub, code FROM (
+           |  SELECT s.vec_id, s.sub, c.cid AS code,
+           |         row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |           ORDER BY $l2D ASC, c.cid) AS rk
+           |  FROM s JOIN c1 c ON c.sub = s.sub) WHERE rk = 1
+           |ORDER BY vec_id, sub""".stripMargin
+      }),
+
+    // V11 — the ENGINE path (rows-only: float kmeans training isn't
+    // DuckDB-mirrorable; grid-exactness / recall / reconstruction error are
+    // asserted in PqSpec): train m=4 × k=16 codebooks, encode the corpus,
+    // then the two-stage search — ADC shortlist (the only full scan touches
+    // CODES, 4 table lookups per row, no float math, no shuffle) → exact
+    // re-rank of the shortlist to the true-distance top-10.
+    Q("v11_pq_adc",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cb = graft.similarity.Pq.train(
+          emb, col("vec_id"), col("embedding"), m = 4, k = 16)
+        val enc = graft.similarity.Pq.encode(
+          emb, col("vec_id"), col("embedding"), cb)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.similarity.Pq.knnAdcRerank(
+            enc, emb, col("vec_id"), col("embedding"), col("codes"),
+            query, cb, topK = 10, shortlist = 100)
+          .select(col("vec_id"), round(col("d2"), 6).as("d2"))
+      },
+      None)
   )
 }

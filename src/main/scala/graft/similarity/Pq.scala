@@ -1,0 +1,134 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (SURVEY §2.10 extension — the embedding-compression
+  * tier between int8 scalar quantization (`v10`) and raw float storage).
+  *
+  * The 100 TB shape: a 64-dim float32 corpus is 256 B/vector; PQ with m=4
+  * subspaces × k=16 centroids stores 4 nibble codes (2 B effective, 4 B as
+  * int codes here) — a 64-128× working-set reduction, which is what lets an
+  * ANN index hold the FULL corpus in executor memory instead of spilling.
+  * Search uses asymmetric distance computation (ADC, Jégou et al., TPAMI'11):
+  * the query stays un-quantized, one k×m distance table is computed
+  * driver-side per query (k·m = 64 doubles — trivially broadcast as a
+  * literal), and each row's approximate distance is m TABLE LOOKUPS — no
+  * per-row float math at all, fully codegen'd, no shuffle, topped by
+  * `TakeOrderedAndProject`.
+  *
+  * Training reuses [[Ann.kmeansCentroids]] per subspace (deterministic init,
+  * driver-materialized codebook each round); codebooks collect to the driver
+  * because they are k×m×(d/m) doubles by construction.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: codebooks(sub)(code)(dim), code order pinned by
+    * ranking centroid ids (ids are the init vectors' ids — deterministic).
+    */
+  def train(embeddings: DataFrame, id: Column, vec: Column,
+      m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val d = dim(embeddings, vec)
+    require(d % m == 0, s"PQ: dim $d not divisible by m=$m")
+    val dsub = d / m
+    (0 until m).toArray.map { s =>
+      val sliced = embeddings.select(id.as("sid"),
+        slice(vec, s * dsub + 1, dsub).as("svec"))
+      Ann.kmeansCentroids(sliced, col("sid"), col("svec"), k, iters)
+        .orderBy(col("cid"))
+        .collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    }
+  }
+
+  /** Encode each vector as m argmin codes (0-based, first-minimum tie rule).
+    * Output: (id, codes array<int>). Map-side only — the codebook rides into
+    * codegen as array literals; nothing shuffles.
+    */
+  def encode(embeddings: DataFrame, id: Column, vec: Column,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val sv = transform(slice(vec, s * dsub + 1, dsub), _.cast("double"))
+      val dists = array(codebooks(s).map(c => l2sqLit(sv, c)): _*)
+      // array_position = FIRST index of the minimum (1-based) → 0-based code
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    embeddings.select(id.as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: per-subspace query→centroid distance tables (computed here,
+    * driver-side), then each row scores as m `element_at` lookups summed.
+    */
+  def knnAdc(encoded: DataFrame, id: Column, codes: Column,
+      query: Array[Float], codebooks: Array[Array[Array[Double]]],
+      topK: Int): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    require(query.length == m * dsub,
+      s"PQ: query dim ${query.length} != ${m * dsub}")
+    val tables: Array[Array[Double]] = Array.tabulate(m) { s =>
+      codebooks(s).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val dd = query(s * dsub + i).toDouble - c(i); acc += dd * dd; i += 1
+        }
+        acc
+      }
+    }
+    val score = (0 until m).map { s =>
+      element_at(typedLit(tables(s).toSeq), codes.getItem(s) + 1)
+    }.reduce(_ + _)
+    encoded.select(id.as("vec_id"), score.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** ADC shortlist → exact re-rank: the standard two-stage PQ search. The
+    * ADC pass scans CODES ONLY (the compressed corpus — the only full-scan
+    * cost) to cut the corpus to a `shortlist`; the exact pass re-scores just
+    * those rows against the raw vectors (a broadcast-semi-join-sized read)
+    * and returns the true-distance top-k. Recall is governed by
+    * shortlist/topK, not by quantization coarseness — the knob a 100 TB
+    * deployment actually turns.
+    */
+  def knnAdcRerank(encoded: DataFrame, embeddings: DataFrame,
+      id: Column, vec: Column, codes: Column,
+      query: Array[Float], codebooks: Array[Array[Array[Double]]],
+      topK: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= topK, s"PQ: shortlist $shortlist < topK $topK")
+    val cand = knnAdc(encoded, id, codes, query, codebooks, shortlist)
+      .select(col("vec_id"))
+    val qLit = typedLit(query.map(_.toDouble).toSeq)
+    embeddings.select(id.as("vec_id"), vec.as("v"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), qLit, (x, q) => {
+          val dd = x.cast("double") - q; dd * dd
+        }), lit(0.0), (acc, v) => acc + v).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Decode codes back to the reconstructed (centroid-concatenation) vector
+    * — the reconstruction-error measurement path.
+    */
+  def decode(encoded: DataFrame, id: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val parts = (0 until m).map { s =>
+      element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), codes.getItem(s) + 1)
+    }
+    encoded.select(id.as("vec_id"), concat(parts: _*).as("rvec"))
+  }
+
+  private def dim(embeddings: DataFrame, vec: Column): Int =
+    embeddings.select(size(vec).as("d")).head().getInt(0)
+
+  private def l2sqLit(sv: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(sv, typedLit(centroid.toSeq), (x, c) => { val dd = x - c; dd * dd }),
+      lit(0.0), (acc, v) => acc + v)
+}
