@@ -101,7 +101,28 @@ object ScaleProbe {
         labels
       }),
       "v9_knn_join_shape" -> (() => graft.similarity.Ann.knnJoinLshMd5(
-        emb, col("vec_id"), col("embedding"), k = 5)))
+        emb, col("vec_id"), col("embedding"), k = 5)),
+      // round-9 additions: the MG sketch must absorb 10× stream length with
+      // the same ≤k driver state (candidate count bounded by construction),
+      // and PQ at scale trains on a SAMPLE (the production posture — the
+      // codebook is a distribution estimate, not a corpus function) before
+      // encoding + ADC-searching the full 10× corpus
+      "a12_mg_shape" -> (() => graft.operators.HeavyHitters.exactViaSketch(
+        docs.select(explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+        col("term"), phi = 200, k = 256)),
+      "v11_pq_shape" -> (() => {
+        val sample = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        val cb = graft.similarity.Pq.train(
+          sample, col("vec_id"), col("embedding"), m = 4, k = 16)
+        val enc = graft.similarity.Pq.encode(
+          emb, col("vec_id"), col("embedding"), cb)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.similarity.Pq.knnAdcRerank(enc, emb, col("vec_id"),
+          col("embedding"), col("codes"), query, cb,
+          topK = 10, shortlist = 1000)
+      }))
 
     val timed = probes.map { case (name, mk) =>
       val t0 = System.nanoTime()

@@ -74,6 +74,25 @@ object DataSplit {
     df.filter(hashBucket10k(id, salt) < thr)
   }
 
+  /** Exact-quota stratified sample: exactly `min(n, |stratum|)` rows per
+    * stratum, chosen by ranking each stratum on the salted id hash (a
+    * deterministic shuffle order) with the id as tiebreak. Complements
+    * [[mixtureSample]]: rates give growth-stable membership but approximate
+    * counts; quotas give exact counts but membership that can churn as the
+    * corpus grows (a new low-hash row displaces the rank-n one) — which is
+    * why both exist. One shuffle on the stratum key; the per-stratum state
+    * is a rank counter, not the stratum contents.
+    */
+  def stratifiedExact(df: DataFrame, stratum: Column, id: Column,
+      n: Int, salt: String = "strat"): DataFrame = {
+    require(n >= 1, s"stratifiedExact: n must be >= 1, got $n")
+    val h = md5(concat(lit(s"$salt:"), id.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Pack documents into ~`budget`-token chunks in id order per group: the
     * window cumsum form (chunk = floor of the tokens BEFORE this doc /
     * budget) — deterministic, one shuffle on the group key, and the chunk id

@@ -188,6 +188,23 @@ object PipelineQueries extends QueryGroup {
              |       CAST(tok_start AS BIGINT) AS tok_start,
              |       CAST(len(toks[tok_start + 1 : tok_start + 64]) AS BIGINT) AS n_toks,
              |       array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
-             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // x11 — exact-quota stratified sample: exactly 25 docs per source,
+    // membership decided by the salted-md5 rank (deterministic, mirrored
+    // verbatim — DuckDB md5 = Spark md5, both lowercase hex, id tiebreak).
+    Q("x11_stratified_exact",
+      (s, d) => DataSplit.stratifiedExact(
+        Tables(s, d, "documents"), col("source"), col("doc_id"), n = 25)
+        .select(col("source"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, lang,
+             |         row_number() OVER (
+             |           PARTITION BY source
+             |           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, doc_id, lang FROM r WHERE rn <= 25
+             |ORDER BY source, doc_id""".stripMargin))
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions
 import graft.ingest.IrcParser
+import graft.operators.IncrementalAgg
 
 /** Scans, projections, filters, per-row rewrites and scalar functions —
   * SURVEY.md §2.1 (S6), §2.3 (P1-P8), §2.4 (F2/F3/F5/F8).
@@ -96,6 +97,34 @@ object RelationalQueries extends QueryGroup {
              |       count(DISTINCT md5(concat_ws('|', channel, nick, remark))) AS n_unique,
              |       count(*) AS n_msgs
              |FROM rec GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // Incremental rollup maintenance: the stored-state + delta merge that
+    // replaces full recompute at scale. The fact stream is split by id
+    // parity so EVERY key appears in both slices — the merge must combine
+    // partial states, not just concatenate disjoint ones — and the oracle
+    // is the full recompute, pinning state(old ∪ new) = merge(state(old),
+    // state(new)) bit-exactly.
+    Q("i2_incremental_rollup",
+      (s, d) => {
+        val e = Tables(s, d, "events").select(
+          col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("vc"))
+        val keys = Seq(col("event_type"), col("day"))
+        val hist = IncrementalAgg.state(
+          e.filter(col("event_id") % 2 === 0), keys, col("vc"))
+        val delta = IncrementalAgg.state(
+          e.filter(col("event_id") % 2 === 1), keys, col("vc"))
+        IncrementalAgg.finalize(
+            IncrementalAgg.merge(hist, delta, Seq("event_type", "day")))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+             |       max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+             |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             |             / count(*), 6) AS avg_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("p2_filter_chain",
       (s, d) => Tables(s, d, "documents")

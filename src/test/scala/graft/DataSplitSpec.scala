@@ -108,4 +108,21 @@ class DataSplitSpec extends SparkSuite {
     assert(got == Seq(("de", 10L, 3, 0L), ("en", 1L, 4, 0L),
       ("en", 2L, 3, 0L), ("en", 3L, 5, 1L)))
   }
+
+  test("stratifiedExact: exact per-stratum counts, partition-invariant, quota-capped") {
+    val docs = Tables(spark, sf, "documents")
+    val got = DataSplit.stratifiedExact(docs, col("source"), col("doc_id"), 10)
+    val counts = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // exactly min(n, |stratum|) rows per stratum — the quota contract
+    assert(counts == sizes.map { case (s, n) => s -> math.min(10L, n) })
+    // same members regardless of physical partitioning (rank is over a
+    // total deterministic order, not arrival order)
+    val re = DataSplit.stratifiedExact(
+      docs.repartition(7, col("lang")), col("source"), col("doc_id"), 10)
+    assert(got.select("doc_id").exceptAll(re.select("doc_id")).count() == 0)
+    assert(re.select("doc_id").exceptAll(got.select("doc_id")).count() == 0)
+  }
 }

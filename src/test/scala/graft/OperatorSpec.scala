@@ -178,6 +178,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("incremental agg states merge to the full recompute in any order") {
+    import graft.operators.IncrementalAgg
+    val e = Tables(spark, sf, "events").select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val keys = Seq(col("event_type"))
+    val full = IncrementalAgg.state(e, keys, col("vc"))
+    // three arbitrary slices covering the stream
+    val s0 = IncrementalAgg.state(e.filter(col("event_id") % 3 === 0), keys, col("vc"))
+    val s1 = IncrementalAgg.state(e.filter(col("event_id") % 3 === 1), keys, col("vc"))
+    val s2 = IncrementalAgg.state(e.filter(col("event_id") % 3 === 2), keys, col("vc"))
+    def m(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.merge(a, b, Seq("event_type"))
+    for (merged <- Seq(m(m(s0, s1), s2), m(s0, m(s1, s2)), m(m(s2, s0), s1))) {
+      assert(full.exceptAll(merged).count() == 0 && merged.exceptAll(full).count() == 0,
+        "merge is not associative/commutative against the full recompute")
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
