@@ -50,7 +50,23 @@ object Explain {
         |literal in plan text; lines below are truncated at 400 chars. The
         |shape that matters: Scan(lineitem) → Filter[might_contain(bloom,
         |xxhash64(key))] BEFORE the exchange — the bloom shrinks the shuffle,
-        |the exact semi-join after it removes the bounded false positives.""".stripMargin))
+        |the exact semi-join after it removes the bounded false positives.""".stripMargin),
+    "a12_heavy_hitters_mg" ->
+      ("""Shape note: the plan below is only PASS 2 (candidate recount) — the
+        |Misra-Gries sketch pass ran at construction time as an RDD
+        |treeAggregate (no SQL plan), delivering ≤ k=256 candidate terms to
+        |the driver. What to read here: the `term IN (...)` candidate filter
+        |sits ON THE SCAN side, so the groupBy's exchange carries at most 256
+        |distinct keys — compare a12_heavy_hitters, whose exchange carries
+        |the full vocabulary. That delta is the whole point at 100 TB.""".stripMargin),
+    "v11_pq_adc" ->
+      ("""Shape note: codebook training (per-subspace kmeans, driver-collected
+        |k×m×16 doubles) ran at construction time — the plan below is the
+        |SEARCH: an ADC scan whose per-row cost is 4 array-literal lookups
+        |(no float math, no join — the distance tables are baked into the
+        |projection), TakeOrdered to a 100-row shortlist, then one
+        |broadcast-semi-join re-rank against raw vectors. The only full-table
+        |scan touches the 4-int code column.""".stripMargin))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
