@@ -25,19 +25,52 @@ object Pq {
 
   /** Per-subspace codebooks: codebooks(sub)(code)(dim), code order pinned by
     * ranking centroid ids (ids are the init vectors' ids — deterministic).
+    *
+    * All m subspaces train JOINTLY in one plan per Lloyd round: vectors
+    * explode to (sid, sub, svec) rows once, assignment is a single
+    * broadcast-join + per-(sid, sub) argmin window, recentering one
+    * aggregation keyed (sub, cid) — so the job count is per ITERATION, not
+    * per iteration × subspace (the serial per-subspace form ran m× the
+    * jobs for the same math). Assignment distance is L2², matching what ADC
+    * serves at query time. The m×k codebook is driver-materialized each
+    * round (same lineage-reset rationale as [[Ann.kmeansCentroids]]).
     */
   def train(embeddings: DataFrame, id: Column, vec: Column,
       m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
     val d = dim(embeddings, vec)
     require(d % m == 0, s"PQ: dim $d not divisible by m=$m")
     val dsub = d / m
-    (0 until m).toArray.map { s =>
-      val sliced = embeddings.select(id.as("sid"),
-        slice(vec, s * dsub + 1, dsub).as("svec"))
-      Ann.kmeansCentroids(sliced, col("sid"), col("svec"), k, iters)
-        .orderBy(col("cid"))
-        .collect()
-        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val subs = embeddings.select(id.cast("long").as("sid"),
+      posexplode(array((0 until m).map(s =>
+        slice(vec, s * dsub + 1, dsub)): _*)).as(Seq("sub", "svec")))
+    val initIds = embeddings.select(id.cast("long").as("sid"))
+      .orderBy(col("sid")).limit(k).collect().map(_.getLong(0)).toSeq
+    def materialize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      require(rows.nonEmpty, "PQ: empty codebook — empty training corpus?")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    var cents = materialize(subs.filter(col("sid").isInCollection(initIds))
+      .select(col("sub"), col("sid").as("cid"), col("svec").as("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid"), col("sub")).orderBy(col("dist"), col("cid"))
+    var i = 0
+    while (i < iters) {
+      cents = materialize(subs.join(broadcast(cents), "sub")
+        .withColumn("dist", l2sqCols(col("svec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("sub"), col("cid"))
+        .agg(graft.functions.CentroidAgg.centroid(col("svec")).as("cvec_d"))
+        .select(col("sub"), col("cid"), col("cvec_d").cast("array<float>").as("cvec")))
+      i += 1
+    }
+    val byShape = cents.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray.map(_.toDouble)))
+      .groupBy(_._1)
+    Array.tabulate(m) { s =>
+      byShape(s).sortBy(_._2).map(_._3)
     }
   }
 
@@ -130,5 +163,12 @@ object Pq {
   private def l2sqLit(sv: Column, centroid: Array[Double]): Column =
     aggregate(
       zip_with(sv, typedLit(centroid.toSeq), (x, c) => { val dd = x - c; dd * dd }),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2sqCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      }),
       lit(0.0), (acc, v) => acc + v)
 }
