@@ -185,6 +185,31 @@ object WindowQueries extends QueryGroup {
              |WINDOW w AS (PARTITION BY event_type ORDER BY vc, event_id),
              |       wr AS (PARTITION BY event_type ORDER BY vc, event_id
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY event_type, vc, event_id""".stripMargin))
+             |ORDER BY event_type, vc, event_id""".stripMargin)),
+
+    // W7 — RANGE frames (vs w3's ROW frames): per-user trailing 10-minute
+    // value window keyed on event TIME, not row position — the frame an
+    // alerting/rate query actually means. RANGE includes all peers of the
+    // current ORDER BY value on both engines, so ties in `us` are
+    // deterministic by definition.
+    Q("w7_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-600000000L, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"), cents(col("value")).as("vc"))
+          .withColumn("trail_cents", sum(col("vc")).over(w))
+          .withColumn("trail_n", count(lit(1)).over(w))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |       CAST(round(value * 100) AS BIGINT) AS vc,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_cents,
+             |       count(*) OVER w AS trail_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin))
   )
 }

@@ -178,6 +178,21 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("a12_mg plan: the candidate filter sits below the aggregation exchange") {
+    // the scale contract of sketch-prune: the groupBy's shuffle carries only
+    // the ≤ k candidate terms, i.e. the IN-set filter is on the scan side of
+    // the first Exchange, not after it
+    val df = graft.queries.Registry.byName("a12_heavy_hitters_mg").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("INSET")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(filterAt >= 0, s"no INSET candidate filter in plan:\n$plan")
+    assert(exchangeAt >= 0 && filterAt > exchangeAt,
+      "candidate INSET filter is not below the aggregation exchange " +
+        s"(filter@$filterAt exchange@$exchangeAt)\n$plan")
+  }
+
   test("incremental agg states merge to the full recompute in any order") {
     import graft.operators.IncrementalAgg
     val e = Tables(spark, sf, "events").select(
