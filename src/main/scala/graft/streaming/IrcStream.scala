@@ -274,6 +274,74 @@ object IrcStream {
       .foreachBatch((b: DataFrame, id: Long) => upsertBatch(b, id, targetDir))
       .start()
 
+  /** Streaming rollup maintenance — [[graft.operators.IncrementalAgg]]'s
+    * batch invariant applied as a foreachBatch sink: each micro-batch's
+    * partial state (per channel×hour: n, sum/min/max of remark bytes)
+    * merges with the stored rollup, so maintaining the materialized view
+    * costs O(batch + rollup keys) per trigger, never O(history).
+    *
+    * Durability/idempotence: the merged rollup lands as a VERSIONED
+    * snapshot dir `v=<batchId>`, and the merge base is the max version
+    * STRICTLY BELOW the current batchId — so a replayed batch (restart
+    * after crash) overwrites its own partial/complete snapshot from the
+    * same base instead of double-counting, and a crash mid-write leaves the
+    * previous version intact. Versions older than the two most recent are
+    * pruned after a successful write. Feed it the DEDUPED stream: in-batch
+    * duplicate ids are dropped here, cross-batch exact dedup is the record
+    * sink's job (this view trades that for never re-reading history).
+    */
+  def rollupBatch(batch: DataFrame, batchId: Long, rollupDir: String): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions: Seq[Long] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    val delta = graft.operators.IncrementalAgg.state(
+      batch.dropDuplicates("id")
+        .select(col("channel"),
+          date_format(col("posted"), "yyyy-MM-dd HH:00:00").as("hour"),
+          length(col("remark")).cast("long").as("bytes")),
+      Seq(col("channel"), col("hour")), col("bytes"))
+    val base = versions.filter(_ < batchId).sorted.lastOption
+    val merged = base match {
+      case Some(v) => graft.operators.IncrementalAgg.merge(
+        spark.read.parquet(s"$rollupDir/v=$v"), delta, Seq("channel", "hour"))
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$rollupDir/v=$batchId")
+    versions.sorted.dropRight(2).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rollupDir/v=$v"), true))
+  }
+
+  /** Current rollup state: the highest committed version. */
+  def readRollup(spark: SparkSession, rollupDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    require(vs.nonEmpty, s"readRollup: no committed versions under $rollupDir")
+    spark.read.parquet(s"$rollupDir/v=${vs.max}")
+  }
+
+  /** Stream → parse → dedup → incremental rollup view (ST + IncrementalAgg
+    * composition). The record sink keeps full fidelity elsewhere; this
+    * maintains the always-fresh aggregate a dashboard/alert reads.
+    */
+  def startRollup(
+      lines: DataFrame, rollupDir: String, checkpointDir: String,
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    deduped(records(lines), watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) => rollupBatch(b, id, rollupDir))
+      .start()
+
   /** The reference's ACTUAL write loop, end-to-end (irclogbot.py:46-59):
     * stream → parse → dedup → per-RECORD sink write with bounded retry →
     * drop (dead-letter). Use when the sink is a record-level client (the ES

@@ -118,6 +118,36 @@ class StreamingSpec extends SparkSuite {
     assert(sink.select("id").distinct().count() == 3)
   }
 
+  test("streaming rollup: batches merge to the full recompute; replay can't double-count") {
+    val dir = Files.createTempDirectory("graft_rollup").toString + "/view"
+    def mk(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    val b0 = mk(
+      ("id1", "#x", "alice", "hello", "2024-01-01 10:05:00"),
+      ("id2", "#x", "bob", "worlds", "2024-01-01 10:40:00"),
+      ("id3", "#y", "carol", "hey", "2024-01-01 10:10:00"))
+    val b1 = mk(
+      ("id4", "#x", "alice", "again", "2024-01-01 10:50:00"),
+      ("id5", "#x", "dave", "more text", "2024-01-01 11:02:00"))
+    IrcStream.rollupBatch(b0, 0L, dir)
+    IrcStream.rollupBatch(b1, 1L, dir)
+    // crash-replay of batch 1: same batchId must NOT double-count
+    IrcStream.rollupBatch(b1, 1L, dir)
+    val got = IrcStream.readRollup(spark, dir)
+      .select("channel", "hour", "n", "sum_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    // full recompute over all records: #x 10h = hello(5)+worlds(6)+again(5),
+    // #x 11h = more text(9), #y 10h = hey(3)
+    assert(got == Set(
+      ("#x", "2024-01-01 10:00:00", 3L, 16L),
+      ("#x", "2024-01-01 11:00:00", 1L, 9L),
+      ("#y", "2024-01-01 10:00:00", 1L, 3L)))
+    // only the two most recent versions are retained
+    val vs = new java.io.File(dir).list().toSeq.filter(_.startsWith("v="))
+    assert(vs.toSet == Set("v=0", "v=1"))
+  }
+
   test("upsert anti-join reads only the batch's channel partitions (K1 at scale)") {
     val dir = Files.createTempDirectory("graft_upsert_prune").toString + "/sink"
     def mk(rows: (String, String, String, String, String)*) =
