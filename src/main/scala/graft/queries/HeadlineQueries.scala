@@ -240,6 +240,39 @@ object HeadlineQueries extends QueryGroup {
              |              WHERE l_orderkey = o_orderkey
              |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q8 shape: market share — fact⋈fact⋈broadcast-dim, aggregate,
+    // then a share-of-total window over the aggregate (25 nations × years,
+    // so the window runs on a tiny frame; all the volume died in the
+    // partial agg). Revenue in exact cents; one double divide, round 6.
+    Q("h11_market_share",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("yr"))
+        Tables(s, d, "orders")
+          .join(Tables(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+          .withColumn("share",
+            round(col("rev_cents").cast("double")
+              / sum(col("rev_cents")).over(w), 6))
+          .orderBy(col("yr"), col("n_name"))
+      },
+      Some("""WITH r AS (
+             |  SELECT year(o_orderdate) AS yr, n_name,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT yr, n_name, rev_cents,
+             |       round(CAST(rev_cents AS DOUBLE)
+             |             / sum(rev_cents) OVER (PARTITION BY yr), 6) AS share
+             |FROM r ORDER BY yr, n_name""".stripMargin))
   )
 }
