@@ -178,6 +178,34 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-code-change skew path)") {
+    import spark.implicits._
+    // one hot key carrying ~97% of the fact side — the shape that strands
+    // a single reducer for the whole stage without intervention. Salt
+    // (OperatorSpec above) is the MANUAL fix; this pins the AQE fix: with
+    // skew-join enabled and thresholds scaled to fixture size, the runtime
+    // re-plan splits the hot partition across tasks (skew=true in the SMJ).
+    val fact = ((1 to 30000).map(_ => 1L) ++ (1 to 1000).map(i => (i % 50) + 2L))
+      .toDF("k").withColumn("payload", concat(lit("x"), monotonically_increasing_id()))
+    val dim = (1L to 60L).toDF("k").withColumn("attr", col("k") * 10)
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384") {
+      val joined = fact.join(dim, "k")
+      // materialize THIS plan (count() would build a different query whose
+      // AQE run leaves `joined`'s own plan un-finalized)
+      assert(joined.collect().length == 31000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n$plan")
+    }
+  }
+
   test("a12_mg plan: the candidate filter sits below the aggregation exchange") {
     // the scale contract of sketch-prune: the groupBy's shuffle carries only
     // the ≤ k candidate terms, i.e. the IN-set filter is on the scan side of
