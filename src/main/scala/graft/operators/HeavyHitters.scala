@@ -42,7 +42,7 @@ object HeavyHitters {
     sketch.toMap
   }
 
-  private def insert(
+  private[graft] def insert(
       m: mutable.HashMap[String, Long], t: String, k: Int): mutable.HashMap[String, Long] = {
     m.get(t) match {
       case Some(c) => m.update(t, c + 1)
@@ -58,7 +58,7 @@ object HeavyHitters {
     m
   }
 
-  private def merge(
+  private[graft] def merge(
       a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long],
       k: Int): mutable.HashMap[String, Long] = {
     b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }

@@ -104,4 +104,35 @@ object GraftProps extends Properties("graft") {
       val literal = "\"" + graft.sinks.EsShapedSink.jsonEscape(s) + "\""
       jackson.readValue(literal, classOf[String]) == s
     }
+
+  private val hhK = 5
+  /** Zipf-ish streams: a couple of hot tokens over a long-tail alphabet. */
+  private val hhStream: Gen[List[String]] = Gen.listOf(Gen.frequency(
+    6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+    4 -> Gen.choose(0, 50).map(i => s"t$i")))
+
+  /** The Misra-Gries core invariants, over arbitrary streams AND arbitrary
+    * split points (the kernel the distributed treeAggregate composes —
+    * pure, so thousands of cases cost nothing):
+    *  - containment: every term with true count > N/k survives the merge
+    *  - lower bound: no sketch count exceeds the true count
+    *  - size: the merged sketch never exceeds k entries
+    */
+  property("MG sketch: containment + lower-bound + size under any split") =
+    forAll(hhStream, Gen.choose(0, 1000)) { (stream, cut) =>
+      import scala.collection.mutable
+      import graft.operators.HeavyHitters
+      val (l, r) = stream.splitAt(cut % (stream.length + 1))
+      def sk(xs: List[String]) =
+        xs.foldLeft(mutable.HashMap.empty[String, Long])(
+          (m, t) => HeavyHitters.insert(m, t, hhK))
+      val merged = HeavyHitters.merge(sk(l), sk(r), hhK)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.length.toLong
+      val containment = truth.forall { case (t, c) =>
+        c * hhK <= n || merged.contains(t)
+      }
+      val lowerBound = merged.forall { case (t, c) => c <= truth.getOrElse(t, 0L) }
+      containment && lowerBound && merged.size <= hhK
+    }
 }

@@ -148,6 +148,13 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("heavy hitters on an empty stream return an empty result, not an error") {
+    import spark.implicits._
+    val empty = spark.createDataset(Seq.empty[String]).toDF("term")
+    assert(HeavyHitters.exactViaSketch(empty, col("term"), phi = 200, k = 256)
+      .count() == 0)
+  }
+
   test("heavy hitters via MG sketch-prune equal the exact full group-by") {
     val terms = Tables(spark, sf, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))

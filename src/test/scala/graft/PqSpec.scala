@@ -72,6 +72,21 @@ class PqSpec extends SparkSuite {
       s"rerank recall@10 too low: $recall/10 (got=$reranked exact=$exact)")
   }
 
+  test("corpus smaller than k trains a shrunken codebook that still encodes") {
+    val tiny = Seq(
+      (0L, Seq(0f, 0f, 1f, 1f)), (1L, Seq(2f, 2f, 3f, 3f)), (2L, Seq(9f, 9f, 9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.train(tiny, col("vec_id"), col("embedding"), m = 2, k = 8, iters = 1)
+    assert(cb.length == 2 && cb.forall(s => s.length >= 1 && s.length <= 3))
+    val enc = Pq.encode(tiny, col("vec_id"), col("embedding"), cb)
+    assert(enc.count() == 3)
+    val bad = enc.filter(
+      col("codes").getItem(0) >= cb(0).length ||
+        col("codes").getItem(1) >= cb(1).length ||
+        exists(col("codes"), _ < 0)).count()
+    assert(bad == 0)
+  }
+
   test("reconstruction error beats the zero-information baseline and is deterministic") {
     val enc = Pq.encode(emb, col("vec_id"), col("embedding"), cb)
     val rec = Pq.decode(enc, col("vec_id"), col("codes"), cb)
