@@ -206,6 +206,21 @@ object JoinQueries extends QueryGroup {
       },
       Some("""SELECT r1.r_name AS a, r2.r_name AS b
              |FROM region r1 CROSS JOIN region r2
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // J11 — exact fuzzy self-join (edit distance 1) by deletion-neighborhood
+    // blocking: the shuffle carries O(names × length) variant keys, never
+    // the O(n²) pair space — while the ORACLE does the honest brute-force
+    // levenshtein join, so blocking completeness itself is under the hash
+    // gate (a missed candidate = missing row = hash mismatch).
+    Q("j11_fuzzy_join",
+      (s, d) => graft.operators.FuzzyJoin.editDistance1Pairs(
+        Tables(s, d, "customer").select(col("c_name")).distinct())
+        .orderBy(col("term_a"), col("term_b")),
+      Some("""WITH v AS (SELECT DISTINCT c_name AS term FROM customer)
+             |SELECT a.term AS term_a, b.term AS term_b
+             |FROM v a JOIN v b
+             |  ON a.term < b.term AND levenshtein(a.term, b.term) = 1
+             |ORDER BY term_a, term_b""".stripMargin))
   )
 }

@@ -228,6 +228,21 @@ class OperatorSpec extends SparkSuite {
         s"(filter@$filterAt exchange@$exchangeAt)\n$plan")
   }
 
+  test("fuzzy join finds exactly the distance-1 pairs: subst, ins/del, no false hits") {
+    import spark.implicits._
+    val terms = Seq("cat", "cut", "cart", "at", "dog", "dig", "cats", "act")
+      .toDF("term")
+    val got = graft.operators.FuzzyJoin.editDistance1Pairs(terms)
+      .as[(String, String)].collect().toSet
+    // cat~cut (subst), cat~cart (insert), cat~at (delete), cat~cats (insert),
+    // dog~dig (subst), at~act (insert); NOT act~cat (transposition = dist 2),
+    // NOT cart~cats (dist 2)
+    assert(got == Set(
+      ("cart", "cat"), ("at", "cat"), ("cat", "cats"),
+      ("cat", "cut"), ("dig", "dog"), ("act", "at")),
+      s"got $got")
+  }
+
   test("incremental agg states merge to the full recompute in any order") {
     import graft.operators.IncrementalAgg
     val e = Tables(spark, sf, "events").select(
