@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# One-command local round gate: everything the driver checks, in order.
+#
+#   tools/round_gate.sh           # full gate (sf0.01 verify, tests, bench check)
+#   tools/round_gate.sh --quick   # sf0.001 verify + tests only (iteration loop)
+#
+# Exit non-zero on the first failing stage. Run it QUIET (no concurrent sbt/
+# tests) if you intend to trust bench numbers — see BASELINE.md round 9.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF=/root/testdata/sf0.01
+[[ "${1:-}" == "--quick" ]] && SF=/root/testdata/sf0.001
+
+out=$(mktemp -d /tmp/graft_gate.XXXXXX)
+echo "== 1/4 verify dump @ $SF"
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $out" 2>&1 \
+  | grep '\[verify\]' && { echo "verify had per-query failures"; exit 1; } || true
+echo "== 2/4 DuckDB differential"
+python3 tools/check_oracle.py "$SF" "$out"
+echo "== 3/4 flagship smoke"
+sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep -q 'ENTRY_ROWS=[1-9]' \
+  || { echo "EntrySmoke returned 0 rows"; exit 1; }
+echo "== 4/4 scalatest"
+sbt -batch test
+
+if [[ "${1:-}" != "--quick" && -f BENCH_full.json ]]; then
+  echo "== bench artifact check (committed BENCH_full.json vs baseline)"
+  python3 tools/check_bench.py BENCH_full.json
+fi
+echo "GATE GREEN"
