@@ -109,6 +109,24 @@ object StorageQueries extends QueryGroup {
       },
       Some("""SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
              |       CAST(round(value * 100) AS BIGINT) AS vc
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // S9 — JSONL round-trip: the corpus interchange format (every training
+    // pipeline imports/exports it). Write the documents table as JSON
+    // lines, read it back with the EXPLICIT schema (inference would drift
+    // int64 → bigint-or-double on ingestion order), and prove the round
+    // trip loses nothing — unicode text, escaping, and numeric width all
+    // sit under the identity oracle against the parquet original.
+    Q("s9_jsonl_roundtrip",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$t"
+        val docs = Tables(s, d, "documents")
+        docs.write.mode("overwrite").json(out)
+        s.read.schema(docs.schema).json(out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
