@@ -296,4 +296,45 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
+
+  /** Exact duplicate-span coverage at k-token granularity (the signal behind
+    * exact-substring training-data dedup, Lee et al. 2021): per document,
+    * how many token positions sit inside some k-token span that also occurs
+    * VERBATIM in another document, and the covered fraction. Docs above a
+    * coverage threshold are boilerplate/mirror suspects that near-dup
+    * signatures (whole-doc MinHash/SimHash) systematically miss.
+    *
+    * Shape: explode k-shingles with positions (rows = corpus token count),
+    * one groupBy over the span key to find cross-doc spans, join back, and
+    * count distinct covered positions per doc — shuffles are all keyed, the
+    * pair space is never materialized. At 100 TB the span key should be
+    * `xxhash64(span)` instead of raw text to cut shuffle width (same plan
+    * shape); raw text is kept here so the whole pipeline sits under the
+    * DuckDB differential gate.
+    *
+    * Output: (doc_id, n_toks, n_dup_pos, dup_ratio) for every doc with ≥1
+    * token; docs shorter than k have zero coverage by definition.
+    */
+  def dupSpanCoverage(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val t = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val spans = t.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(s"sequence(0, n - $k)")).as("pos"), col("toks"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(toks, pos + 1, $k), ' ')").as("span"))
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"))
+    val cov = spans.join(dup, "span")
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("ndp"))
+    t.select(col("doc_id"), col("n"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        coalesce(col("ndp"), lit(0L)).cast("long").as("n_dup_pos"),
+        round(coalesce(col("ndp"), lit(0L)) * lit(1.0) / col("n"), 6).as("dup_ratio"))
+  }
 }

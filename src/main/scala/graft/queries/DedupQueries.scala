@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{MinHashDedup, SimHashDedup}
+import graft.dedup.{Dedup, MinHashDedup, SimHashDedup}
 import graft.functions.HashFunctions
 
 /** Deduplication — SURVEY.md §2.6 (D1, D2) + the LLM-pipeline dedup family:
@@ -371,6 +371,38 @@ object DedupQueries extends QueryGroup {
              |           CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > len(hs)
              |                THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
              |         (acc, v) -> acc + v) AS simhash
-             |FROM hs ORDER BY doc_id""".stripMargin))
+             |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // D6 — exact duplicate-span coverage (Lee et al. 2021 exact-substring
+    // dedup signal at 8-token granularity): per doc, the count and fraction
+    // of token positions covered by an 8-token span that occurs verbatim in
+    // ANOTHER doc. Everything is integer counts until the single mirrored
+    // ratio divide; the span key stays raw text so the whole explode →
+    // groupBy → join-back → coverage pipeline is under the hash gate (the
+    // engine swap at scale is xxhash64(span) for the key — same plan).
+    Q("d6_dup_span",
+      (s, d) => Dedup.dupSpanCoverage(
+        Tables(s, d, "documents"), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |           FROM documents),
+             |     z AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |     s AS (SELECT doc_id, n, unnest(range(0, n - 8 + 1)) AS pos, toks
+             |           FROM z WHERE n >= 8),
+             |     sp AS (SELECT doc_id, pos,
+             |                   array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+             |            FROM s),
+             |     dup AS (SELECT span FROM sp GROUP BY span
+             |             HAVING count(DISTINCT doc_id) >= 2),
+             |     cov AS (SELECT doc_id, count(DISTINCT p) AS ndp
+             |             FROM (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+             |                   FROM sp JOIN dup USING (span))
+             |             GROUP BY doc_id)
+             |SELECT z.doc_id, CAST(z.n AS BIGINT) AS n_toks,
+             |       CAST(coalesce(cov.ndp, 0) AS BIGINT) AS n_dup_pos,
+             |       round(coalesce(cov.ndp, 0) * 1.0 / z.n, 6) AS dup_ratio
+             |FROM z LEFT JOIN cov ON z.doc_id = cov.doc_id
+             |ORDER BY z.doc_id""".stripMargin))
   )
 }

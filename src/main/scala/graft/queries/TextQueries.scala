@@ -281,6 +281,92 @@ object TextQueries extends QueryGroup {
               |JOIN uni ca ON ca.term = p.term_a
               |JOIN uni cb ON cb.term = p.term_b
               |CROSS JOIN nu CROSS JOIN nb
-              |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin))
+              |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin)),
+
+    // x12 — corpus-LM quality scoring (the CCNet-style filter): score each
+    // document by its mean token log-probability under the corpus's own
+    // unigram model. Low scores = rare-token soup (mojibake, boilerplate
+    // IDs); high scores = stopword-heavy filler — both ends are what a
+    // training-data pipeline cuts. Determinism: the per-token log-prob is
+    // quantized to integer MICROS with tie-free floor(x*1e6 + 0.5) (one
+    // mirrored IEEE op sequence, the v10 rounding trick), so the per-doc
+    // SUM is exact integer arithmetic — associative, partition-order-proof —
+    // and only the final avg performs a (mirrored) float divide. The unigram
+    // model is a tiny agg of the token stream → broadcast both joins.
+    Q("x12_unigram_logprob",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val n = uni.agg(sum(col("cnt")).cast("long").as("n"))
+        toks
+          .join(broadcast(uni), "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            floor(log(col("cnt") * lit(1.0) / col("n")) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("lp_micro"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("lp_micro")).as("sum_lp_micro"))
+          .select(col("doc_id"), col("n_toks"), col("sum_lp_micro"),
+            round((col("sum_lp_micro") * lit(1.0) / lit(1000000.0)) / col("n_toks"), 6)
+              .as("avg_lp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     uni AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+              |     n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+              |     lp AS (SELECT doc_id,
+              |                   CAST(floor(ln(cnt * 1.0 / n) * 1000000.0 + 0.5) AS BIGINT)
+              |                     AS lp_micro
+              |            FROM t JOIN uni USING (term) CROSS JOIN n),
+              |     agg AS (SELECT doc_id, count(*) AS n_toks,
+              |                    CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+              |             FROM lp GROUP BY 1)
+              |SELECT doc_id, n_toks, sum_lp_micro,
+              |       round((sum_lp_micro * 1.0 / 1000000.0) / n_toks, 6) AS avg_lp
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // T9 — per-doc keyword extraction: top-3 terms by TF-IDF within each
+    // document (the per-doc complement of the corpus-wide t4 ranking).
+    // Rank key is an exact BIGINT — tf × idf_micro, where idf_micro is the
+    // floor(x*1e6 + 0.5) quantization of ln(N/df) — so the window ordering
+    // never compares engine-specific doubles; score surfaces as a single
+    // mirrored divide at the end.
+    Q("t9_keyphrase",
+      (s, d) => {
+        val toks = TextFunctions.postings(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables(s, d, "documents").agg(count(lit(1)).cast("long").as("n"))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"),
+            (col("tf") * floor(log(col("n") * lit(1.0) / col("df")) * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("score_micro"))
+        scored
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))
+              .orderBy(col("score_micro").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+            col("tf"), round(col("score_micro") * lit(1.0) / lit(1000000.0), 6).as("score"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2),
+              |     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY 1),
+              |     n AS (SELECT count(*) AS n FROM documents),
+              |     sc AS (SELECT doc_id, term, tf,
+              |                   tf * CAST(floor(ln(n * 1.0 / df) * 1000000.0 + 0.5) AS BIGINT)
+              |                     AS score_micro
+              |            FROM tf JOIN df USING (term) CROSS JOIN n),
+              |     r AS (SELECT doc_id, term, tf, score_micro,
+              |                  row_number() OVER (PARTITION BY doc_id
+              |                                     ORDER BY score_micro DESC, term) AS rn
+              |           FROM sc)
+              |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf,
+              |       round(score_micro * 1.0 / 1000000.0, 6) AS score
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Round-9 quality-signal operators: exact duplicate-span coverage (d6),
+  * corpus-LM log-prob scoring (x12), per-doc keyphrase extraction (t9).
+  * The differential oracle pins the full pipelines; these specs pin the
+  * semantics the oracle can't name — cross-doc-only counting, overlap
+  * union, and the integer-quantized score algebra.
+  */
+class QualitySignalsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cov(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+    Dedup.dupSpanCoverage(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("dup-span coverage counts only CROSS-doc spans; short docs get zero") {
+    val shared = "alpha beta gamma delta" // one 4-token span
+    val m = cov(Seq(
+      1L -> s"$shared xx yy zz",
+      2L -> s"aa bb $shared",
+      3L -> "unique words here nothing repeats at all",
+      4L -> "too short", // < k tokens → zero coverage by definition
+      // within-doc repetition only — must NOT count (distinct-doc rule)
+      5L -> "rep one two three rep one two three"))
+    assert(m(1L) == ((7L, 4L)) && m(2L) == ((6L, 4L)))
+    assert(m(3L)._2 == 0L && m(4L) == ((2L, 0L)) && m(5L)._2 == 0L)
+  }
+
+  test("overlapping duplicated spans union their positions, not sum them") {
+    // 5 shared tokens = two overlapping 4-spans; coverage must be 5, not 8
+    val m = cov(Seq(
+      1L -> "alpha beta gamma delta epsilon tail1 tail2",
+      2L -> "head1 alpha beta gamma delta epsilon"))
+    assert(m(1L)._2 == 5L && m(2L)._2 == 5L)
+  }
+
+  test("x12 on the fixture: avg_lp ≤ 0, integer sum consistent, n_toks exact") {
+    val out = queries.Registry.byName("x12_unigram_logprob").run(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(sum <= 0L && avg <= 0.0)
+      assert(math.abs(avg - (sum * 1.0 / 1000000.0) / n) < 1e-6)
+    }
+    val nToks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) == nToks(r.getLong(0))))
+  }
+
+  test("t9 keyphrases: ≤3 per doc, ranks consecutive, scores match tf×idf_micro") {
+    val out = queries.Registry.byName("t9_keyphrase").run(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+    val n = docs.count()
+    val df = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1L to ranks.length))
+    }
+    out.foreach { r =>
+      val (term, tf, score) = (r.getString(2), r.getLong(3), r.getDouble(4))
+      val idfMicro = math.floor(math.log(n * 1.0 / df(term)) * 1000000.0 + 0.5).toLong
+      assert(math.abs(score - (tf * idfMicro) * 1.0 / 1000000.0) < 1e-6)
+    }
+  }
+}
