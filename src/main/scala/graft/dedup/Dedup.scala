@@ -323,9 +323,11 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"sequence(0, n - $k)")).as("pos"), col("toks"))
       .select(col("doc_id"), col("pos"),
         expr(s"array_join(slice(toks, pos + 1, $k), ' ')").as("span"))
+    // "occurs in ≥2 distinct docs" as min≠max: one-pass agg, no
+    // count-distinct Expand over the span stream.
     val dup = spans.groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("span"))
     val cov = spans.join(dup, "span")
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))

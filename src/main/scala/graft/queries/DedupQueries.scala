@@ -394,7 +394,7 @@ object DedupQueries extends QueryGroup {
              |                   array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
              |            FROM s),
              |     dup AS (SELECT span FROM sp GROUP BY span
-             |             HAVING count(DISTINCT doc_id) >= 2),
+             |             HAVING min(doc_id) <> max(doc_id)),
              |     cov AS (SELECT doc_id, count(DISTINCT p) AS ndp
              |             FROM (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
              |                   FROM sp JOIN dup USING (span))
