@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a relational pipeline: the
+  * iterative merge-rule learner every LLM preprocessing stack runs before
+  * it can tokenize anything (Sennrich et al. 2016).
+  *
+  * Round r: count adjacent symbol pairs over the (distinct-word, count)
+  * vocabulary, pick the most frequent pair (count desc, pair asc — fully
+  * deterministic), rewrite every word's symbol sequence with that pair
+  * merged, repeat. All corpus-scale work is groupBy aggregation; the merge
+  * winner is a 1-row broadcast, never a driver collect.
+  *
+  * The symbol sequence is encoded as a DOUBLE-space-joined string
+  * ("  h  e  y  ") so that applying a merge is one literal `replace`:
+  * pattern ` a  b ` → ` ab ` consumes one of the two separator spaces on
+  * each side, which makes consecutive non-overlapping occurrences
+  * (`a b a b`) all merge while overlapping ones (`a a a` under pair (a,a))
+  * merge left-to-right greedily — exactly BPE's semantics, and identical
+  * in any engine whose `replace` scans left-to-right without rescanning
+  * replacements (Spark and DuckDB both do), so the whole trainer sits
+  * under the differential oracle.
+  *
+  * Rounds are unrolled into one plan (lineage depth = rounds, like the
+  * v8 kmeans pipeline); for rounds ≫ 10 at scale, checkpoint the seq
+  * frame between rounds.
+  */
+object Bpe {
+
+  /** (word, c) vocabulary → initial per-character symbol sequence. */
+  private def charSeqs(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("c"),
+      concat(lit("  "), array_join(split(col("word"), ""), "  "), lit("  ")).as("seq"))
+
+  /** Adjacent-pair counts weighted by word frequency. */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    seqs
+      .select(col("c"), expr("filter(split(seq, ' '), x -> x != '')").as("sy"))
+      // single-symbol words carry no pairs; also guards Spark's
+      // sequence(1, 0), which counts DOWN rather than yielding empty
+      .filter(size(col("sy")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).cast("long").as("cnt"))
+
+  /** The winning pair this round: count desc, then (a, b) asc. */
+  private def best(pc: DataFrame): DataFrame =
+    pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+
+  /** Rewrite every sequence with the (1-row, broadcast) winner merged. */
+  private def applyMerge(seqs: DataFrame, winner: DataFrame): DataFrame =
+    seqs
+      .crossJoin(broadcast(winner.select(col("a").as("ba"), col("b").as("bb"))))
+      .select(col("word"), col("c"),
+        expr("replace(seq, ' ' || ba || '  ' || bb || ' ', ' ' || ba || bb || ' ')")
+          .as("seq"))
+
+  /** Learn `rounds` merge rules from a (word, c) vocabulary frame.
+    * Output: (round, sym_a, sym_b, merged, cnt) ordered by round.
+    */
+  def merges(vocab: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val (_, ruleFrames) =
+      (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
+        case ((seqs, acc), r) =>
+          val winner = best(pairCounts(seqs))
+          val rule = winner.select(
+            lit(r.toLong).as("round"),
+            col("a").as("sym_a"), col("b").as("sym_b"),
+            concat(col("a"), col("b")).as("merged"), col("cnt"))
+          (applyMerge(seqs, winner), acc :+ rule)
+      }
+    ruleFrames.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+}

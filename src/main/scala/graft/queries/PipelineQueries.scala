@@ -205,6 +205,55 @@ object PipelineQueries extends QueryGroup {
              |           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
              |SELECT source, doc_id, lang FROM r WHERE rn <= 25
-             |ORDER BY source, doc_id""".stripMargin))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // x13 — BPE tokenizer training, 3 merge rounds: count adjacent symbol
+    // pairs over the word vocabulary, take the (cnt desc, pair asc) winner,
+    // apply it via the double-space `replace` encoding (see pipeline.Bpe),
+    // repeat. The ENTIRE trainer — pair stats, winner selection, greedy
+    // merge application — is mirrored in DuckDB, so learned rules are under
+    // the hash gate, not just asserted plausible.
+    Q("x13_bpe_merges",
+      (s, d) => {
+        val vocab = Tables(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        graft.pipeline.Bpe.merges(vocab, rounds = 3)
+      },
+      Some {
+        // One CTE block per round: pair counts over round r-1 sequences,
+        // 1-row winner, merged sequences for round r.
+        def round(r: Int): String = {
+          val prev = s"s${r - 1}"
+          s"""pc$r AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+             |    SELECT c, unnest(list_transform(generate_series(1, len(sy) - 1),
+             |                                    i -> [sy[i], sy[i + 1]])) AS p
+             |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sy
+             |          FROM $prev))
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |s$r AS (SELECT word, c,
+             |               replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ',
+             |                            ' ' || b$r.a || b$r.b || ' ') AS seq
+             |        FROM $prev CROSS JOIN b$r)""".stripMargin
+        }
+        s"""WITH w AS (SELECT term AS word, count(*) AS c
+           |           FROM (SELECT unnest(list_filter(string_split(text, ' '),
+           |                                           x -> x <> '')) AS term
+           |                 FROM documents)
+           |           GROUP BY 1),
+           |s0 AS (SELECT word, c,
+           |              '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+           |       FROM w),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+           |         a || b AS merged, cnt FROM b1
+           |  UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+           |  UNION ALL SELECT 3, a, b, a || b, cnt FROM b3)
+           |ORDER BY round""".stripMargin
+      })
   )
 }

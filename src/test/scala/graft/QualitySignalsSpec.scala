@@ -53,6 +53,31 @@ class QualitySignalsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(1) == nToks(r.getLong(0))))
   }
 
+  test("BPE: learns the frequency-ranked merge, then the merged-pair merge") {
+    // "abab"×3: round 1 merges (a,b) cnt 6 (two occurrences per word — the
+    // double-space encoding must catch CONSECUTIVE non-overlapping pairs);
+    // round 2 merges (ab,ab) cnt 3.
+    val vocab = Seq(("abab", 3L)).toDF("word", "c")
+    val rules = graft.pipeline.Bpe.merges(vocab, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(rules.toSeq == Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
+  }
+
+  test("BPE: overlapping pair merges left-to-right greedily") {
+    // "aaa": (a,a) appears twice overlapping; greedy L2R merges once →
+    // round 2 sees (aa, a), not (a, aa).
+    val vocab = Seq(("aaa", 1L)).toDF("word", "c")
+    val rules = graft.pipeline.Bpe.merges(vocab, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(rules.toSeq == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
+
+  test("BPE: equal-count winners break ties by (a, b) ascending") {
+    val vocab = Seq(("cd", 1L), ("ba", 1L)).toDF("word", "c")
+    val r1 = graft.pipeline.Bpe.merges(vocab, rounds = 1).collect().head
+    assert((r1.getString(1), r1.getString(2)) == (("b", "a")))
+  }
+
   test("t9 keyphrases: ≤3 per doc, ranks consecutive, scores match tf×idf_micro") {
     val out = queries.Registry.byName("t9_keyphrase").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")
