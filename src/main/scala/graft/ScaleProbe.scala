@@ -111,6 +111,20 @@ object ScaleProbe {
         docs.select(explode(
           graft.functions.TextFunctions.tokens(col("text"))).as("term")),
         col("term"), phi = 200, k = 256)),
+      // round-9 quality-signal additions: span coverage under DENSE
+      // duplication (every original 8-span occurs in all 10 copies, so the
+      // dup table is ~the whole span stream — worst case for the join-back),
+      // and BPE pair counting over a 10× token stream (vocab grows only by
+      // the per-rep variant tokens; the agg must absorb the stream, the
+      // 1-row winner broadcast is scale-free)
+      "d6_dup_span_shape" -> (() => graft.dedup.Dedup.dupSpanCoverage(
+        docs, col("doc_id"), col("text"), k = 8)),
+      "x13_bpe_shape" -> (() => {
+        val vocab = docs.select(explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        graft.pipeline.Bpe.merges(vocab, rounds = 3)
+      }),
       "v11_pq_shape" -> (() => {
         val sample = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
         val cb = graft.similarity.Pq.train(
