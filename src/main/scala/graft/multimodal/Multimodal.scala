@@ -138,4 +138,81 @@ object Multimodal {
   def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("payload_resized",
       substring(col("payload"), 1, targetBytes))
+
+  /** 64-bit perceptual average-hash (aHash) of a decoded luma raster:
+    * nearest-neighbor 8×8 downsample, bit j set iff sample j is above the
+    * grid mean (compared as s(j)*64 > total — exact integers, no divide).
+    * Returned as two 32-bit halves so every engine that overflow-checks
+    * BIGINT arithmetic (DuckDB) can mirror it; hamming distance is
+    * bit_count(hi⊕hi) + bit_count(lo⊕lo).
+    */
+  def phashFromPixels(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    val s = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 64) {
+      val sy = ((j / 8) * h) / 8
+      val sx = ((j % 8) * w) / 8
+      val v = px(sy * w + sx).toLong
+      s(j) = v; total += v; j += 1
+    }
+    var hi = 0L; var lo = 0L
+    j = 0
+    while (j < 64) {
+      if (s(j) * 64 > total) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-record perceptual hash over the decoded payload (real `imageio`
+    * luma for image containers, stub bytes otherwise — same dispatch as
+    * [[extractFeatures]]). Map-side only.
+    */
+  def perceptualHash(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { rec =>
+        val (w, h, px) = MediaCodec.decode(rec.payload)
+        val (hi, lo) = phashFromPixels(w, h, px)
+        (rec.doc_id, hi, lo)
+      }
+    }.toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  /** Near-duplicate image pairs by banded phash hamming distance: 8 bands
+    * of 8 bits — any pair within hamming ≤ 8 shares a zero-diff band
+    * (pigeonhole), so recall is exact for `maxHamming` ≤ 8. Pairing happens
+    * WITHIN each (band, value) bucket after one groupBy shuffle (the
+    * FuzzyJoin shape), then candidates are verified with the exact popcount.
+    */
+  def phashPairs(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 8, "banded recall is exact only for maxHamming <= 8")
+    val bands = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      explode(expr("sequence(0, 7)")).as("b"))
+      .select(col("doc_id"), col("b"), expr(
+        "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
+          "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END").as("bandv"))
+    val cand = bands.groupBy(col("b"), col("bandv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), " +
+          "i -> transform(slice(ds, i + 1, size(ds)), " +
+          "d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash_hi").as("ha"),
+        col("phash_lo").as("la")), "doc_a")
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash_hi").as("hb"),
+        col("phash_lo").as("lb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

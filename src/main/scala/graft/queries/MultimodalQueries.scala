@@ -57,6 +57,61 @@ object MultimodalQueries extends QueryGroup {
       Some("""SELECT doc_id, i AS frame_idx, substr(text, i * 64 + 1, 16) AS frame
              |FROM documents,
              |     unnest(generate_series(0, greatest(0, (length(text) - 16) // 64))) AS t(i)
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // M3 — perceptual-hash image dedup: 64-bit aHash (8×8 nearest-neighbor
+    // luma grid, above-mean bits, two 32-bit halves) + banded hamming pairs
+    // ≤ 6. On the fixture every payload takes the deterministic stub-decode
+    // path (text bytes as luma), which makes the ENTIRE pipeline — grid
+    // sampling, threshold bits, band bucketing, popcount verify — pure
+    // integer arithmetic mirrored in DuckDB; the real `imageio` luma path
+    // shares every line after decode and is pinned by spec on crafted PNGs.
+    Q("m3_phash_pairs",
+      (s, d) => {
+        implicit val sp = s
+        val media = Multimodal.toMedia(Tables(s, d, "documents"), "doc_id", "text")
+        Multimodal.phashPairs(Multimodal.perceptualHash(media), maxHamming = 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n,
+             |                  list_transform(string_split(text, ''), c -> ascii(c)) AS px
+             |           FROM documents),
+             |g AS (SELECT doc_id, px,
+             |             greatest(1, least(64, n)) AS w,
+             |             greatest(1, n // greatest(1, least(64, n))) AS h
+             |      FROM m),
+             |samp AS (SELECT doc_id,
+             |                list_transform(generate_series(0, 63),
+             |                  j -> CAST(px[((j // 8) * h) // 8 * w + ((j % 8) * w) // 8 + 1]
+             |                            AS BIGINT)) AS s
+             |         FROM g),
+             |ph AS (SELECT doc_id,
+             |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                list_transform(generate_series(32, 63), j ->
+             |                  CASE WHEN s[j + 1] * 64 > list_sum(s)
+             |                       THEN CAST(1 AS BIGINT) << (j - 32)
+             |                       ELSE CAST(0 AS BIGINT) END)),
+             |                (a, v) -> a + v) AS phash_hi,
+             |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                list_transform(generate_series(0, 31), j ->
+             |                  CASE WHEN s[j + 1] * 64 > list_sum(s)
+             |                       THEN CAST(1 AS BIGINT) << j
+             |                       ELSE CAST(0 AS BIGINT) END)),
+             |                (a, v) -> a + v) AS phash_lo
+             |       FROM samp),
+             |bands AS (SELECT doc_id, b,
+             |                 CASE WHEN b < 4 THEN (phash_lo >> (8 * b)) & 255
+             |                      ELSE (phash_hi >> (8 * (b - 4))) & 255 END AS bandv
+             |          FROM ph, unnest(generate_series(0, 7)) AS t(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |         FROM bands a JOIN bands b ON a.b = b.b AND a.bandv = b.bandv
+             |                                   AND a.doc_id < b.doc_id),
+             |pairs AS (SELECT doc_a, doc_b,
+             |                 bit_count(xor(pa.phash_hi, pb.phash_hi))
+             |               + bit_count(xor(pa.phash_lo, pb.phash_lo)) AS hamming
+             |          FROM cand JOIN ph pa ON pa.doc_id = doc_a
+             |                    JOIN ph pb ON pb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+             |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaCodec, Multimodal}
+
+/** The REAL image path: in-JDK `imageio` decode plus the perceptual-hash
+  * dedup built on it. The m3 oracle gates the stub-decode pipeline on the
+  * fixture; these tests pin what only a true PNG can — container sniffing,
+  * raster dims, BT.601 luma, and phash behavior under perturbation and
+  * inversion.
+  */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def phashOf(bytes: Array[Byte]): (Long, Long) = {
+    val (w, h, px) = MediaCodec.decode(bytes)
+    Multimodal.phashFromPixels(w, h, px)
+  }
+
+  private def hamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  // 8×8-block checkerboard: every phash grid sample lands on a block corner,
+  // so the hash is the exact checkerboard bit pattern with no ties.
+  private def checker(invert: Boolean) = png(64, 64) { (x, y) =>
+    val on = (x / 8 + y / 8) % 2 == 0
+    if (on != invert) 0x000000 else 0xffffff
+  }
+
+  test("real PNG decode: sniffed, true raster dims, BT.601 luma endpoints") {
+    val bytes = png(16, 8)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    assert(MediaCodec.looksLikeImage(bytes))
+    val (w, h, px) = MediaCodec.decode(bytes)
+    assert(w == 16 && h == 8 && px.length == 128)
+    assert(px(0) == 0 && px(15) == 255)
+    // non-image payloads must fall back to the stub, not throw
+    val (sw, _, spx) = MediaCodec.decode("not an image".getBytes("UTF-8"))
+    assert(sw == 12 && spx.length == 12)
+  }
+
+  test("phash: single-pixel perturbation flips one bit; inversion flips all 64") {
+    val base = phashOf(checker(invert = false))
+    val inverted = phashOf(checker(invert = true))
+    assert(hamming(base, inverted) == 64)
+    val perturbed = phashOf(png(64, 64) { (x, y) =>
+      if (x == 0 && y == 0) 0xffffff
+      else if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff
+    })
+    assert(hamming(base, perturbed) == 1)
+  }
+
+  test("phashPairs on real PNGs: finds the near pair, drops the inverted one") {
+    implicit val s = spark
+    val near = png(64, 64) { (x, y) =>
+      if (x == 0 && y == 0) 0xffffff
+      else if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff
+    }
+    val media = Multimodal.toMedia(
+      Seq((1L, checker(invert = false)), (2L, near), (3L, checker(invert = true)))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    val pairs = Multimodal.phashPairs(Multimodal.perceptualHash(media), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+  }
+}
