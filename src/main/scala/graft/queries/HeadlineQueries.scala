@@ -273,6 +273,39 @@ object HeadlineQueries extends QueryGroup {
              |SELECT yr, n_name, rev_cents,
              |       round(CAST(rev_cents AS DOUBLE)
              |             / sum(rev_cents) OVER (PARTITION BY yr), 6) AS share
-             |FROM r ORDER BY yr, n_name""".stripMargin))
+             |FROM r ORDER BY yr, n_name""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume customers): aggregate the big fact,
+    // HAVING-filter to a small key set, then join BACK through orders to
+    // customer. The agg-then-semi-join-back pattern is the scale shape —
+    // the big-order key set is what flows into the joins, never raw
+    // lineitem; AQE turns both remaining joins into broadcasts.
+    Q("h12_big_spenders",
+      (s, d) => {
+        val big = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+          .filter(col("sum_qty_cents") > 250 * 100)
+        Tables(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            cents(col("o_totalprice")).as("total_cents"), col("sum_qty_cents"))
+          .orderBy(col("sum_qty_cents").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             |           AS sum_qty_cents
+             |  FROM lineitem GROUP BY 1
+             |  HAVING sum_qty_cents > 25000)
+             |SELECT c_name, o_orderkey, o_orderdate,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             |       sum_qty_cents
+             |FROM orders
+             |JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY sum_qty_cents DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }

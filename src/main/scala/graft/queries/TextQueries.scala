@@ -283,6 +283,35 @@ object TextQueries extends QueryGroup {
               |CROSS JOIN nu CROSS JOIN nb
               |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin)),
 
+    // T10 — phrase query through a POSITIONAL inverted index (what ES
+    // match_phrase actually executes, vs t2's substring scan): posexplode
+    // tokens into (doc, term, pos) postings, probe the two term posting
+    // lists, and require adjacency pos_b = pos_a + 1. The postings join is
+    // keyed on doc_id after per-term filters — at scale the filters hit the
+    // term-bucketed postings table instead of re-tokenizing the corpus.
+    Q("t10_phrase_index",
+      (s, d) => {
+        val pos = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+        val a = pos.filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term") === "scan")
+          .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+        a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH z AS (SELECT doc_id, $tok AS toks FROM documents),
+              |     p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+              |           FROM z, unnest(range(1, len(toks) + 1)) AS t(i))
+              |SELECT a.doc_id, count(*) AS n_hits,
+              |       CAST(min(a.pos) AS BIGINT) AS first_pos
+              |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              |WHERE a.term = 'merge' AND b.term = 'scan'
+              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
     // x12 — corpus-LM quality scoring (the CCNet-style filter): score each
     // document by its mean token log-probability under the corpus's own
     // unigram model. Low scores = rare-token soup (mojibake, boilerplate
