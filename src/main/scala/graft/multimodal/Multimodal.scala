@@ -188,6 +188,14 @@ object Multimodal {
     * (pigeonhole), so recall is exact for `maxHamming` ≤ 8. Pairing happens
     * WITHIN each (band, value) bucket after one groupBy shuffle (the
     * FuzzyJoin shape), then candidates are verified with the exact popcount.
+    *
+    * Scale note: pair fan-out is quadratic WITHIN a (band, value) bucket,
+    * so corpora whose hashes concentrate (the low-entropy stub payloads at
+    * sf0.1 produce a 442-doc max bucket → 1.7M candidates, absorbed in ~3 s)
+    * degrade before diverse real-image corpora do. The dials are standard
+    * LSH: widen bands (4×16 bits — exact recall drops to hamming ≤ 4) or
+    * cap bucket size with a documented recall cut; both change the
+    * candidate contract, so the 8×8 default stays the oracle-gated path.
     */
   def phashPairs(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 8, "banded recall is exact only for maxHamming <= 8")
