@@ -403,6 +403,53 @@ object DedupQueries extends QueryGroup {
              |       CAST(coalesce(cov.ndp, 0) AS BIGINT) AS n_dup_pos,
              |       round(coalesce(cov.ndp, 0) * 1.0 / z.n, 6) AS dup_ratio
              |FROM z LEFT JOIN cov ON z.doc_id = cov.doc_id
-             |ORDER BY z.doc_id""".stripMargin))
+             |ORDER BY z.doc_id""".stripMargin)),
+
+    // D7 — semantic dedup (SemDeDup shape): cluster-assign embeddings to a
+    // broadcast seed-centroid set (deterministic L2-then-cid tie-break),
+    // then EXACT cosine pairs only within a cluster — the cluster id is the
+    // blocking key, so the pair space is cluster-quadratic, never corpus-
+    // quadratic (15.5k within-cluster pairs vs 125k all-pairs at sf0.01).
+    // The oracle mirrors the full pipeline: assignment ranking, per-side
+    // norms, and the fixed float-multiply → double-fold dot.
+    Q("d7_semantic_dedup",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+        graft.similarity.Ann.semanticDedupPairs(
+          emb, col("vec_id"), col("embedding"), cents, threshold = 0.4)
+          .select(col("cid"), col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+          .orderBy(col("cid"), col("va"), col("vb"))
+      },
+      Some {
+        def dot(a: String, b: String): String =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(generate_series(1, len($a)),
+             |                 i -> CAST($a[i] * $b[i] AS DOUBLE))),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid,
+           |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+           |           FROM embeddings WHERE vec_id < 8),
+           |a AS (SELECT cid, vec_id, embedding FROM (
+           |  SELECT e.vec_id, c.cid, e.embedding,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |             list_transform(generate_series(1, len(e.embedding)),
+           |               i -> (CAST(e.embedding[i] AS DOUBLE) - cvec[i]) *
+           |                    (CAST(e.embedding[i] AS DOUBLE) - cvec[i]))),
+           |             (x, y) -> x + y) ASC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c) WHERE rk = 1),
+           |n AS (SELECT cid, vec_id, embedding,
+           |             sqrt(${dot("embedding", "embedding")}) AS nrm
+           |      FROM a),
+           |p AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+           |             (${dot("x.embedding", "y.embedding")}) / (x.nrm * y.nrm) AS cos_raw
+           |      FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+           |SELECT cid, va, vb, round(cos_raw, 6) AS cos
+           |FROM p WHERE cos_raw >= 0.4
+           |ORDER BY cid, va, vb""".stripMargin
+      })
   )
 }

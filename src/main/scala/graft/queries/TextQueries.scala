@@ -312,6 +312,30 @@ object TextQueries extends QueryGroup {
               |WHERE a.term = 'merge' AND b.term = 'scan'
               |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // T11 — fuzzy term search (ES match with fuzziness=1): expand the query
+    // term against the TERM DICTIONARY at edit distance ≤ 1 (what ES's FST
+    // automaton computes — the dictionary is tiny next to the corpus, so
+    // the levenshtein scan is a broadcast-side map filter, the exact
+    // relational rendering of that plan), then hit the postings with the
+    // expanded term set. "merje" matches "merge"; hit counts per doc.
+    Q("t11_fuzzy_search",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val expanded = toks.select(col("term")).distinct()
+          .filter(levenshtein(col("term"), lit("merje")) <= 1)
+        toks.join(broadcast(expanded), "term")
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("hits"))
+          .orderBy(col("doc_id"), col("term"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     x AS (SELECT DISTINCT term FROM t
+              |           WHERE levenshtein(term, 'merje') <= 1)
+              |SELECT doc_id, term, count(*) AS hits
+              |FROM t JOIN x USING (term)
+              |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin)),
+
     // x12 — corpus-LM quality scoring (the CCNet-style filter): score each
     // document by its mean token log-probability under the corpus's own
     // unigram model. Low scores = rare-token soup (mojibake, boilerplate
@@ -353,6 +377,58 @@ object TextQueries extends QueryGroup {
               |             FROM lp GROUP BY 1)
               |SELECT doc_id, n_toks, sum_lp_micro,
               |       round((sum_lp_micro * 1.0 / 1000000.0) / n_toks, 6) AS avg_lp
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // x14 — bigram-LM scoring (the x12 upgrade): mean log of the bigram
+    // conditional P(t_i | t_{i-1}) = c(bigram) / c(prefix-position), the
+    // order-sensitive fluency signal a unigram model can't see (scrambled
+    // text keeps its x12 score but craters here). Prefix counts come from
+    // the bigram stream itself so the conditionals sum to 1 per prefix.
+    // Same determinism scheme as x12: per-bigram log quantized to integer
+    // micros, exact integer sum, one mirrored divide at the end. Both count
+    // tables are tiny aggregates of the token stream → broadcast.
+    Q("x14_bigram_logprob",
+      (s, d) => {
+        val bg = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.bigrams(col("text"))).as("bigram"))
+        val bgc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
+        val pc = bg.select(substring_index(col("bigram"), " ", 1).as("prefix"))
+          .groupBy(col("prefix")).agg(count(lit(1)).as("pcnt"))
+        bg
+          .join(broadcast(bgc), "bigram")
+          .select(col("doc_id"), col("bc"),
+            substring_index(col("bigram"), " ", 1).as("prefix"))
+          .join(broadcast(pc), "prefix")
+          .select(col("doc_id"),
+            floor(log(col("bc") * lit(1.0) / col("pcnt")) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("lp_micro"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+            round((col("sum_lp_micro") * lit(1.0) / lit(1000000.0)) / col("n_bigrams"), 6)
+              .as("avg_lp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+              |     bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+              |              THEN list_transform(generate_series(1, len(toks) - 1),
+              |                                  i -> toks[i] || ' ' || toks[i + 1])
+              |              ELSE [] END) AS bigram
+              |            FROM t),
+              |     bgc AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY 1),
+              |     pc AS (SELECT split_part(bigram, ' ', 1) AS prefix, count(*) AS pcnt
+              |            FROM bg GROUP BY 1),
+              |     lp AS (SELECT doc_id,
+              |                   CAST(floor(ln(bc * 1.0 / pcnt) * 1000000.0 + 0.5) AS BIGINT)
+              |                     AS lp_micro
+              |            FROM bg
+              |            JOIN bgc USING (bigram)
+              |            JOIN pc ON pc.prefix = split_part(bg.bigram, ' ', 1)),
+              |     agg AS (SELECT doc_id, count(*) AS n_bigrams,
+              |                    CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+              |             FROM lp GROUP BY 1)
+              |SELECT doc_id, n_bigrams, sum_lp_micro,
+              |       round((sum_lp_micro * 1.0 / 1000000.0) / n_bigrams, 6) AS avg_lp
               |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // T9 — per-doc keyword extraction: top-3 terms by TF-IDF within each

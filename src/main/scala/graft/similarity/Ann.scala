@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -264,5 +265,44 @@ object Ann {
         VectorFunctions.cosineNative(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023): assign every
+    * embedding to its nearest centroid (broadcast seed set, deterministic
+    * L2-then-cid tie-break), then compute EXACT cosine pairs only WITHIN a
+    * cluster — the cluster id plays the blocking role the band key plays in
+    * MinHash-LSH, confining the quadratic pair space to cluster-sized
+    * blocks. At 100 TB the centroid count grows with the corpus
+    * (k ∝ n / target cluster size, same dial as [[derivedNBits]]) so
+    * per-cluster work stays ~constant; the assignment itself is one
+    * broadcast join + ranking window, map-side heavy.
+    *
+    * `centroids`: (cid, cvec: array<double>). Output: (cid, va, vb, cos)
+    * for pairs with cosine ≥ threshold — drop the higher id per pair for
+    * the keep-one-representative policy.
+    */
+  def semanticDedupPairs(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val l2 = aggregate(
+      zip_with(col("cvec"), col("v"), (c, x) => {
+        val d = x.cast("double") - c; d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    val assigned = embeddings.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(l2.asc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id"), col("v"),
+        sqrt(VectorFunctions.dotNative(col("v"), col("v"))).as("nrm"))
+    val a = assigned.select(col("cid"), col("vec_id").as("va"),
+      col("v").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("vb"),
+      col("v").as("eb"), col("nrm").as("nb"))
+    val cos = VectorFunctions.dotNative(col("ea"), col("eb")) / (col("na") * col("nb"))
+    // cid equi-key drives the join; threshold sits in the condition AFTER
+    // the id test (same short-circuit discipline as pairsExact)
+    a.join(b, col("cid") === col("cid_b") && col("va") < col("vb") && cos >= threshold)
+      .select(col("cid"), col("va"), col("vb"), cos.as("cos"))
   }
 }

@@ -78,6 +78,41 @@ class QualitySignalsSpec extends SparkSuite {
     assert((r1.getString(1), r1.getString(2)) == (("b", "a")))
   }
 
+  test("semantic dedup with one centroid degrades to exact all-pairs cosine") {
+    val emb = Tables(spark, sf, "embeddings")
+    val one = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    val sem = graft.similarity.Ann.semanticDedupPairs(
+        emb, col("vec_id"), col("embedding"), one, threshold = 0.3)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = graft.similarity.Ann.pairsExact(
+        emb, col("vec_id"), col("embedding"), 0.3)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem == exact && sem.nonEmpty)
+  }
+
+  test("semantic dedup blocking: every within-cluster pair is a true-cosine pair") {
+    // multi-centroid pairs must be a SUBSET of the exact pair set at the
+    // same threshold (blocking can only drop cross-cluster pairs, never
+    // invent or rescore one)
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    val sem = graft.similarity.Ann.semanticDedupPairs(
+        emb, col("vec_id"), col("embedding"), cents, threshold = 0.3)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = graft.similarity.Ann.pairsExact(
+        emb, col("vec_id"), col("embedding"), 0.3)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.nonEmpty && sem.subsetOf(exact))
+  }
+
   test("t9 keyphrases: ≤3 per doc, ranks consecutive, scores match tf×idf_micro") {
     val out = queries.Registry.byName("t9_keyphrase").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")
