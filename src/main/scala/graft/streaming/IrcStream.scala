@@ -179,6 +179,39 @@ object IrcStream {
       .toDF("nick", "n")
   }
 
+  /** Streaming heavy hitters (ST6 × A12): per-channel trending terms via a
+    * Misra-Gries sketch held in keyed state — the streaming form of
+    * [[graft.operators.HeavyHitters]]. Each micro-batch folds its tokens
+    * into the channel's k-counter sketch and emits the surviving
+    * (term, lower-bound) entries; state is ≤ k counters per channel FOREVER,
+    * regardless of stream length or vocabulary — the property that makes
+    * this viable where a streaming `groupBy(term)` would accrete unbounded
+    * per-term state. MG guarantees carry over: every term with true count
+    * > N/k per channel is present, and each bound is ≤ the true count
+    * (asserted against exact batch counts in StreamingSpec).
+    */
+  def trendingTerms(recs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    recs
+      .select(col("channel"),
+        explode(graft.functions.TextFunctions.tokens(col("remark"))).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (channel: String, rows: Iterator[(String, String)],
+            state: GroupState[Map[String, Long]]) => {
+          val sketch = scala.collection.mutable.HashMap[String, Long](
+            state.getOption.getOrElse(Map.empty).toSeq: _*)
+          rows.foreach(r => graft.operators.HeavyHitters.insert(sketch, r._2, k))
+          state.update(sketch.toMap)
+          sketch.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+            .map { case (t, c) => (channel, t, c) }
+        })
+      .toDF("channel", "term", "count_lb")
+  }
+
   /** Idempotent per-batch upsert into a (channel × day)-partitioned parquet
     * directory keyed on `id`: within-batch dedup, then anti-join against ids
     * already in the sink — but ONLY the sink CHANNEL partitions this batch

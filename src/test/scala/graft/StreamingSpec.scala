@@ -430,6 +430,46 @@ class StreamingSpec extends SparkSuite {
     assert(knn.count() == 3) // native function callable straight from SQL
   }
 
+  test("streaming MG heavy hitters: bounded state, containment + lower bounds (ST6×A12)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    // channel #x: "alpha" dominates (12 of 20 tokens); #y gets its own stream.
+    // Fed across TWO batches so the sketch state must survive micro-batches.
+    def line(ch: String, words: String) = s":bot!~b@h PRIVMSG $ch :$words"
+    ms.addData(
+      line("#x", "alpha alpha alpha beta gamma alpha alpha delta"),
+      line("#y", "zeta zeta eta"))
+    ms.addData(
+      line("#x", "alpha alpha alpha epsilon alpha alpha kappa alpha alpha iota"),
+      line("#y", "zeta theta"))
+    val q = IrcStream.trendingTerms(IrcStream.records(ms.toDF()), k = 4)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per (channel, term) = the final sketch state
+    val latest = spark.table("trend_out")
+      .groupBy(col("channel"), col("term")).agg(max(col("count_lb")).as("lb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Map(
+      ("#x", "alpha") -> 12L, ("#x", "beta") -> 1L, ("#x", "gamma") -> 1L,
+      ("#x", "delta") -> 1L, ("#x", "epsilon") -> 1L, ("#x", "kappa") -> 1L,
+      ("#x", "iota") -> 1L, ("#y", "zeta") -> 3L, ("#y", "eta") -> 1L,
+      ("#y", "theta") -> 1L)
+    // state bound: ≤ k entries per channel in the final sketch
+    latest.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= 4) }
+    // containment: any term with count > N/k must be present
+    //   #x: N=18, k=4 → threshold 4.5 → alpha (12) must survive
+    //   #y: N=5  → threshold 1.25 → zeta (3) must survive
+    assert(latest.contains(("#x", "alpha")) && latest.contains(("#y", "zeta")))
+    // every sketch bound is a true LOWER bound within the MG undercount N/k
+    latest.foreach { case (key @ (ch, _), lb) =>
+      val n = if (ch == "#x") 18L else 5L
+      assert(lb <= exact(key) && lb >= exact(key) - n / 4,
+        s"$key lb=$lb exact=${exact(key)}")
+    }
+  }
+
   test("end-to-end start(): lines → deduped records land in the sink (ST1/ST7)") {
     implicit val ctx = sqlCtx
     val base = Files.createTempDirectory("graft_e2e").toString
