@@ -323,13 +323,14 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"sequence(0, n - $k)")).as("pos"), col("toks"))
       .select(col("doc_id"), col("pos"),
         expr(s"array_join(slice(toks, pos + 1, $k), ' ')").as("span"))
-    // "occurs in ≥2 distinct docs" as min≠max: one-pass agg, no
-    // count-distinct Expand over the span stream.
-    val dup = spans.groupBy(col("span"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    // "occurs in ≥2 distinct docs" as min≠max over a span-partitioned
+    // window: ONE shuffle of the span stream (the agg + join-back
+    // formulation shuffles it twice and recomputes the shingle explode).
+    val w = Window.partitionBy(col("span"))
+    val cov = spans
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("mx", max(col("doc_id")).over(w))
       .filter(col("mn") =!= col("mx"))
-      .select(col("span"))
-    val cov = spans.join(dup, "span")
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("p")).as("ndp"))

@@ -147,6 +147,8 @@ object Multimodal {
     * bit_count(hi⊕hi) + bit_count(lo⊕lo).
     */
   def phashFromPixels(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    // empty payload → stub raster with zero pixels; all-zero hash, no throw
+    if (px.isEmpty) return (0L, 0L)
     val s = new Array[Long](64)
     var total = 0L
     var j = 0

@@ -50,6 +50,9 @@ class MultimodalSpec extends SparkSuite {
     // non-image payloads must fall back to the stub, not throw
     val (sw, _, spx) = MediaCodec.decode("not an image".getBytes("UTF-8"))
     assert(sw == 12 && spx.length == 12)
+    // empty payload → zero-pixel stub raster → all-zero hash, no throw
+    val (ew, eh, epx) = MediaCodec.decode(Array.empty[Byte])
+    assert(epx.isEmpty && Multimodal.phashFromPixels(ew, eh, epx) == ((0L, 0L)))
   }
 
   test("phash: single-pixel perturbation flips one bit; inversion flips all 64") {
