@@ -43,8 +43,30 @@ object PipelineDemo {
     }
     stage("quality_filtered", quality.count())
 
+    // 1b. exact duplicate-span gate: drop docs with >50% of token positions
+    // covered by 8-token spans that occur verbatim in another doc — the
+    // boilerplate/mirror signal whole-doc near-dup signatures miss
+    val spanOk = quality.join(
+      Dedup.dupSpanCoverage(quality, col("doc_id"), col("text"), k = 8)
+        .filter(col("dup_ratio") <= 0.5).select(col("doc_id")),
+      "doc_id")
+    stage("span_gate", spanOk.count())
+
+    // 1c. corpus-LM fluency cut: drop the lowest-scoring 10% by bigram
+    // conditional log-prob (rare-token soup and scrambled word order)
+    val lmOk = {
+      val scored = graft.pipeline.LmScore.bigramAvgLogProb(
+        spanOk, col("doc_id"), col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_lp"), col("doc_id"))
+      spanOk.join(scored
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.1).select(col("doc_id")), "doc_id")
+    }
+    stage("lm_filtered", lmOk.count())
+
     // 2. redaction: PII-style masking before anything is persisted
-    val redacted = quality.withColumn("text",
+    val redacted = lmOk.withColumn("text",
       regexp_replace(
         regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
         "\\d{6,}", "<NUM>"))
@@ -73,6 +95,13 @@ object PipelineDemo {
     val packed = DataSplit.packChunks(split.filter(col("split") === "train"),
       col("lang"), col("doc_id"), col("text"), budget = 512)
     stage("train_chunks", packed.select("grp", "chunk").distinct().count())
+
+    // 7. tokenizer: learn the first BPE merge rules from the train split
+    val vocab = split.filter(col("split") === "train")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    graft.pipeline.Bpe.merges(vocab, rounds = 5).collect()
+      .foreach(r => stage(s"bpe_merge_${r.getLong(0)}_${r.getString(3)}", r.getLong(4)))
 
     val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
     packed.write.mode("overwrite").partitionBy("grp").parquet(s"$out/packed")

@@ -347,24 +347,9 @@ object TextQueries extends QueryGroup {
     // and only the final avg performs a (mirrored) float divide. The unigram
     // model is a tiny agg of the token stream → broadcast both joins.
     Q("x12_unigram_logprob",
-      (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val n = uni.agg(sum(col("cnt")).cast("long").as("n"))
-        toks
-          .join(broadcast(uni), "term")
-          .crossJoin(broadcast(n))
-          .select(col("doc_id"),
-            floor(log(col("cnt") * lit(1.0) / col("n")) * lit(1000000.0) + lit(0.5))
-              .cast("long").as("lp_micro"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_toks"), sum(col("lp_micro")).as("sum_lp_micro"))
-          .select(col("doc_id"), col("n_toks"), col("sum_lp_micro"),
-            round((col("sum_lp_micro") * lit(1.0) / lit(1000000.0)) / col("n_toks"), 6)
-              .as("avg_lp"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.pipeline.LmScore.unigramAvgLogProb(
+        Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
               |     uni AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
               |     n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
@@ -388,27 +373,9 @@ object TextQueries extends QueryGroup {
     // micros, exact integer sum, one mirrored divide at the end. Both count
     // tables are tiny aggregates of the token stream → broadcast.
     Q("x14_bigram_logprob",
-      (s, d) => {
-        val bg = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(TextFunctions.bigrams(col("text"))).as("bigram"))
-        val bgc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
-        val pc = bg.select(substring_index(col("bigram"), " ", 1).as("prefix"))
-          .groupBy(col("prefix")).agg(count(lit(1)).as("pcnt"))
-        bg
-          .join(broadcast(bgc), "bigram")
-          .select(col("doc_id"), col("bc"),
-            substring_index(col("bigram"), " ", 1).as("prefix"))
-          .join(broadcast(pc), "prefix")
-          .select(col("doc_id"),
-            floor(log(col("bc") * lit(1.0) / col("pcnt")) * lit(1000000.0) + lit(0.5))
-              .cast("long").as("lp_micro"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
-          .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
-            round((col("sum_lp_micro") * lit(1.0) / lit(1000000.0)) / col("n_bigrams"), 6)
-              .as("avg_lp"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.pipeline.LmScore.bigramAvgLogProb(
+        Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
               |     bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
               |              THEN list_transform(generate_series(1, len(toks) - 1),
