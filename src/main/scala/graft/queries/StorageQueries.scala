@@ -127,6 +127,22 @@ object StorageQueries extends QueryGroup {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // S10 — CSV round-trip: the other interchange format. Header on,
+    // explicit schema on read (inference would widen int64), quoting left
+    // to the writer's defaults — the identity oracle against the parquet
+    // original proves nothing is lost or re-typed in transit.
+    Q("s10_csv_roundtrip",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$t"
+        val docs = Tables(s, d, "documents")
+        docs.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(docs.schema).option("header", "true").csv(out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

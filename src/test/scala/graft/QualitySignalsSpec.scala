@@ -72,6 +72,46 @@ class QualitySignalsSpec extends SparkSuite {
     assert(rules.toSeq == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
   }
 
+  test("BPE matches a naive reference trainer on 12 random vocabularies") {
+    // Reference: plain-Scala greedy BPE (pair counts → (cnt desc, pair asc)
+    // winner → left-to-right merge). Random small vocabs over {a,b} probe
+    // the double-space replace encoding's edge cases (consecutive merges,
+    // overlaps, merged-symbol pairs) far past the hand-written examples.
+    def refMerges(vocab: Seq[(String, Long)], rounds: Int): Seq[(Long, String, String, Long)] = {
+      var seqs = vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to rounds).flatMap { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((sy, c) <- seqs; i <- 0 until sy.length - 1)
+          counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + c
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), cnt) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+          seqs = seqs.map { case (sy, c) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { out += (a + b); i += 2 }
+              else { out += sy(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+          Some((r.toLong, a, b, cnt))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val vocab = (1 to (1 + rnd.nextInt(5))).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+        (w, (1 + rnd.nextInt(4)).toLong)
+      }.distinct.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val got = graft.pipeline.Bpe.merges(vocab.toDF("word", "c"), rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val want = refMerges(vocab, rounds = 3)
+      assert(got == want, s"vocab=$vocab got=$got want=$want")
+    }
+  }
+
   test("BPE: equal-count winners break ties by (a, b) ascending") {
     val vocab = Seq(("cd", 1L), ("ba", 1L)).toDF("word", "c")
     val r1 = graft.pipeline.Bpe.merges(vocab, rounds = 1).collect().head
