@@ -125,6 +125,28 @@ object ScaleProbe {
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
         graft.pipeline.Bpe.merges(vocab, rounds = 3)
       }),
+      // d7 under 10× density: every original vector becomes a 10-member
+      // near-identical angular family, so within-cluster pair work is the
+      // dense case; the centroid count is the dial that keeps clusters
+      // bounded at scale
+      "d7_semantic_shape" -> (() => {
+        val cents = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+        graft.similarity.Ann.semanticDedupPairs(
+          emb, col("vec_id"), col("embedding"), cents, threshold = 0.4)
+      }),
+      // m3 under 10× low-entropy payloads: the corpus collapses onto few
+      // distinct phashes, which ran the doc-level pair enumeration at 459 s
+      // (a measured cliff, kept on record in BASELINE.md). The scale path
+      // enumerates candidates over DISTINCT hashes, so multiplicity costs
+      // nothing — this probe pins that it stays in seconds.
+      "m3_phash_shape" -> (() => {
+        implicit val sp = spark
+        val media = graft.multimodal.Multimodal.toMedia(docs, "doc_id", "text")
+        graft.multimodal.Multimodal.phashPairsDistinct(
+          graft.multimodal.Multimodal.perceptualHash(media), maxHamming = 2)
+      }),
       "v11_pq_shape" -> (() => {
         val sample = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
         val cb = graft.similarity.Pq.train(

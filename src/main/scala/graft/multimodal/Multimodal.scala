@@ -225,4 +225,44 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The SCALE path for [[phashPairs]]: band-bucket candidates enumerated
+    * over DISTINCT hash values only, so identical-phash mass — exact image
+    * duplicates, or the low-entropy degenerate case where the whole corpus
+    * collapses onto few hashes (the 10× probe ran [[phashPairs]] there at
+    * 459 s; this shape runs in seconds) — contributes ONE bucket node
+    * regardless of multiplicity. Exact-equal doc groups fall out of a plain
+    * groupBy on the hash (the D1 shape, no pair enumeration); doc-level
+    * near-dup pairs, when actually needed, are the membership join of this
+    * frame — but dedup decisions (drop all-but-one per cluster) never need
+    * the quadratic doc-pair expansion.
+    *
+    * Output: (ha_hi, ha_lo, hb_hi, hb_lo, hamming) over distinct hashes,
+    * struct-ordered a < b. Equivalence with [[phashPairs]] under membership
+    * expansion is asserted in MultimodalSpec.
+    */
+  def phashPairsDistinct(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 8, "banded recall is exact only for maxHamming <= 8")
+    val dh = ph.select(col("phash_hi"), col("phash_lo")).distinct()
+    val bands = dh.select(col("phash_hi"), col("phash_lo"),
+      explode(expr("sequence(0, 7)")).as("b"))
+      .select(col("phash_hi"), col("phash_lo"), col("b"), expr(
+        "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
+          "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END").as("bandv"))
+    bands.groupBy(col("b"), col("bandv"))
+      .agg(sort_array(collect_list(
+        struct(col("phash_hi").as("hi"), col("phash_lo").as("lo")))).as("hs"))
+      .filter(size(col("hs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(hs) - 1), " +
+          "i -> transform(slice(hs, i + 1, size(hs)), " +
+          "h -> struct(element_at(hs, i) AS a, h AS b))))")).as("p"))
+      .select(col("p.a.hi").as("ha_hi"), col("p.a.lo").as("ha_lo"),
+        col("p.b.hi").as("hb_hi"), col("p.b.lo").as("hb_lo"))
+      .distinct()
+      .select(col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"),
+        (bit_count(expr("ha_hi ^ hb_hi")) + bit_count(expr("ha_lo ^ hb_lo")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

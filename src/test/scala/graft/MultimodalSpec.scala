@@ -66,6 +66,36 @@ class MultimodalSpec extends SparkSuite {
     assert(hamming(base, perturbed) == 1)
   }
 
+  test("distinct-hash scale path expands to exactly the doc-level pair set") {
+    implicit val s = spark
+    val media = Multimodal.toMedia(
+      Tables(spark, sf, "documents"), "doc_id", "text")
+    val ph = Multimodal.perceptualHash(media).cache()
+    try {
+      val docPairs = Multimodal.phashPairs(ph, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // expansion = membership join over distinct-hash pairs (cross-hash)
+      //           ∪ within-group pairs of each exact-equal hash (hamming 0)
+      val dp = Multimodal.phashPairsDistinct(ph, maxHamming = 6)
+      val cross = dp
+        .join(ph.select(col("doc_id").as("ida"), col("phash_hi").as("ha_hi"),
+          col("phash_lo").as("ha_lo")), Seq("ha_hi", "ha_lo"))
+        .join(ph.select(col("doc_id").as("idb"), col("phash_hi").as("hb_hi"),
+          col("phash_lo").as("hb_lo")), Seq("hb_hi", "hb_lo"))
+        .select(least(col("ida"), col("idb")).as("a"),
+          greatest(col("ida"), col("idb")).as("b"), col("hamming"))
+      val within = ph.as("x").join(ph.as("y"),
+          col("x.phash_hi") === col("y.phash_hi") &&
+            col("x.phash_lo") === col("y.phash_lo") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(0L).as("hamming"))
+      val expanded = cross.unionByName(within)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(docPairs.nonEmpty && expanded == docPairs)
+    } finally ph.unpersist()
+  }
+
   test("phashPairs on real PNGs: finds the near pair, drops the inverted one") {
     implicit val s = spark
     val near = png(64, 64) { (x, y) =>
