@@ -306,6 +306,23 @@ object HeadlineQueries extends QueryGroup {
              |FROM orders
              |JOIN big ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey
-             |ORDER BY sum_qty_cents DESC, o_orderkey LIMIT 100""".stripMargin))
+             |ORDER BY sum_qty_cents DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // Equi-width numeric histogram: integer bin = floor(price / 5000),
+    // count + exact-cents mass per bin — the profiling scan every column
+    // gets before a pipeline decision. One map-side projection + one tiny
+    // agg; empty bins are absent by construction on both engines.
+    Q("h13_histogram",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bin"),
+          cents(col("l_extendedprice")).as("pc"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_cents"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_cents
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

@@ -336,6 +336,27 @@ object TextQueries extends QueryGroup {
               |FROM t JOIN x USING (term)
               |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin)),
 
+    // T12 — search-hit highlighting (ES highlight): a fixed-width snippet
+    // window centered on the first occurrence of the query phrase — pure
+    // strpos/substr integer arithmetic, mirrored exactly. Completes the
+    // ES search surface: match (t2), phrase (t10), fuzzy (t11), facets
+    // (t5), relevance (h8), highlight (here).
+    Q("t12_highlight",
+      (s, d) => Tables(s, d, "documents")
+        .filter(col("text").contains("merge scan"))
+        .select(col("doc_id"),
+          (instr(col("text"), "merge scan") - 1).cast("long").as("hit_at"),
+          substring(col("text"),
+            greatest(lit(1), instr(col("text"), "merge scan") - 20), lit(60))
+            .as("snippet"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(strpos(text, 'merge scan') - 1 AS BIGINT) AS hit_at,
+             |       substr(text, greatest(1, strpos(text, 'merge scan') - 20), 60)
+             |         AS snippet
+             |FROM documents WHERE contains(text, 'merge scan')
+             |ORDER BY doc_id""".stripMargin)),
+
     // x12 — corpus-LM quality scoring (the CCNet-style filter): score each
     // document by its mean token log-probability under the corpus's own
     // unigram model. Low scores = rare-token soup (mojibake, boilerplate
