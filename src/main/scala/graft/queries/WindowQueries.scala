@@ -210,6 +210,51 @@ object WindowQueries extends QueryGroup {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, us, event_id""".stripMargin))
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // W8 — time-series resampling with forward fill: build the full hourly
+    // spine (sequence over the global min..max hour), outer-join each
+    // type's last-observed state per hour, and carry it across gaps with
+    // last(IGNORE NULLS) — the gap-filling every dashboard/feature-join
+    // needs. State is an exact bigint (the max event_id in the hour), so
+    // the fill is deterministic; leading hours before a type's first
+    // event stay null on both engines.
+    Q("w8_resample_ffill",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("event_id"))
+        val hourly = e.groupBy(col("event_type"), col("h"))
+          .agg(max(col("event_id")).as("last_id"))
+        val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val types = e.select(col("event_type")).distinct()
+        spine.crossJoin(broadcast(types))
+          .join(hourly, Seq("event_type", "h"), "left_outer")
+          .withColumn("filled_id",
+            last(col("last_id"), ignoreNulls = true).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("event_type")).orderBy(col("h"))
+                .rowsBetween(Long.MinValue, 0)))
+          .select(col("event_type"), col("h"), col("filled_id"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, event_id
+             |           FROM events),
+             |hourly AS (SELECT event_type, h, max(event_id) AS last_id
+             |           FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+             |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |          FROM b),
+             |ty AS (SELECT DISTINCT event_type FROM e),
+             |g AS (SELECT ty.event_type, spine.h, hourly.last_id
+             |      FROM spine CROSS JOIN ty
+             |      LEFT JOIN hourly ON hourly.event_type = ty.event_type
+             |                      AND hourly.h = spine.h)
+             |SELECT event_type, h,
+             |       last_value(last_id IGNORE NULLS) OVER (
+             |         PARTITION BY event_type ORDER BY h
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_id
+             |FROM g ORDER BY event_type, h""".stripMargin))
   )
 }
