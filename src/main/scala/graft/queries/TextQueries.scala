@@ -357,6 +357,59 @@ object TextQueries extends QueryGroup {
              |FROM documents WHERE contains(text, 'merge scan')
              |ORDER BY doc_id""".stripMargin)),
 
+    // T13 — query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty): score(d,Q) = Σ_q ln((tf + μ·cf/N) / (len_d + μ)), μ=2000 —
+    // the LM-based ranking model next to BM25 (h8). Smoothing means every
+    // doc scores against every query term (tf=0 included), so the grid is
+    // docs × the 2-term query (a broadcast), never docs × vocabulary.
+    // Same determinism scheme as x12: per-term quantization to integer
+    // micros, integer sum, ranked on the exact bigint.
+    Q("t13_query_likelihood",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val toks = TextFunctions.postings(docs, col("doc_id"), col("text"))
+        val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+        val tf = toks.filter(col("term").isin("merge", "scan"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val cf = toks.filter(col("term").isin("merge", "scan"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+        val n = toks.agg(count(lit(1)).cast("long").as("n"))
+        docLen
+          .crossJoin(broadcast(cf.crossJoin(n)))
+          .join(tf, Seq("doc_id", "term"), "left_outer")
+          .select(col("doc_id"),
+            floor(log((coalesce(col("tf"), lit(0L)) * lit(1.0)
+                + lit(2000.0) * col("cf") / col("n"))
+              / (col("len") + lit(2000.0))) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("lp_micro"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lp_micro")).as("score_micro"))
+          .select(col("doc_id"), col("score_micro"),
+            round(col("score_micro") * lit(1.0) / lit(1000000.0), 6).as("score"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     dl AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+              |            WHERE term IN ('merge', 'scan') GROUP BY 1, 2),
+              |     cf AS (SELECT term, count(*) AS cf FROM t
+              |            WHERE term IN ('merge', 'scan') GROUP BY 1),
+              |     n AS (SELECT count(*) AS n FROM t),
+              |     lp AS (SELECT dl.doc_id,
+              |                   CAST(floor(ln((coalesce(tf.tf, 0) * 1.0
+              |                       + 2000.0 * cf.cf / n.n)
+              |                     / (dl.len + 2000.0)) * 1000000.0 + 0.5) AS BIGINT)
+              |                     AS lp_micro
+              |            FROM dl CROSS JOIN cf CROSS JOIN n
+              |            LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term),
+              |     agg AS (SELECT doc_id,
+              |                    CAST(sum(lp_micro) AS BIGINT) AS score_micro
+              |             FROM lp GROUP BY 1)
+              |SELECT doc_id, score_micro,
+              |       round(score_micro * 1.0 / 1000000.0, 6) AS score
+              |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
     // x12 — corpus-LM quality scoring (the CCNet-style filter): score each
     // document by its mean token log-probability under the corpus's own
     // unigram model. Low scores = rare-token soup (mojibake, boilerplate
