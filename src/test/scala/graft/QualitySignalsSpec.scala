@@ -118,6 +118,24 @@ class QualitySignalsSpec extends SparkSuite {
     assert((r1.getString(1), r1.getString(2)) == (("b", "a")))
   }
 
+  test("LM scoring: word-order scrambling preserves unigram score, shifts bigram score") {
+    // The design claim behind shipping BOTH scorers: x12 is a bag-of-words
+    // statistic (permutation-invariant by construction), x14 reads order.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"), // 1 scrambled
+      (3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val uni = graft.pipeline.LmScore.unigramAvgLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(1L) == uni(2L) && uni(1L) == uni(3L))
+    val bi = graft.pipeline.LmScore.bigramAvgLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bi(1L) == bi(3L)) // identical docs score identically
+    assert(bi(2L) < bi(1L), // scrambled word order craters the fluency score
+      s"scrambled=${bi(2L)} original=${bi(1L)}")
+  }
+
   test("semantic dedup with one centroid degrades to exact all-pairs cosine") {
     val emb = Tables(spark, sf, "embeddings")
     val one = emb.filter(col("vec_id") === 0)
