@@ -53,15 +53,18 @@ object PipelineDemo {
     stage("span_gate", spanOk.count())
 
     // 1c. corpus-LM fluency cut: drop the lowest-scoring 10% by bigram
-    // conditional log-prob (rare-token soup and scrambled word order)
+    // conditional log-prob (rare-token soup and scrambled word order).
+    // Docs too short to carry a bigram have no score — they are KEPT (an
+    // anti-join against the dropped set), not silently discarded: absence
+    // of evidence is not low quality.
     val lmOk = {
       val scored = graft.pipeline.LmScore.bigramAvgLogProb(
         spanOk, col("doc_id"), col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("avg_lp"), col("doc_id"))
-      spanOk.join(scored
-        .withColumn("pr", percent_rank().over(w))
-        .filter(col("pr") >= 0.1).select(col("doc_id")), "doc_id")
+      val dropped = scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") < 0.1).select(col("doc_id"))
+      spanOk.join(dropped, Seq("doc_id"), "left_anti")
     }
     stage("lm_filtered", lmOk.count())
 

@@ -185,11 +185,21 @@ object Multimodal {
     }.toDF("doc_id", "phash_hi", "phash_lo")
   }
 
+  /** The 8-bit band value for band `b` (0-3 from the lo half, 4-7 hi) —
+    * shared by [[phashPairs]] and [[phashPairsDistinct]] so the bucketing
+    * cannot drift between the two paths.
+    */
+  private def bandValueExpr: String =
+    "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
+      "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END"
+
   /** Near-duplicate image pairs by banded phash hamming distance: 8 bands
-    * of 8 bits — any pair within hamming ≤ 8 shares a zero-diff band
-    * (pigeonhole), so recall is exact for `maxHamming` ≤ 8. Pairing happens
-    * WITHIN each (band, value) bucket after one groupBy shuffle (the
-    * FuzzyJoin shape), then candidates are verified with the exact popcount.
+    * of 8 bits — a pair within hamming ≤ 7 must share a zero-diff band
+    * (pigeonhole over 8 bands bounds exact recall at bands − 1: distance 8
+    * can place one flipped bit in every band), so recall is exact for
+    * `maxHamming` ≤ 7. Pairing happens WITHIN each (band, value) bucket
+    * after one groupBy shuffle (the FuzzyJoin shape), then candidates are
+    * verified with the exact popcount.
     *
     * Scale note: pair fan-out is quadratic WITHIN a (band, value) bucket,
     * so corpora whose hashes concentrate (the low-entropy stub payloads at
@@ -200,19 +210,15 @@ object Multimodal {
     * candidate contract, so the 8×8 default stays the oracle-gated path.
     */
   def phashPairs(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 8, "banded recall is exact only for maxHamming <= 8")
+    require(maxHamming <= 7, "banded recall is exact only for maxHamming <= 7")
     val bands = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
       explode(expr("sequence(0, 7)")).as("b"))
-      .select(col("doc_id"), col("b"), expr(
-        "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
-          "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END").as("bandv"))
+      .select(col("doc_id"), col("b"), expr(bandValueExpr).as("bandv"))
     val cand = bands.groupBy(col("b"), col("bandv"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), " +
-          "i -> transform(slice(ds, i + 1, size(ds)), " +
-          "d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))")).as("p"))
+        graft.operators.BucketPairs.pairExpr("ds", "doc_a", "doc_b"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     cand
@@ -242,21 +248,18 @@ object Multimodal {
     * expansion is asserted in MultimodalSpec.
     */
   def phashPairsDistinct(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 8, "banded recall is exact only for maxHamming <= 8")
+    require(maxHamming <= 7, "banded recall is exact only for maxHamming <= 7")
     val dh = ph.select(col("phash_hi"), col("phash_lo")).distinct()
     val bands = dh.select(col("phash_hi"), col("phash_lo"),
       explode(expr("sequence(0, 7)")).as("b"))
-      .select(col("phash_hi"), col("phash_lo"), col("b"), expr(
-        "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
-          "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END").as("bandv"))
+      .select(col("phash_hi"), col("phash_lo"), col("b"),
+        expr(bandValueExpr).as("bandv"))
     bands.groupBy(col("b"), col("bandv"))
       .agg(sort_array(collect_list(
         struct(col("phash_hi").as("hi"), col("phash_lo").as("lo")))).as("hs"))
       .filter(size(col("hs")) >= 2)
       .select(explode(expr(
-        "flatten(transform(sequence(1, size(hs) - 1), " +
-          "i -> transform(slice(hs, i + 1, size(hs)), " +
-          "h -> struct(element_at(hs, i) AS a, h AS b))))")).as("p"))
+        graft.operators.BucketPairs.pairExpr("hs", "a", "b"))).as("p"))
       .select(col("p.a.hi").as("ha_hi"), col("p.a.lo").as("ha_lo"),
         col("p.b.hi").as("hb_hi"), col("p.b.lo").as("hb_lo"))
       .distinct()

@@ -51,9 +51,7 @@ object FuzzyJoin {
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(explode(expr(
-        "flatten(transform(sequence(1, size(ts) - 1), " +
-          "i -> transform(slice(ts, i + 1, size(ts)), " +
-          "b -> struct(element_at(ts, i) AS term_a, b AS term_b))))")).as("p"))
+        BucketPairs.pairExpr("ts", "term_a", "term_b"))).as("p"))
       .select(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
     // insertion/deletion: the whole shorter term equals a deletion variant
     // of the longer. The raw term list is ×len smaller than the variant

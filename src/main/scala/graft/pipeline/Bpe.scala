@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * replacements (Spark and DuckDB both do), so the whole trainer sits
   * under the differential oracle.
   *
-  * Rounds are unrolled into one plan (lineage depth = rounds, like the
-  * v8 kmeans pipeline); for rounds ≫ 10 at scale, checkpoint the seq
-  * frame between rounds.
+  * Each round's 1-row winner is eagerly materialized (localCheckpoint)
+  * before it is used twice (as the emitted rule and inside the merge
+  * rewrite) — without that, round r's plan would embed round r−1's seq
+  * subtree twice and the unrolled plan would double per round. With it,
+  * lineage grows by one merge per round (linear); for rounds ≫ 10 at
+  * scale, additionally checkpoint the seq frame itself.
   */
 object Bpe {
 
@@ -67,7 +70,9 @@ object Bpe {
     val (_, ruleFrames) =
       (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
         case ((seqs, acc), r) =>
-          val winner = best(pairCounts(seqs))
+          // materialize the ≤1-row winner so the two uses below don't each
+          // re-embed (and re-execute) the whole pair-count subtree
+          val winner = best(pairCounts(seqs)).localCheckpoint()
           val rule = winner.select(
             lit(r.toLong).as("round"),
             col("a").as("sym_a"), col("b").as("sym_b"),

@@ -66,6 +66,9 @@ object MultimodalQueries extends QueryGroup {
     // sampling, threshold bits, band bucketing, popcount verify — pure
     // integer arithmetic mirrored in DuckDB; the real `imageio` luma path
     // shares every line after decode and is pinned by spec on crafted PNGs.
+    // NB (same caveat the m1 oracle documents): the mirror models the
+    // payload as one-byte-per-character — exact because the fixture text is
+    // pure ASCII; a non-ASCII corpus would need a DuckDB BLOB-byte mirror.
     Q("m3_phash_pairs",
       (s, d) => {
         implicit val sp = s

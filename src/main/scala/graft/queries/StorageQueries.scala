@@ -130,16 +130,20 @@ object StorageQueries extends QueryGroup {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // S10 — CSV round-trip: the other interchange format. Header on,
-    // explicit schema on read (inference would widen int64), quoting left
-    // to the writer's defaults — the identity oracle against the parquet
-    // original proves nothing is lost or re-typed in transit.
+    // explicit schema on read (inference would widen int64), and
+    // multiLine on the reader — the writer QUOTES embedded newlines but
+    // the reader's default splits records on them, so without it any doc
+    // containing a newline would corrupt the round-trip (latent on this
+    // newline-free fixture, fatal on a real corpus). Identity oracle
+    // against the parquet original proves nothing is lost or re-typed.
     Q("s10_csv_roundtrip",
       (s, d) => {
         val t = tag(d)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$t"
         val docs = Tables(s, d, "documents")
         docs.write.mode("overwrite").option("header", "true").csv(out)
-        s.read.schema(docs.schema).option("header", "true").csv(out)
+        s.read.schema(docs.schema)
+          .option("header", "true").option("multiLine", "true").csv(out)
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars

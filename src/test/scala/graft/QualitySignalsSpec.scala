@@ -118,6 +118,21 @@ class QualitySignalsSpec extends SparkSuite {
     assert((r1.getString(1), r1.getString(2)) == (("b", "a")))
   }
 
+  test("CSV round-trip survives embedded newlines and quotes (the s10 options)") {
+    val docs = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "says \"hi\" and, commas", "de"),
+      (3L, "plain", "es")).toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true").csv(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val orig = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == orig)
+  }
+
   test("LM scoring: word-order scrambling preserves unigram score, shifts bigram score") {
     // The design claim behind shipping BOTH scorers: x12 is a bag-of-words
     // statistic (permutation-invariant by construction), x14 reads order.

@@ -433,37 +433,56 @@ class StreamingSpec extends SparkSuite {
   test("streaming MG heavy hitters: bounded state, containment + lower bounds (ST6×A12)") {
     implicit val ctx = sqlCtx
     val ms = MemoryStream[String]
-    // channel #x: "alpha" dominates (12 of 20 tokens); #y gets its own stream.
-    // Fed across TWO batches so the sketch state must survive micro-batches.
     def line(ch: String, words: String) = s":bot!~b@h PRIVMSG $ch :$words"
+    // per-batch capture: the memory sink can't attribute rows to batches,
+    // and only the LAST batch's emission is the final sketch state
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, String, Long)])]
+    val q = IrcStream.trendingTerms(IrcStream.records(ms.toDF()), k = 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val rows = df.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        batches.synchronized { batches += ((id, rows)) }
+        ()
+      }
+      .start()
+    // batch 1 — channel #x: "alpha" dominates; #y gets its own stream
     ms.addData(
       line("#x", "alpha alpha alpha beta gamma alpha alpha delta"),
       line("#y", "zeta zeta eta"))
+    q.processAllAvailable()
+    // batch 2 AFTER the first drain: the sketch must be RESTORED from
+    // keyed state, not rebuilt — alpha's final bound proves it (a
+    // fresh-state batch 2 could credit alpha at most 8)
     ms.addData(
       line("#x", "alpha alpha alpha epsilon alpha alpha kappa alpha alpha iota"),
       line("#y", "zeta theta"))
-    val q = IrcStream.trendingTerms(IrcStream.records(ms.toDF()), k = 4)
-      .writeStream.format("memory").queryName("trend_out")
-      .outputMode("update").start()
     q.processAllAvailable()
     q.stop()
-    // latest emission per (channel, term) = the final sketch state
-    val latest = spark.table("trend_out")
-      .groupBy(col("channel"), col("term")).agg(max(col("count_lb")).as("lb"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nonEmpty = batches.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(nonEmpty.size == 2, s"expected 2 data batches, saw $batches")
+    val finalState = nonEmpty.last._2
+      .map { case (ch, t, lb) => (ch, t) -> lb }.toMap
     val exact = Map(
       ("#x", "alpha") -> 12L, ("#x", "beta") -> 1L, ("#x", "gamma") -> 1L,
       ("#x", "delta") -> 1L, ("#x", "epsilon") -> 1L, ("#x", "kappa") -> 1L,
       ("#x", "iota") -> 1L, ("#y", "zeta") -> 3L, ("#y", "eta") -> 1L,
       ("#y", "theta") -> 1L)
-    // state bound: ≤ k entries per channel in the final sketch
-    latest.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= 4) }
+    // state bound: ≤ k live counters per channel in the FINAL sketch
+    finalState.keys.groupBy(_._1).foreach { case (ch, ks) =>
+      assert(ks.size <= 4, s"$ch sketch exceeded k: $ks")
+    }
     // containment: any term with count > N/k must be present
     //   #x: N=18, k=4 → threshold 4.5 → alpha (12) must survive
     //   #y: N=5  → threshold 1.25 → zeta (3) must survive
-    assert(latest.contains(("#x", "alpha")) && latest.contains(("#y", "zeta")))
+    assert(finalState.contains(("#x", "alpha")) && finalState.contains(("#y", "zeta")))
+    // cross-batch proof: alpha's bound must exceed anything batch 2 alone
+    // (8 occurrences) could produce from empty state
+    assert(finalState(("#x", "alpha")) > 8L)
     // every sketch bound is a true LOWER bound within the MG undercount N/k
-    latest.foreach { case (key @ (ch, _), lb) =>
+    finalState.foreach { case (key @ (ch, _), lb) =>
       val n = if (ch == "#x") 18L else 5L
       assert(lb <= exact(key) && lb >= exact(key) - n / 4,
         s"$key lb=$lb exact=${exact(key)}")
