@@ -180,12 +180,37 @@ object Dedup {
       newDocs: DataFrame, id: Column, text: Column,
       existingSigs: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val newSigs = graft.Caches.track(
-      MinHashDedup.signatures(newDocs, id, text, numHashes))
+      minEstJaccard: Double = 0.5): DataFrame =
+    incrementalPairsFrom(
+      graft.Caches.track(MinHashDedup.signatures(newDocs, id, text, numHashes)),
+      existingSigs, numHashes, bands, minEstJaccard)
+
+  /** [[incrementalMinhashPairs]] with the md5 hash family and string band
+    * keys — cross-engine reproducible, so the append-only production shape
+    * sits under the differential oracle (i3_incremental_minhash): the result
+    * equals the FULL corpus's md5-LSH pairs restricted to pairs involving at
+    * least one new doc, because newBands ⊆ allBands makes the band-collision
+    * criterion identical on that slice. `existingSigs` must carry md5-family
+    * signatures (MinHashDedup.signatureMd5).
+    */
+  def incrementalMinhashPairsMd5(
+      newDocs: DataFrame, id: Column, text: Column,
+      existingSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame =
+    incrementalPairsFrom(
+      graft.Caches.track(newDocs.select(id.as("doc_id"),
+        MinHashDedup.signatureMd5(text, numHashes).as("sig"))),
+      existingSigs, numHashes, bands, minEstJaccard, MinHashDedup.stringBandKey)
+
+  private def incrementalPairsFrom(
+      newSigs: DataFrame, existingSigs: DataFrame,
+      numHashes: Int, bands: Int, minEstJaccard: Double,
+      bandKey: (Column, Column) => Column =
+        (j, sl) => org.apache.spark.sql.functions.xxhash64(j, sl)): DataFrame = {
     val allSigs = existingSigs.select(col("doc_id"), col("sig")).union(newSigs)
-    val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
-    val allBands = MinHashDedup.banded(allSigs, numHashes, bands)
+    val newBands = MinHashDedup.banded(newSigs, numHashes, bands, bandKey)
+    val allBands = MinHashDedup.banded(allSigs, numHashes, bands, bandKey)
     val cand = newBands
       .join(allBands.select(col("band").as("band_b"),
           col("band_hash").as("band_hash_b"), col("doc_id").as("db")),

@@ -25,11 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** One-char-deletion variants with their positions: array<struct<pos,del>>. */
+  /** One-char-deletion variants with their positions: array<struct<pos,del>>.
+    * Guarded for the empty term: Spark's `sequence(0, -1)` counts DOWN to
+    * [0, -1] instead of yielding empty (the same trap Bpe.pairCounts
+    * documents), which would fabricate bogus variants — an empty term has no
+    * deletions, and its edit-distance-1 partners (single chars) are still
+    * found by the insertion/deletion branch, whose variant side comes from
+    * the longer term.
+    */
   private def delVariants(term: Column): Column =
-    transform(sequence(lit(0), length(term) - 1), i =>
-      struct(i.as("pos"),
-        concat(term.substr(lit(1), i), term.substr(i + 2, lit(1000000))).as("del")))
+    when(length(term) > 0,
+      transform(sequence(lit(0), length(term) - 1), i =>
+        struct(i.as("pos"),
+          concat(term.substr(lit(1), i), term.substr(i + 2, lit(1000000))).as("del"))))
+      .otherwise(expr("array()").cast("array<struct<pos:int,del:string>>"))
 
   /** Distinct unordered pairs (term_a < term_b) at edit distance exactly 1.
     * `terms` must be a single-column frame of distinct strings.

@@ -64,9 +64,19 @@ object Bpe {
 
   /** Learn `rounds` merge rules from a (word, c) vocabulary frame.
     * Output: (round, sym_a, sym_b, merged, cnt) ordered by round.
+    *
+    * `checkpointEvery`: real tokenizers run thousands of rounds, and even
+    * with the 1-row winner materialized the seq frame's lineage grows by one
+    * replace+crossJoin per round — at depth that means a plan tree (and
+    * analysis time) linear in rounds on EVERY round, i.e. quadratic total.
+    * Truncating the seq lineage with an eager localCheckpoint every N rounds
+    * caps plan depth at N merges; result-identical (checkpointing changes
+    * execution, never values), probed at rounds=20 in ScaleProbe's
+    * x13_bpe_shape.
     */
-  def merges(vocab: DataFrame, rounds: Int): DataFrame = {
+  def merges(vocab: DataFrame, rounds: Int, checkpointEvery: Int = 10): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val (_, ruleFrames) =
       (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
         case ((seqs, acc), r) =>
@@ -77,7 +87,11 @@ object Bpe {
             lit(r.toLong).as("round"),
             col("a").as("sym_a"), col("b").as("sym_b"),
             concat(col("a"), col("b")).as("merged"), col("cnt"))
-          (applyMerge(seqs, winner), acc :+ rule)
+          val nextSeqs = applyMerge(seqs, winner)
+          val bounded =
+            if (r % checkpointEvery == 0 && r < rounds) nextSeqs.localCheckpoint()
+            else nextSeqs
+          (bounded, acc :+ rule)
       }
     ruleFrames.reduce(_.unionByName(_)).orderBy(col("round"))
   }

@@ -132,6 +132,66 @@ object DedupQueries extends QueryGroup {
              |WHERE est_jaccard >= 0.5
              |ORDER BY da, db""".stripMargin)),
 
+    // D2/I — INCREMENTAL near-dup, the append-only production shape: a new
+    // batch's signatures banded against an existing signature STORE plus
+    // themselves — the corpus is never re-paired against itself. Parity
+    // split: even doc_ids are the store (pre-computed md5 signatures), odd
+    // doc_ids are the arriving batch. Because newBands ⊆ allBands under the
+    // same band key, the result is EXACTLY the full corpus's md5-LSH pairs
+    // restricted to pairs involving ≥1 new doc — which is what the oracle
+    // computes (the d2_minhash_md5 pipeline + that restriction).
+    Q("i3_incremental_minhash",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val store = graft.Caches.track(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), MinHashDedup.signatureMd5(col("text")).as("sig")))
+        Dedup.incrementalMinhashPairsMd5(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("doc_id"), col("text"), store)
+          .orderBy(col("da"), col("db"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |hv AS (
+             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
+             |  FROM sh GROUP BY 1),
+             |sigs AS (
+             |  SELECT t.doc_id,
+             |         list_transform(generate_series(0, 63), i -> coalesce(
+             |           list_min(list_transform(h.hs,
+             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
+             |           2147483647)) AS sig
+             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
+             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
+             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+             |est AS (
+             |  SELECT da, db,
+             |         round(CAST(len(list_filter(generate_series(1, 64),
+             |           k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64, 6) AS est_jaccard
+             |  FROM cand
+             |  JOIN sigs sa ON sa.doc_id = cand.da
+             |  JOIN sigs sb ON sb.doc_id = cand.db)
+             |SELECT da, db, est_jaccard FROM est
+             |WHERE est_jaccard >= 0.5 AND (da % 2 = 1 OR db % 2 = 1)
+             |ORDER BY da, db""".stripMargin)),
+
     // D3 — cluster formation: connected components over the Jaccard
     // candidate-pair graph, min-id representative per cluster — the step
     // every near-dup pipeline runs after pair generation. Spark side is

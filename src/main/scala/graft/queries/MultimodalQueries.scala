@@ -115,6 +115,67 @@ object MultimodalQueries extends QueryGroup {
              |          FROM cand JOIN ph pa ON pa.doc_id = doc_a
              |                    JOIN ph pb ON pb.doc_id = doc_b)
              |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
-             |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin))
+             |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // M3 scale path — the SAME banded-hamming pipeline enumerated over
+    // DISTINCT hash values only, so identical-phash mass (exact duplicates,
+    // or the low-entropy degenerate corpus that ran the doc-level path at
+    // 459 s in the 10× probe) contributes ONE node per hash regardless of
+    // multiplicity. This is the 100 TB image-dedup path; membership
+    // expansion back to doc pairs is spec-proven equivalent
+    // (MultimodalSpec), and the all-integer band/popcount arithmetic sits
+    // under the same DuckDB mirror as m3_phash_pairs. Pair order is
+    // struct-lexicographic (hi, then lo) — mirrored as a row comparison.
+    Q("m3_phash_pairs_distinct",
+      (s, d) => {
+        implicit val sp = s
+        val media = Multimodal.toMedia(Tables(s, d, "documents"), "doc_id", "text")
+        Multimodal.phashPairsDistinct(
+          Multimodal.perceptualHash(media), maxHamming = 6)
+          .orderBy(col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      },
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n,
+             |                  list_transform(string_split(text, ''), c -> ascii(c)) AS px
+             |           FROM documents),
+             |g AS (SELECT doc_id, px,
+             |             greatest(1, least(64, n)) AS w,
+             |             greatest(1, n // greatest(1, least(64, n))) AS h
+             |      FROM m),
+             |samp AS (SELECT doc_id,
+             |                list_transform(generate_series(0, 63),
+             |                  j -> CAST(px[((j // 8) * h) // 8 * w + ((j % 8) * w) // 8 + 1]
+             |                            AS BIGINT)) AS s
+             |         FROM g),
+             |ph AS (SELECT doc_id,
+             |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                list_transform(generate_series(32, 63), j ->
+             |                  CASE WHEN s[j + 1] * 64 > list_sum(s)
+             |                       THEN CAST(1 AS BIGINT) << (j - 32)
+             |                       ELSE CAST(0 AS BIGINT) END)),
+             |                (a, v) -> a + v) AS phash_hi,
+             |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                list_transform(generate_series(0, 31), j ->
+             |                  CASE WHEN s[j + 1] * 64 > list_sum(s)
+             |                       THEN CAST(1 AS BIGINT) << j
+             |                       ELSE CAST(0 AS BIGINT) END)),
+             |                (a, v) -> a + v) AS phash_lo
+             |       FROM samp),
+             |dh AS (SELECT DISTINCT phash_hi, phash_lo FROM ph),
+             |bands AS (SELECT phash_hi, phash_lo, b,
+             |                 CASE WHEN b < 4 THEN (phash_lo >> (8 * b)) & 255
+             |                      ELSE (phash_hi >> (8 * (b - 4))) & 255 END AS bandv
+             |          FROM dh, unnest(generate_series(0, 7)) AS t(b)),
+             |cand AS (SELECT DISTINCT
+             |                a.phash_hi AS ha_hi, a.phash_lo AS ha_lo,
+             |                b.phash_hi AS hb_hi, b.phash_lo AS hb_lo
+             |         FROM bands a JOIN bands b
+             |           ON a.b = b.b AND a.bandv = b.bandv
+             |          AND (a.phash_hi, a.phash_lo) < (b.phash_hi, b.phash_lo))
+             |SELECT ha_hi, ha_lo, hb_hi, hb_lo,
+             |       CAST(bit_count(xor(ha_hi, hb_hi))
+             |          + bit_count(xor(ha_lo, hb_lo)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 6
+             |ORDER BY ha_hi, ha_lo, hb_hi, hb_lo""".stripMargin))
   )
 }

@@ -282,19 +282,92 @@ object Ann {
     * the keep-one-representative policy.
     */
   def semanticDedupPairs(embeddings: DataFrame, id: Column, vec: Column,
-      centroids: DataFrame, threshold: Double): DataFrame = {
-    val l2 = aggregate(
-      zip_with(col("cvec"), col("v"), (c, x) => {
-        val d = x.cast("double") - c; d * d
-      }),
+      centroids: DataFrame, threshold: Double): DataFrame =
+    pairsWithinClusters(assignCentroids(embeddings, id, vec, centroids), threshold)
+
+  /** Squared L2 between a double-array centroid column and a (float or
+    * double) vector column — the shared assignment metric.
+    */
+  private def l2sq(cvec: Column, v: Column): Column =
+    aggregate(
+      zip_with(cvec, v, (c, x) => { val d = x.cast("double") - c; d * d }),
       lit(0.0), (acc, v) => acc + v)
-    val assigned = embeddings.select(id.as("vec_id"), vec.as("v"))
+
+  /** EXACT nearest-centroid assignment (the n×k baseline): one broadcast
+    * cross join + ranking window, deterministic L2-then-cid tie-break.
+    * Output: (cid, vec_id, v).
+    */
+  def assignCentroids(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame =
+    embeddings.select(id.as("vec_id"), vec.as("v"))
       .crossJoin(broadcast(centroids))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(l2.asc, col("cid"))))
+        Window.partitionBy(col("vec_id")).orderBy(
+          l2sq(col("cvec"), col("v")).asc, col("cid"))))
       .filter(col("rk") === 1)
-      .select(col("cid"), col("vec_id"), col("v"),
-        sqrt(VectorFunctions.dotNative(col("v"), col("v"))).as("nrm"))
+      .select(col("cid"), col("vec_id"), col("v"))
+
+  /** IVF-ASSISTED assignment — the scale path past the n×k wall the 10×
+    * probe pinned (22.4 s, all in exact assignment): a two-level coarse
+    * quantizer. Each vector probes its `nProbe` nearest COARSE cells
+    * (n×c work, c ≪ k), then runs the exact argmin only over the fine
+    * centroids that live in those cells (n × nProbe·k/c expected). With
+    * c ≈ √k and small nProbe, per-vector work drops from k to ~√k·nProbe
+    * — sub-linear growth in codebook size, which is what keeps assignment
+    * feasible when k scales with the corpus (k ∝ n / target cluster size).
+    *
+    * Same output contract and tie-break as [[assignCentroids]]; recall < 1
+    * by construction (a vector whose true cell is not among its nProbe
+    * coarse probes gets its best PROBED cell). Equality at nProbe = c and
+    * fixture agreement at small nProbe are asserted in AnnSpec.
+    *
+    * @param coarse (ccid, ccvec: array<double>) coarse codebook; at scale,
+    *               a k-means over the fine centroids themselves
+    */
+  def assignCentroidsIvf(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, coarse: DataFrame, nProbe: Int): DataFrame = {
+    // fine centroid → its coarse cell: k×c rows, codebook-scale (both sides
+    // are broadcastable by construction — same posture as Pq codebooks)
+    val cellMap = centroids.crossJoin(broadcast(coarse))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(
+          l2sq(col("ccvec"), col("cvec")).asc, col("ccid"))))
+      .filter(col("rk") === 1)
+      .select(col("ccid"), col("cid"), col("cvec"))
+    // vector → its nProbe nearest coarse cells (n×c, the cheap pass)
+    val probed = embeddings.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(
+          l2sq(col("ccvec"), col("v")).asc, col("ccid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("v"), col("ccid"))
+    // exact argmin over only the probed cells' fine centroids
+    probed.join(broadcast(cellMap), "ccid")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(
+          l2sq(col("cvec"), col("v")).asc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+  }
+
+  /** [[semanticDedupPairs]] with IVF-assisted assignment — identical pair
+    * stage, assignment recall traded per [[assignCentroidsIvf]].
+    */
+  def semanticDedupPairsIvf(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, coarse: DataFrame, nProbe: Int,
+      threshold: Double): DataFrame =
+    pairsWithinClusters(
+      assignCentroidsIvf(embeddings, id, vec, centroids, coarse, nProbe),
+      threshold)
+
+  /** Within-cluster exact cosine pairs over an assigned (cid, vec_id, v)
+    * frame — the blocking-keyed pair stage shared by the semantic-dedup
+    * variants.
+    */
+  private def pairsWithinClusters(assignedRaw: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignedRaw.select(col("cid"), col("vec_id"), col("v"),
+      sqrt(VectorFunctions.dotNative(col("v"), col("v"))).as("nrm"))
     val a = assigned.select(col("cid"), col("vec_id").as("va"),
       col("v").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("vb"),

@@ -14,8 +14,16 @@ SF=/root/testdata/sf0.01
 
 out=$(mktemp -d /tmp/graft_gate.XXXXXX)
 echo "== 1/4 verify dump @ $SF"
-SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $out" 2>&1 \
-  | grep '\[verify\]' && { echo "verify had per-query failures"; exit 1; } || true
+# Capture sbt's own exit status before grepping for per-query failures: the
+# old `... | grep ... || true` masked a compile error / OOM behind pipefail,
+# so the gate only failed later when check_oracle couldn't read the dump.
+vlog=$(mktemp /tmp/graft_verify.XXXXXX.log)
+if ! SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $out" >"$vlog" 2>&1; then
+  tail -40 "$vlog"; echo "sbt runMain graft.Verify FAILED (see $vlog)"; exit 1
+fi
+if grep '\[verify\]' "$vlog"; then
+  echo "verify had per-query failures"; exit 1
+fi
 echo "== 2/4 DuckDB differential"
 python3 tools/check_oracle.py "$SF" "$out"
 echo "== 3/4 flagship smoke"
