@@ -119,11 +119,15 @@ object ScaleProbe {
       // 1-row winner broadcast is scale-free)
       "d6_dup_span_shape" -> (() => graft.dedup.Dedup.dupSpanCoverage(
         docs, col("doc_id"), col("text"), k = 8)),
+      // rounds=20 (real tokenizers run thousands; 3 was round 9's smoke
+      // depth): with the every-10-rounds seq checkpoint, wall time must stay
+      // ~linear in rounds and the plan tree bounded — a super-linear result
+      // here means the lineage truncation regressed
       "x13_bpe_shape" -> (() => {
         val vocab = docs.select(explode(
           graft.functions.TextFunctions.tokens(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
-        graft.pipeline.Bpe.merges(vocab, rounds = 3)
+        graft.pipeline.Bpe.merges(vocab, rounds = 20)
       }),
       // d7 under 10× density: every original vector becomes a 10-member
       // near-identical angular family, so within-cluster pair work is the
@@ -135,6 +139,23 @@ object ScaleProbe {
             transform(col("embedding"), _.cast("double")).as("cvec"))
         graft.similarity.Ann.semanticDedupPairs(
           emb, col("vec_id"), col("embedding"), cents, threshold = 0.4)
+      }),
+      // d7 with IVF-ASSISTED assignment — the named fix for the n×k
+      // assignment wall the 10× probe pinned (22.4 s, dominated by exact
+      // argmin over k ∝ corpus centroids). Coarse = every 8th fine centroid
+      // (c ≈ k/8), nProbe=2: per-vector work drops from k to c + 2·k/c
+      // candidates. Same pair stage; the probe's delta vs d7_semantic_shape
+      // IS the assignment saving, and it must widen with xf.
+      "d7_semantic_ivf_shape" -> (() => {
+        val cents = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+        val coarse = emb.filter(pmod(col("vec_id"), lit(2000L)) === 0)
+          .select(col("vec_id").as("ccid"),
+            transform(col("embedding"), _.cast("double")).as("ccvec"))
+        graft.similarity.Ann.semanticDedupPairsIvf(
+          emb, col("vec_id"), col("embedding"), cents, coarse,
+          nProbe = 2, threshold = 0.4)
       }),
       // m3 under 10× low-entropy payloads: the corpus collapses onto few
       // distinct phashes, which ran the doc-level pair enumeration at 459 s

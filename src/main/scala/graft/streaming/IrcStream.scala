@@ -325,36 +325,61 @@ object IrcStream {
     */
   def rollupBatch(batch: DataFrame, batchId: Long, rollupDir: String): Unit = {
     val spark = batch.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(rollupDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def versions: Seq[Long] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    val fs = new org.apache.hadoop.fs.Path(rollupDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delta = graft.operators.IncrementalAgg.state(
       batch.dropDuplicates("id")
         .select(col("channel"),
           date_format(col("posted"), "yyyy-MM-dd HH:00:00").as("hour"),
           length(col("remark")).cast("long").as("bytes")),
       Seq(col("channel"), col("hour")), col("bytes"))
-    val base = versions.filter(_ < batchId).sorted.lastOption
+    // Merge base = newest COMMITTED version strictly below this batch: a
+    // torn snapshot (crash mid-write — v= dir present, no _SUCCESS marker)
+    // must never be merged from, or the corruption would propagate into
+    // every later version. The strictly-below rule makes replay idempotent:
+    // a restarted batch re-merges from the same base and overwrites its own
+    // partial/complete dir.
+    val base = committedVersions(fs, rollupDir).filter(_ < batchId).sorted.lastOption
     val merged = base match {
       case Some(v) => graft.operators.IncrementalAgg.merge(
         spark.read.parquet(s"$rollupDir/v=$v"), delta, Seq("channel", "hour"))
       case None => delta
     }
     merged.write.mode("overwrite").parquet(s"$rollupDir/v=$batchId")
-    versions.sorted.dropRight(2).foreach(v =>
+    // Retention: after the successful write (which re-listing now sees),
+    // keep exactly the two most recent committed snapshots; everything else
+    // — older committed versions AND any torn dirs left by crashes — is
+    // dead weight and is pruned. The just-written version is committed by
+    // construction, so steady state is exactly 2 dirs.
+    val keep = committedVersions(fs, rollupDir).sorted.takeRight(2).toSet
+    allVersions(fs, rollupDir).filterNot(keep).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$rollupDir/v=$v"), true))
   }
 
-  /** Current rollup state: the highest committed version. */
-  def readRollup(spark: SparkSession, rollupDir: String): DataFrame = {
+  private def allVersions(fs: org.apache.hadoop.fs.FileSystem,
+      rollupDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(rollupDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
       .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+  }
+
+  /** Versions whose write COMMITTED (the parquet job's _SUCCESS marker —
+    * written last, so its presence means the snapshot is complete).
+    */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      rollupDir: String): Seq[Long] =
+    allVersions(fs, rollupDir).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$rollupDir/v=$v/_SUCCESS")))
+
+  /** Current rollup state: the highest COMMITTED version — a torn snapshot
+    * dir (no _SUCCESS) is never served.
+    */
+  def readRollup(spark: SparkSession, rollupDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(rollupDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, rollupDir)
     require(vs.nonEmpty, s"readRollup: no committed versions under $rollupDir")
     spark.read.parquet(s"$rollupDir/v=${vs.max}")
   }

@@ -243,6 +243,23 @@ class OperatorSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("fuzzy join: empty term pairs with single chars, fabricates nothing") {
+    import spark.implicits._
+    // Spark evaluates sequence(0, -1) DESCENDING to [0, -1] rather than
+    // empty, so an unguarded variant build on "" fabricates bogus deletion
+    // variants. The guard gives "" no variants; its true distance-1
+    // partners (single chars) still arrive via the longer side's deletion
+    // variant matching the whole term "".
+    val terms = Seq("", "a", "b", "ab", "xy").toDF("term")
+    val got = graft.operators.FuzzyJoin.editDistance1Pairs(terms)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("", "a"), ("", "b"),           // ins/del with the empty term
+      ("a", "ab"), ("ab", "b"),       // ins/del ("ab" < "b" lexicographically)
+      ("a", "b")),                    // substitution at position 0
+      s"got $got")
+  }
+
   test("incremental agg states merge to the full recompute in any order") {
     import graft.operators.IncrementalAgg
     val e = Tables(spark, sf, "events").select(

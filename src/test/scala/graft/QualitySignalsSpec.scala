@@ -186,6 +186,59 @@ class QualitySignalsSpec extends SparkSuite {
     assert(sem.nonEmpty && sem.subsetOf(exact))
   }
 
+  test("IVF-assisted assignment: exhaustive probe equals exact assignment") {
+    // with nProbe = |coarse| every cell is probed, so the candidate set is
+    // the full fine codebook and the argmin (same tie-break) must match the
+    // n×k exact path bit-for-bit
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    val coarse = emb.filter(col("vec_id") === 0 || col("vec_id") === 4)
+      .select(col("vec_id").as("ccid"),
+        transform(col("embedding"), _.cast("double")).as("ccvec"))
+    val exact = graft.similarity.Ann.assignCentroids(
+        emb, col("vec_id"), col("embedding"), cents)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = graft.similarity.Ann.assignCentroidsIvf(
+        emb, col("vec_id"), col("embedding"), cents, coarse, nProbe = 2)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == exact && ivf.nonEmpty)
+  }
+
+  test("IVF-assisted assignment: single probe assigns every vector, high agreement") {
+    // nProbe=1 is the cheapest setting — recall < 1 by construction (a
+    // vector whose true cell isn't its nearest coarse cell gets its best
+    // probed cell). Contract: still exactly one assignment per vector, and
+    // fixture agreement with exact assignment stays high.
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    val coarse = emb.filter(col("vec_id") === 0 || col("vec_id") === 4)
+      .select(col("vec_id").as("ccid"),
+        transform(col("embedding"), _.cast("double")).as("ccvec"))
+    val n = emb.count()
+    val exact = graft.similarity.Ann.assignCentroids(
+        emb, col("vec_id"), col("embedding"), cents)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = graft.similarity.Ann.assignCentroidsIvf(
+        emb, col("vec_id"), col("embedding"), cents, coarse, nProbe = 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size.toLong == n, s"expected one assignment per vector: ${ivf.size} vs $n")
+    // 0.6 floor: measured 0.678 on this fixture (2 coarse cells over 8 fine
+    // centroids drawn from raw data vectors — a deliberately hard quantizer);
+    // the point is ≫ the 1/8 random-assignment baseline, not near-exactness,
+    // which the exhaustive-probe test above already pins
+    val agree = ivf.count { case (v, c) => exact(v) == c }
+    assert(agree.toDouble / n >= 0.6,
+      s"nProbe=1 agreement ${agree.toDouble / n} below 0.6 ($agree/$n)")
+  }
+
   test("t9 keyphrases: ≤3 per doc, ranks consecutive, scores match tf×idf_micro") {
     val out = queries.Registry.byName("t9_keyphrase").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")

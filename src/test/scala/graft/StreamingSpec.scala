@@ -148,6 +148,48 @@ class StreamingSpec extends SparkSuite {
     assert(vs.toSet == Set("v=0", "v=1"))
   }
 
+  test("streaming rollup: kill-mid-batch leaves a torn snapshot that is never " +
+      "served or merged; replay recovers and retention stays exactly 2") {
+    val dir = Files.createTempDirectory("graft_rollup_chaos").toString + "/view"
+    def mk(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    IrcStream.rollupBatch(
+      mk(("id1", "#x", "alice", "hello", "2024-01-01 10:05:00")), 0L, dir)
+    IrcStream.rollupBatch(
+      mk(("id2", "#x", "bob", "worlds", "2024-01-01 10:40:00")), 1L, dir)
+    // crash mid-write of batch 2: the v=2 dir exists with a stray part file
+    // but the job never reached its _SUCCESS marker (written last)
+    val torn = new java.io.File(dir, "v=2")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-00000.parquet").toPath, Array[Byte](1, 2, 3))
+    // the torn snapshot is not served: reads come from committed v=1
+    val before = IrcStream.readRollup(spark, dir)
+      .select("channel", "hour", "n", "sum_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(before == Set(("#x", "2024-01-01 10:00:00", 2L, 11L)))
+    // the restarted stream replays batch 2: the merge base must be the
+    // committed v=1 (never the torn dir), and the overwrite must heal v=2
+    IrcStream.rollupBatch(
+      mk(("id3", "#y", "carol", "hey", "2024-01-01 10:10:00")), 2L, dir)
+    val after = IrcStream.readRollup(spark, dir)
+      .select("channel", "hour", "n", "sum_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(after == Set(
+      ("#x", "2024-01-01 10:00:00", 2L, 11L),
+      ("#y", "2024-01-01 10:00:00", 1L, 3L)))
+    // retention after the healing write: exactly the two newest committed
+    assert(new java.io.File(dir).list().toSeq.filter(_.startsWith("v=")).toSet
+      == Set("v=1", "v=2"))
+    // steady state stays exactly 2 dirs as more batches land (ADVICE r9:
+    // the old pre-write listing would have retained 3)
+    IrcStream.rollupBatch(
+      mk(("id4", "#x", "dave", "more", "2024-01-01 11:02:00")), 3L, dir)
+    assert(new java.io.File(dir).list().toSeq.filter(_.startsWith("v=")).toSet
+      == Set("v=2", "v=3"))
+  }
+
   test("upsert anti-join reads only the batch's channel partitions (K1 at scale)") {
     val dir = Files.createTempDirectory("graft_upsert_prune").toString + "/sink"
     def mk(rows: (String, String, String, String, String)*) =
