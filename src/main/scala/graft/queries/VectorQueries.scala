@@ -236,6 +236,10 @@ object VectorQueries extends QueryGroup {
         def cosD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
         val emb = Tables(s, d, "embeddings")
+        // the k-row codebook is consumed by BOTH the probe ranking and the
+        // assignment broadcast; eagerly materializing it (localCheckpoint)
+        // runs the n×64 explode + double groupBy once instead of once per
+        // consumer (the rename on the assign side defeats ReuseExchange)
         val cents = emb.select(col("label"), posexplode(col("embedding")))
           .select(col("label"), (col("pos") + 1).as("dim"),
             col("col").cast("double").as("x"))
@@ -244,19 +248,30 @@ object VectorQueries extends QueryGroup {
           .groupBy(col("label"))
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
             _.getField("v")).as("cvec"))
+          .localCheckpoint()
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         val probe = cents.crossJoin(broadcast(q))
           .withColumn("rk", row_number().over(
             Window.orderBy(cosD(col("cvec"), col("qv")).desc, col("label"))))
           .filter(col("rk") <= 3).select(col("label"))
+        // argmax-cos with cid-asc tie-break as a partial aggregate: min_by
+        // over struct(-cos, cid) (double negation is exact, so the ordering
+        // is identical to the oracle's ORDER BY cos DESC, cid) — the
+        // shuffle carries one combined row per vec_id instead of the n×k
+        // expanded frame a per-vector ranking window would sort. The
+        // embedding rides in the argmin payload, so the probed vectors
+        // never re-join the base table.
         val assign = emb.select(col("vec_id"), col("embedding"))
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(cents.withColumnRenamed("label", "cid")))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(cosD(col("cvec"), col("embedding")).desc, col("cid"))))
-          .filter(col("rk") === 1).select(col("vec_id"), col("cid").as("label"))
-        emb.select(col("vec_id"), col("embedding"))
-          .join(assign, "vec_id").join(broadcast(probe), "label")
+          .select(col("vec_id"), col("cid"), col("embedding"),
+            cosD(col("cvec"), col("embedding")).as("cos"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cid").as("label"), col("embedding")),
+            struct((-col("cos")).as("nc"), col("cid"))).as("w"))
+          .select(col("vec_id"), col("w.label").as("label"),
+            col("w.embedding").as("embedding"))
+        assign.join(broadcast(probe), "label")
           .crossJoin(broadcast(q))
           .select(col("vec_id"), round(cosD(col("embedding"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)

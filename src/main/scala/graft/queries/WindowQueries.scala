@@ -226,9 +226,14 @@ object WindowQueries extends QueryGroup {
             col("event_id"))
         val hourly = e.groupBy(col("event_type"), col("h"))
           .agg(max(col("event_id")).as("last_id"))
-        val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        // spine bounds and the type list both derive from `hourly` (every
+        // type has >= 1 event, and min/max of the truncated hours are the
+        // same over e and hourly) — this avoids two extra full scans of
+        // events, and AQE's ReuseExchange serves all three consumers from
+        // the one hourly aggregation
+        val spine = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
           .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-        val types = e.select(col("event_type")).distinct()
+        val types = hourly.select(col("event_type")).distinct()
         spine.crossJoin(broadcast(types))
           .join(hourly, Seq("event_type", "h"), "left_outer")
           .withColumn("filled_id",
