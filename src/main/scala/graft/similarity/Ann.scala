@@ -106,18 +106,21 @@ object Ann {
     * to keep its oracle SQL stable).
     *
     * `nBits <= 0` (the default) derives the fan-out from the corpus size
-    * via [[derivedNBits]] — one EAGER count() job, after which the bucketing
-    * pass recomputes `embeddings`' lineage from scratch: two full scans when
-    * the input is an uncached multi-stage frame. Hot paths should either
-    * pass nBits explicitly (no count, one scan) or hand in a cached frame;
-    * a parquet-backed input is cheap either way (the count is
-    * metadata-only there).
+    * via [[derivedNBits]]. The count must not re-trigger a possibly
+    * expensive input lineage, so the projected (id, vec) frame is
+    * materialized ONCE (localCheckpoint) and both the count and the
+    * bucketing read the materialized blocks — one scan of the input total
+    * (the result plan carries no file scan of the input; asserted in
+    * EngineSpec). Hot paths that know their corpus should still pass nBits
+    * explicitly: that skips the materialization and stays fully lazy.
     */
   def knnJoinLshMd5(embeddings: DataFrame, id: Column, vec: Column,
       k: Int, nBits: Int = 0): DataFrame = {
-    val bits = if (nBits > 0) nBits else derivedNBits(embeddings.count())
-    val bk = embeddings.select(id.as("vec_id"), vec.as("v"),
-        VectorFunctions.signLshBucketMd5(vec, bits).as("bucket"))
+    val projected = embeddings.select(id.as("vec_id"), vec.as("v"))
+    val base = if (nBits > 0) projected else projected.localCheckpoint()
+    val bits = if (nBits > 0) nBits else derivedNBits(base.count())
+    val bk = base.withColumn("bucket",
+        VectorFunctions.signLshBucketMd5(col("v"), bits))
       .withColumn("nrm", sqrt(VectorFunctions.dotNative(col("v"), col("v"))))
     val a = bk.select(col("bucket"), col("vec_id").as("va"),
       col("v").as("ea"), col("nrm").as("na"))
@@ -334,9 +337,18 @@ object Ann {
           l2sq(col("ccvec"), col("cvec")).asc, col("ccid"))))
       .filter(col("rk") === 1)
       .select(col("ccid"), col("cid"), col("cvec"))
-    // vector → its nProbe nearest coarse cells (n×c, the cheap pass)
+    // Probe candidates are restricted to coarse cells that OWN at least one
+    // fine centroid: a real k-means coarse codebook can have cells that
+    // capture no fine centroid, and probing one would silently drop the
+    // vector at the inner join below (all nProbe probes empty → no row),
+    // breaking the "every vector gets its best PROBED cell" contract.
+    // cellMap is codebook-scale, so the restriction is a broadcast semi-join
+    // over ≤ c rows — free.
+    val liveCoarse = coarse.join(
+      broadcast(cellMap.select(col("ccid")).distinct()), Seq("ccid"), "semi")
+    // vector → its nProbe nearest LIVE coarse cells (n×c, the cheap pass)
     val probed = embeddings.select(id.as("vec_id"), vec.as("v"))
-      .crossJoin(broadcast(coarse))
+      .crossJoin(broadcast(liveCoarse))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(
           l2sq(col("ccvec"), col("v")).asc, col("ccid"))))

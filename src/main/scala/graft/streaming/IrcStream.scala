@@ -346,11 +346,22 @@ object IrcStream {
       case None => delta
     }
     merged.write.mode("overwrite").parquet(s"$rollupDir/v=$batchId")
+    // The retention below and readRollup both key off the _SUCCESS marker.
+    // A deployment that disables markers
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false, typical with
+    // cloud committers) would make the just-written dir look torn — the
+    // prune would delete EVERY version including this one and readRollup
+    // would never serve again. The write above returned without throwing,
+    // which is exactly the commit condition the marker encodes, so create
+    // it ourselves when the committer didn't.
+    val marker = new org.apache.hadoop.fs.Path(s"$rollupDir/v=$batchId/_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     // Retention: after the successful write (which re-listing now sees),
     // keep exactly the two most recent committed snapshots; everything else
     // — older committed versions AND any torn dirs left by crashes — is
     // dead weight and is pruned. The just-written version is committed by
-    // construction, so steady state is exactly 2 dirs.
+    // construction (marker guaranteed above), so steady state is exactly
+    // 2 dirs.
     val keep = committedVersions(fs, rollupDir).sorted.takeRight(2).toSet
     allVersions(fs, rollupDir).filterNot(keep).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$rollupDir/v=$v"), true))

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.queries.Registry
@@ -243,6 +245,26 @@ class EngineSpec extends SparkSuite {
       .agg(max("count")).collect().head.getLong(0)
     assert(maxPop <= 4 * target,
       s"derived nBits=$bits left a bucket of $maxPop (> ${4 * target})")
+  }
+
+  test("knn-join default nBits: the derived-fan-out path scans its input once " +
+    "(materialized projection, no second file scan)") {
+    // nBits<=0 derives the bucket count from a count() — before r11 that
+    // count was an eager job whose lineage was then recomputed from scratch
+    // by the bucketing pass (two full input scans). The fix materializes
+    // the projected (id, vec) frame once; the result plan must therefore
+    // contain NO file-source scan of the input — everything downstream
+    // reads the materialized blocks.
+    val dir = Files.createTempDirectory("graft_knn_onescan").toString + "/emb"
+    Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .write.parquet(dir)
+    val emb = spark.read.parquet(dir)
+    val out = graft.similarity.Ann.knnJoinLshMd5(
+      emb, col("vec_id"), col("embedding"), k = 3)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"default-nBits knn-join still re-scans the parquet input:\n$plan")
+    assert(out.limit(1).count() == 1)
   }
 
   test("knn-join: per-vector neighbor lists are bounded by k with contiguous ranks " +

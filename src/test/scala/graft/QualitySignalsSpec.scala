@@ -239,6 +239,32 @@ class QualitySignalsSpec extends SparkSuite {
       s"nProbe=1 agreement ${agree.toDouble / n} below 0.6 ($agree/$n)")
   }
 
+  test("IVF-assisted assignment: a coarse cell owning zero fine centroids " +
+      "never swallows vectors (ADVICE r10)") {
+    // One fine centroid (= vector 0) and two coarse cells (vectors 0 and 4):
+    // the fine centroid maps to coarse cell 0 at distance zero, leaving
+    // cell 4 DEAD — it owns no fine centroid. Vectors whose nearest coarse
+    // cell is the dead one would, without the live-cell restriction, probe
+    // only empty cells at nProbe=1 and vanish from the output. Contract:
+    // every vector still gets exactly one assignment, necessarily to the
+    // single fine centroid.
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    val coarse = emb.filter(col("vec_id") === 0 || col("vec_id") === 4)
+      .select(col("vec_id").as("ccid"),
+        transform(col("embedding"), _.cast("double")).as("ccvec"))
+    val n = emb.count()
+    val ivf = graft.similarity.Ann.assignCentroidsIvf(
+        emb, col("vec_id"), col("embedding"), cents, coarse, nProbe = 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size.toLong == n,
+      s"expected one assignment per vector: ${ivf.size} vs $n")
+    assert(ivf.values.forall(_ == 0L))
+  }
+
   test("t9 keyphrases: ≤3 per doc, ranks consecutive, scores match tf×idf_micro") {
     val out = queries.Registry.byName("t9_keyphrase").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")

@@ -190,6 +190,37 @@ class StreamingSpec extends SparkSuite {
       == Set("v=2", "v=3"))
   }
 
+  test("streaming rollup: survives committers that skip _SUCCESS markers " +
+      "(retention must not prune the just-written version)") {
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false is typical
+    // with S3/cloud committers. Retention and readRollup key off the
+    // marker, so rollupBatch must create it itself when the committer
+    // didn't — otherwise the post-write prune deletes EVERY version
+    // (including the one just written) and the view is lost.
+    val dir = Files.createTempDirectory("graft_rollup_nomark").toString + "/view"
+    def mk(rows: (String, String, String, String, String)*) =
+      rows.toSeq.toDF("id", "channel", "nick", "remark", "p")
+        .withColumn("posted", to_timestamp(col("p"))).drop("p")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = conf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try {
+      IrcStream.rollupBatch(
+        mk(("id1", "#x", "alice", "hello", "2024-01-01 10:05:00")), 0L, dir)
+      IrcStream.rollupBatch(
+        mk(("id2", "#x", "bob", "worlds", "2024-01-01 10:40:00")), 1L, dir)
+      val got = IrcStream.readRollup(spark, dir)
+        .select("channel", "hour", "n", "sum_cents")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == Set(("#x", "2024-01-01 10:00:00", 2L, 11L)))
+      assert(new java.io.File(dir).list().toSeq.filter(_.startsWith("v=")).toSet
+        == Set("v=0", "v=1"))
+    } finally {
+      if (prev == null) conf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+      else conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", prev)
+    }
+  }
+
   test("upsert anti-join reads only the batch's channel partitions (K1 at scale)") {
     val dir = Files.createTempDirectory("graft_upsert_prune").toString + "/sink"
     def mk(rows: (String, String, String, String, String)*) =
