@@ -109,8 +109,17 @@ object Bench {
       s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000}"""
     val perQueryJson =
       s"""{"metric":"per_query","unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"reps_detail":$repsDetail,"errors":$errsJson}"""
+    // The driver's round artifact keeps only a ~2 KB stdout tail, which
+    // truncates the per-query line; the headline (last line, always inside
+    // the tail) therefore carries a pointer to the full artifact file plus
+    // the sha256 of the per-query line, so BENCH_rNN.json alone identifies
+    // exactly which committed BENCH_full.json holds this run's detail.
+    val perQuerySha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(perQueryJson.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val headlineJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir","full_out":"$outPath","per_query_sha256":"$perQuerySha"}"""
     // Per-query detail first (may exceed the driver's tail window), then the
     // compact headline as the LAST line so it always lands inside the
     // driver's 2 KB tail capture.
@@ -119,7 +128,6 @@ object Bench {
     println(headlineJson)
     // The stdout tail capture truncates ~40 of the per-query numbers, so ALSO
     // persist the full artifact to a committed file (round-4 advice #2).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try {
       w.println(perQueryJson); w.println(streamingJson); w.println(headlineJson)

@@ -31,6 +31,60 @@ object VectorQueries extends QueryGroup {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** DuckDB L2² between two double lists — same sequential left-fold the
+    * engine uses (i ascending, (a-b)² accumulated in order).
+    */
+  private def duckL2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  // ---- V11 oracle-tier PQ (shared by v11_pq_codes / v11_pq_adc_oracle) ----
+
+  private def pqL2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dd = x - y; dd * dd
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** One row per (vector, subspace): 16-dim double slice (m=4 over d=64). */
+  private def pqOracleSubs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(i =>
+          transform(slice(col("embedding"), i * 16 + 1, 16), _.cast("double"))): _*))
+          .as(Seq("sub", "svec")))
+
+  /** Per-(vector, subspace) argmin assignment against `cents` (sub, cid,
+    * cvec), ties broken by cid — the (dist, cid) rank rule DuckDB mirrors.
+    */
+  private def pqAssign(subs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist").asc, col("cid"))
+    subs.join(broadcast(cents), "sub")
+      .withColumn("dist", pqL2D(col("cvec"), col("svec")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+  }
+
+  /** Deterministic oracle-tier codebook: init = first 4 vectors' subvectors,
+    * ONE Lloyd round, round-6 centroid averaging. (sub, cid 0..3, cvec).
+    */
+  private def pqOracleCodebook(
+      subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c0 = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
+    pqAssign(subs, c0)
+      .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("x")), 6).as("v"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        _.getField("v")).as("cvec"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // V1 — dot product + cosine of every vector against a broadcast query
@@ -260,7 +314,11 @@ object VectorQueries extends QueryGroup {
         // shuffle carries one combined row per vec_id instead of the n×k
         // expanded frame a per-vector ranking window would sort. The
         // embedding rides in the argmin payload, so the probed vectors
-        // never re-join the base table.
+        // never re-join the base table. NaN cosine (a zero-norm embedding
+        // or all-zero centroid) would invert the rewrite: desc-sort puts
+        // NaN FIRST while min_by over -cos puts it LAST, so nanvl maps it
+        // to -inf before negating — the NaN candidate stays the winner,
+        // matching the window/oracle ordering on degenerate inputs.
         val assign = emb.select(col("vec_id"), col("embedding"))
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(cents.withColumnRenamed("label", "cid")))
@@ -268,7 +326,8 @@ object VectorQueries extends QueryGroup {
             cosD(col("cvec"), col("embedding")).as("cos"))
           .groupBy(col("vec_id"))
           .agg(min_by(struct(col("cid").as("label"), col("embedding")),
-            struct((-col("cos")).as("nc"), col("cid"))).as("w"))
+            struct((-nanvl(col("cos"), lit(Double.PositiveInfinity))).as("nc"),
+              col("cid"))).as("w"))
           .select(col("vec_id"), col("w.label").as("label"),
             col("w.embedding").as("embedding"))
         assign.join(broadcast(probe), "label")
@@ -438,34 +497,8 @@ object VectorQueries extends QueryGroup {
     // Output is each vector's 4 codes as rows (vec_id, sub, code).
     Q("v11_pq_codes",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        def l2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => {
-            val dd = x - y; dd * dd
-          }), lit(0.0), (acc, v) => acc + v)
-        // one row per (vector, subspace): 16-dim double slice
-        val subs = Tables(s, d, "embeddings")
-          .select(col("vec_id"),
-            posexplode(array((0 until 4).map(i =>
-              transform(slice(col("embedding"), i * 16 + 1, 16), _.cast("double"))): _*))
-              .as(Seq("sub", "svec")))
-        val c0 = subs.filter(col("vec_id") < 4)
-          .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
-        val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist").asc, col("cid"))
-        def assign(cents: org.apache.spark.sql.DataFrame) = subs
-          .join(broadcast(cents), "sub")
-          .withColumn("dist", l2D(col("cvec"), col("svec")))
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") === 1)
-        val c1 = assign(c0)
-          .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "x")))
-          .groupBy(col("sub"), col("cid"), (col("pos") + 1).as("dim"))
-          .agg(round(avg(col("x")), 6).as("v"))
-          .groupBy(col("sub"), col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
-            _.getField("v")).as("cvec"))
-        assign(c1)
+        val subs = pqOracleSubs(s, d)
+        pqAssign(subs, pqOracleCodebook(subs))
           .select(col("vec_id"), col("sub"), col("cid").as("code"))
           .orderBy(col("vec_id"), col("sub"))
       },
@@ -520,6 +553,76 @@ object VectorQueries extends QueryGroup {
             query, cb, topK = 10, shortlist = 100)
           .select(col("vec_id"), round(col("d2"), 6).as("d2"))
       },
-      None)
+      None),
+
+    // V11 — ADC scoring under the hash gate (r10 verdict #6). The float-
+    // kmeans training above can't be mirrored, but the ADC machinery itself
+    // can: hand the ENGINE's Pq.encode + Pq.knnAdc the DETERMINISTIC
+    // oracle-tier codebook (m=4 × k=4, the v11_pq_codes math), so the
+    // driver-computed distance tables, the element_at lookup-sum scoring,
+    // and the top-k all sit under the DuckDB hash gate. The mirror
+    // recomputes the k×m tables in SQL from its own c1 (identical rounded
+    // values) and pins the same left-to-right subspace addition order
+    // ((t0+t1)+t2)+t3, so scores are bit-comparable before the round-6.
+    Q("v11_pq_adc_oracle",
+      (s, d) => {
+        val subs = pqOracleSubs(s, d)
+        val cb: Array[Array[Array[Double]]] = pqOracleCodebook(subs).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+          .groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+        val emb = Tables(s, d, "embeddings")
+        val enc = graft.similarity.Pq.encode(
+          emb, col("vec_id"), col("embedding"), cb)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.similarity.Pq.knnAdc(
+            enc, col("vec_id"), col("codes"), query, cb, topK = 10)
+          .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+      },
+      Some {
+        val qslice = "list_transform(embedding[g.sub * 16 + 1 : g.sub * 16 + 16], x -> CAST(x AS DOUBLE))"
+        s"""WITH s AS (
+           |  SELECT vec_id, g.sub, $qslice AS svec
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) g),
+           |c0 AS (SELECT sub, vec_id AS cid, svec AS cvec FROM s WHERE vec_id < 4),
+           |a1 AS (
+           |  SELECT sub, cid, svec FROM (
+           |    SELECT s.vec_id, s.sub, c.cid, s.svec,
+           |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |             ORDER BY ${duckL2("c.cvec", "s.svec")} ASC, c.cid) AS rk
+           |    FROM s JOIN c0 c ON c.sub = s.sub) WHERE rk = 1),
+           |d1 AS (
+           |  SELECT sub, cid, i AS dim, round(avg(svec[i]), 6) AS v
+           |  FROM a1 CROSS JOIN unnest(generate_series(1, 16)) AS t(i)
+           |  GROUP BY 1, 2, 3),
+           |c1 AS (SELECT sub, cid, list(v ORDER BY dim) AS cvec FROM d1 GROUP BY 1, 2),
+           |codes AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT s.vec_id, s.sub, c.cid AS code,
+           |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+           |             ORDER BY ${duckL2("c.cvec", "s.svec")} ASC, c.cid) AS rk
+           |    FROM s JOIN c1 c ON c.sub = s.sub) WHERE rk = 1),
+           |q AS (SELECT sub, svec AS qvec FROM s WHERE vec_id = 0),
+           |qt AS (
+           |  SELECT c.sub, c.cid, ${duckL2("q.qvec", "c.cvec")} AS dist
+           |  FROM c1 c JOIN q ON q.sub = c.sub),
+           |p AS (
+           |  SELECT vec_id,
+           |         max(CASE WHEN sub = 0 THEN code END) AS k0,
+           |         max(CASE WHEN sub = 1 THEN code END) AS k1,
+           |         max(CASE WHEN sub = 2 THEN code END) AS k2,
+           |         max(CASE WHEN sub = 3 THEN code END) AS k3
+           |  FROM codes GROUP BY vec_id),
+           |sc AS (
+           |  SELECT p.vec_id,
+           |         ((((SELECT dist FROM qt WHERE sub = 0 AND cid = p.k0)
+           |          + (SELECT dist FROM qt WHERE sub = 1 AND cid = p.k1))
+           |          + (SELECT dist FROM qt WHERE sub = 2 AND cid = p.k2))
+           |          + (SELECT dist FROM qt WHERE sub = 3 AND cid = p.k3)) AS adc
+           |  FROM p)
+           |SELECT vec_id, round(adc, 6) AS adc_dist
+           |FROM sc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
+      })
   )
 }

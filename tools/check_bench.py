@@ -17,7 +17,15 @@ flag is classified:
   - all-reps-slow  every rep was slow: a real plan/code regression (or a
                    uniformly slower host -- compare the run's total first)
 
-Usage: python3 tools/check_bench.py [--allow-missing] [BENCH_full.json] [tools/bench_baseline.json]
+Usage: python3 tools/check_bench.py [--allow-missing] [--prior PRIOR.json]
+       [BENCH_full.json] [tools/bench_baseline.json]
+
+Also prints the comparable-subset ratio (round-9 advice #8): the sum of this
+run's medians over queries that HAVE a baseline entry vs the sum of those
+baseline bests -- so round-over-round drift is one grep, not judge
+archaeology. With --prior (a previous round's BENCH_full), additionally
+prints the run-vs-prior common-query subset totals/ratio.
+
 Exit 1 iff any query is flagged all-reps-slow or errored, or (without
 --allow-missing) any baseline query is absent from the run -- a silently
 dropped query must not pass the gate.
@@ -45,8 +53,14 @@ def load_bench(path):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    args = [a for a in sys.argv[1:] if a != "--allow-missing"]
-    allow_missing = "--allow-missing" in sys.argv[1:]
+    argv = sys.argv[1:]
+    prior_path = None
+    if "--prior" in argv:
+        i = argv.index("--prior")
+        prior_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--allow-missing"]
+    allow_missing = "--allow-missing" in argv
     bench_path = args[0] if len(args) > 0 else \
         os.path.join(here, "..", "BENCH_full.json")
     base_path = args[1] if len(args) > 1 else \
@@ -78,6 +92,25 @@ def main():
     if total is not None:
         print(f"total: {total:.1f}s vs baseline-sum {base_total:.1f}s "
               f"({total / base_total:.2f}x)")
+    # Comparable-subset ratio vs the best-known baseline: only queries that
+    # have a baseline entry, so newly added queries don't read as drift.
+    shared = [n for n, s in queries.items() if n in base and s >= 0]
+    if shared:
+        run_sum = sum(queries[n] for n in shared)
+        best_sum = sum(base[n]["best"] for n in shared)
+        print(f"comparable-vs-baseline: {len(shared)} queries, "
+              f"{run_sum:.1f}s vs best-sum {best_sum:.1f}s "
+              f"({run_sum / best_sum:.2f}x)")
+    if prior_path:
+        prior_q, _, prior_total = load_bench(prior_path)
+        common = [n for n, s in queries.items()
+                  if s >= 0 and prior_q.get(n, -1) >= 0]
+        if common:
+            cur = sum(queries[n] for n in common)
+            prev = sum(prior_q[n] for n in common)
+            print(f"comparable-vs-prior: {len(common)} queries, "
+                  f"{cur:.1f}s vs prior {prev:.1f}s ({cur / prev:.2f}x)  "
+                  f"[prior: {os.path.basename(prior_path)}]")
     for name, sec in new:
         print(f"new      {name:28s} {sec:7.3f}s (no baseline entry -- add it)")
     for name, sec, best, why in soft:
