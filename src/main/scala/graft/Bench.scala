@@ -128,10 +128,15 @@ object Bench {
     println(headlineJson)
     // The stdout tail capture truncates ~40 of the per-query numbers, so ALSO
     // persist the full artifact to a committed file (round-4 advice #2).
-    val w = new java.io.PrintWriter(outPath, "UTF-8")
-    try {
-      w.println(perQueryJson); w.println(streamingJson); w.println(headlineJson)
-    } finally w.close()
+    // A BENCH_ONLY-filtered run must not clobber the committed full artifact
+    // with a partial query set (it silently did until round 11); route
+    // filtered output to SPARK_GRAFT_BENCH_OUT explicitly when needed.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try {
+        w.println(perQueryJson); w.println(streamingJson); w.println(headlineJson)
+      } finally w.close()
+    }
     spark.stop()
   }
 }

@@ -181,7 +181,13 @@ object ScaleProbe {
           topK = 10, shortlist = 1000)
       }))
 
-    val timed = probes.map { case (name, mk) =>
+    // Optional comma-separated shape filter for local iteration (mirrors
+    // Bench's SPARK_GRAFT_BENCH_ONLY). Filtered runs are for attribution
+    // only — the committed artifacts always carry the full shape set.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val timed = probes.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, mk) =>
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -197,9 +203,13 @@ object ScaleProbe {
     val json =
       s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs}"""
     println(json)
-    val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "BENCH_sf1_spot.json"), "UTF-8")
-    try w.println(json) finally w.close()
+    // A filtered run never overwrites the committed artifact — partial shape
+    // sets must not masquerade as a full probe.
+    if (only.isEmpty) {
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "BENCH_sf1_spot.json"), "UTF-8")
+      try w.println(json) finally w.close()
+    }
     spark.stop()
   }
 }
