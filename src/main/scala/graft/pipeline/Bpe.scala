@@ -74,25 +74,40 @@ object Bpe {
     * execution, never values), probed at rounds=20 in ScaleProbe's
     * x13_bpe_shape.
     */
-  def merges(vocab: DataFrame, rounds: Int, checkpointEvery: Int = 10): DataFrame = {
+  def merges(vocab: DataFrame, rounds: Int, checkpointEvery: Int = 10): DataFrame =
+    trainFold(vocab, rounds, checkpointEvery)._2
+      .reduce(_.unionByName(_)).orderBy(col("round"))
+
+  /** Train `rounds` merges and APPLY them: the tokenization half of the
+    * trainer — each vocabulary word segmented into its post-merge subword
+    * sequence. Output: (word, c, subwords array<string>). Joining a token
+    * stream against this frame tokenizes a corpus with the learned vocab
+    * (the production split: train once, segment everywhere — the word →
+    * subwords frame IS the tokenizer artifact).
+    */
+  def segment(vocab: DataFrame, rounds: Int, checkpointEvery: Int = 10): DataFrame =
+    trainFold(vocab, rounds, checkpointEvery)._1
+      .select(col("word"), col("c"),
+        filter(split(col("seq"), " "), x => x =!= "").as("subwords"))
+
+  private def trainFold(vocab: DataFrame, rounds: Int,
+      checkpointEvery: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, "rounds must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val (_, ruleFrames) =
-      (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
-        case ((seqs, acc), r) =>
-          // materialize the ≤1-row winner so the two uses below don't each
-          // re-embed (and re-execute) the whole pair-count subtree
-          val winner = best(pairCounts(seqs)).localCheckpoint()
-          val rule = winner.select(
-            lit(r.toLong).as("round"),
-            col("a").as("sym_a"), col("b").as("sym_b"),
-            concat(col("a"), col("b")).as("merged"), col("cnt"))
-          val nextSeqs = applyMerge(seqs, winner)
-          val bounded =
-            if (r % checkpointEvery == 0 && r < rounds) nextSeqs.localCheckpoint()
-            else nextSeqs
-          (bounded, acc :+ rule)
-      }
-    ruleFrames.reduce(_.unionByName(_)).orderBy(col("round"))
+    (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
+      case ((seqs, acc), r) =>
+        // materialize the ≤1-row winner so the two uses below don't each
+        // re-embed (and re-execute) the whole pair-count subtree
+        val winner = best(pairCounts(seqs)).localCheckpoint()
+        val rule = winner.select(
+          lit(r.toLong).as("round"),
+          col("a").as("sym_a"), col("b").as("sym_b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+        val nextSeqs = applyMerge(seqs, winner)
+        val bounded =
+          if (r % checkpointEvery == 0 && r < rounds) nextSeqs.localCheckpoint()
+          else nextSeqs
+        (bounded, acc :+ rule)
+    }
   }
 }

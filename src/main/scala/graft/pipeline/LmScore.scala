@@ -43,6 +43,49 @@ object LmScore {
         round((col("sum_lp_micro") * lit(1.0) / Micro) / col("n_toks"), 6).as("avg_lp"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log(p_target(x) / p_raw(x)) under two unigram models — target trained
+    * on the `isTarget` in-domain subset, raw on the full corpus. High
+    * weights mark documents whose token mix resembles the target domain;
+    * resampling by weight shifts a 100 TB corpus toward the domain without
+    * hard filtering. Both models are Laplace-smoothed with the RAW vocab
+    * size v — p(t) = (cnt + 1) / (n + v) — so target-unseen tokens carry a
+    * finite penalty and every token of every document is scorable.
+    *
+    * Determinism: each side's log-prob is quantized to integer micros
+    * separately (two mirrored IEEE sequences), the per-token weight is
+    * their exact integer difference, and the per-doc sum is integer —
+    * associative, partition-order-proof. Count models are tiny → broadcast.
+    * Output: (doc_id, n_toks, w_micro, avg_w) per document with ≥1 token.
+    */
+  def dsirWeight(df: DataFrame, id: Column, text: Column,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), isTarget.as("tgt"),
+      explode(TextFunctions.tokens(text)).as("term"))
+    val raw = toks.groupBy(col("term")).agg(count(lit(1)).as("rc"))
+    val tgt = toks.filter(col("tgt")).groupBy(col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val consts = raw.agg(
+      sum(col("rc")).cast("long").as("n_raw"),
+      count(lit(1)).cast("long").as("v"))
+      .crossJoin(toks.filter(col("tgt"))
+        .agg(count(lit(1)).cast("long").as("n_tgt")))
+    toks
+      .join(broadcast(raw), "term")
+      .join(broadcast(tgt), Seq("term"), "left_outer")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (quantLog((coalesce(col("tc"), lit(0L)) + lit(1L)) * lit(1.0)
+            / (col("n_tgt") + col("v")))
+          - quantLog((col("rc") + lit(1L)) * lit(1.0)
+            / (col("n_raw") + col("v")))).as("w_tok_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_tok_micro")).as("w_micro"))
+      .select(col("doc_id"), col("n_toks"), col("w_micro"),
+        round((col("w_micro") * lit(1.0) / Micro) / col("n_toks"), 6).as("avg_w"))
+  }
+
   /** (doc_id, n_bigrams, sum_lp_micro, avg_lp) per document with ≥2 tokens;
     * P(tᵢ | tᵢ₋₁) = c(bigram) / c(prefix position) from the bigram stream
     * itself, so the conditionals sum to 1 per prefix.

@@ -510,6 +510,33 @@ object DedupQueries extends QueryGroup {
            |SELECT cid, va, vb, round(cos_raw, 6) AS cos
            |FROM p WHERE cos_raw >= 0.4
            |ORDER BY cid, va, vb""".stripMargin
-      })
+      }),
+
+    // D8 — normalization-keyed exact dedup (the C4/CCNet "fuzzy-exact"
+    // stage): lowercase → strip non-alphanumerics → collapse whitespace,
+    // then group on the normalized key. Catches the re-hosted/reformatted
+    // copies byte-exact d1 misses without paying near-dup LSH for them.
+    // Map-side key + ONE groupBy shuffle — d1's scale shape exactly; the
+    // key stays text here so the oracle gates the normalization itself
+    // (at 100 TB the key would hash to fixed width first, as d1 does).
+    Q("d8_normalized_dedup",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), norm.as("k"))
+          .groupBy(col("k"))
+          .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+          .select(col("keep_doc_id"), col("n_dups"), md5(col("k")).as("key_md5"))
+          .orderBy(col("keep_doc_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(regexp_replace(lower(text),
+             |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k
+             |  FROM documents)
+             |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups,
+             |       md5(k) AS key_md5
+             |FROM n GROUP BY k ORDER BY keep_doc_id""".stripMargin))
   )
 }

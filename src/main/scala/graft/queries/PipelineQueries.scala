@@ -254,6 +254,103 @@ object PipelineQueries extends QueryGroup {
            |  UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
            |  UNION ALL SELECT 3, a, b, a || b, cnt FROM b3)
            |ORDER BY round""".stripMargin
-      })
+      }),
+
+    // x13 apply — the tokenization half of the BPE trainer: segment every
+    // vocabulary word with the 3 learned merges, then tokenize the corpus
+    // by joining its token stream against the (word → subwords) frame.
+    // That frame IS the tokenizer artifact — train once, segment
+    // everywhere; at 100 TB the per-word segmentation is vocab-scale work
+    // and the corpus pass is one join (AQE broadcasts the vocab side when
+    // it fits, which a real tokenizer's bounded vocab always does).
+    // Output: per-doc word count and post-BPE subword count.
+    Q("x13_bpe_apply",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val vocab = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val seg = graft.pipeline.Bpe.segment(vocab, rounds = 3)
+          .select(col("word"), size(col("subwords")).as("n_sub"))
+        docs
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .join(seg, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sub")).cast("long").as("n_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // same learned-merge CTE chain as x13_bpe_merges; s3 holds every
+        // word's post-merge sequence, which is exactly the segmentation
+        def round(r: Int): String = {
+          val prev = s"s${r - 1}"
+          s"""pc$r AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+             |    SELECT c, unnest(list_transform(generate_series(1, len(sy) - 1),
+             |                                    i -> [sy[i], sy[i + 1]])) AS p
+             |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sy
+             |          FROM $prev))
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |s$r AS (SELECT word, c,
+             |               replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ',
+             |                            ' ' || b$r.a || b$r.b || ' ') AS seq
+             |        FROM $prev CROSS JOIN b$r)""".stripMargin
+        }
+        s"""WITH w AS (SELECT term AS word, count(*) AS c
+           |           FROM (SELECT unnest(list_filter(string_split(text, ' '),
+           |                                           x -> x <> '')) AS term
+           |                 FROM documents)
+           |           GROUP BY 1),
+           |s0 AS (SELECT word, c,
+           |              '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+           |       FROM w),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |seg AS (SELECT word,
+           |               len(list_filter(string_split(seq, ' '), x -> x <> '')) AS n_sub
+           |        FROM s3),
+           |t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           |                                        x -> x <> '')) AS word
+           |      FROM documents)
+           |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_bpe
+           |FROM t JOIN seg USING (word)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // x15 — DSIR importance weight (Xie et al. 2023): per-doc
+    // log(p_target/p_raw) under two Laplace-smoothed unigram models,
+    // target = the English subset. The resampling knob of a 100 TB mixture
+    // pipeline: weights are computed map-side against two broadcast count
+    // models; nothing corpus-scale shuffles except the per-doc sum.
+    Q("x15_dsir_weight",
+      (s, d) => graft.pipeline.LmScore.dsirWeight(
+        Tables(s, d, "documents"), col("doc_id"), col("text"),
+        col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             |                 unnest(list_filter(string_split(text, ' '),
+             |                                    x -> x <> '')) AS term
+             |          FROM documents),
+             |raw AS (SELECT term, count(*) AS rc FROM t GROUP BY 1),
+             |tgt AS (SELECT term, count(*) AS tc FROM t WHERE tgt GROUP BY 1),
+             |k AS (SELECT CAST(sum(rc) AS BIGINT) AS n_raw,
+             |             CAST(count(*) AS BIGINT) AS v FROM raw),
+             |kt AS (SELECT CAST(count(*) AS BIGINT) AS n_tgt FROM t WHERE tgt),
+             |lp AS (SELECT doc_id,
+             |         CAST(floor(ln((coalesce(tc, 0) + 1) * 1.0 / (n_tgt + v))
+             |              * 1000000.0 + 0.5) AS BIGINT)
+             |       - CAST(floor(ln((rc + 1) * 1.0 / (n_raw + v))
+             |              * 1000000.0 + 0.5) AS BIGINT) AS w
+             |       FROM t JOIN raw USING (term) LEFT JOIN tgt USING (term)
+             |       CROSS JOIN k CROSS JOIN kt),
+             |agg AS (SELECT doc_id, count(*) AS n_toks,
+             |               CAST(sum(w) AS BIGINT) AS w_micro
+             |        FROM lp GROUP BY 1)
+             |SELECT doc_id, n_toks, w_micro,
+             |       round((w_micro * 1.0 / 1000000.0) / n_toks, 6) AS avg_w
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 }

@@ -147,6 +147,21 @@ object StorageQueries extends QueryGroup {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // s11 — ORC round-trip: Spark's other first-class columnar format (a
+    // 100 TB lake is rarely single-format). Write ORC, read it back; the
+    // oracle reads the ORIGINAL parquet, so the gate is on content — any
+    // ORC encode/decode defect (type mapping, nulls, unicode) surfaces as
+    // a hash mismatch, exactly like s9/s10 for jsonl/csv.
+    Q("s11_orc_roundtrip",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$t"
+        Tables(s, d, "documents").write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

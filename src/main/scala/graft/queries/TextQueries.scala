@@ -146,6 +146,49 @@ object TextQueries extends QueryGroup {
               |       round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
               |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // x16 — character-entropy quality signal: Shannon entropy (nats) of
+    // each doc's character distribution. Near-zero = repeated-character
+    // garbage, natural text sits ~3-4 nats — the cheap complement to x7's
+    // token-level repetition filter (it catches single-char floods that
+    // tokenize to one "word"). Determinism: each character class's
+    // cnt·ln(cnt/len) term is quantized to integer micros (one mirrored
+    // IEEE sequence), the per-doc sum is exact integer arithmetic, and the
+    // final divide is the only (mirrored) float op. Two small aggs — the
+    // char-count frame is bounded by alphabet×docs, nothing wide shuffles.
+    Q("x16_char_entropy",
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+        val lens = counts.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).cast("long").as("len"))
+        counts.join(lens, "doc_id")
+          .select(col("doc_id"), col("len"),
+            floor((col("cnt") * log(col("cnt") * lit(1.0) / col("len")))
+              * lit(1000000.0) + lit(0.5)).cast("long").as("term_micro"))
+          .groupBy(col("doc_id"), col("len"))
+          .agg(sum(col("term_micro")).as("s"))
+          .select(col("doc_id"), col("len").as("n_chars_text"),
+            (-col("s")).as("ent_sum_micro"),
+            round((-col("s")) * lit(1.0) / (lit(1000000.0) * col("len")), 6)
+              .as("entropy_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |            FROM documents),
+             |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+             |l AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len
+             |      FROM c GROUP BY 1),
+             |t AS (SELECT c.doc_id, len,
+             |             CAST(floor((cnt * ln(cnt * 1.0 / len))
+             |                  * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+             |      FROM c JOIN l USING (doc_id)),
+             |a AS (SELECT doc_id, len, CAST(sum(term_micro) AS BIGINT) AS s
+             |      FROM t GROUP BY 1, 2)
+             |SELECT doc_id, len AS n_chars_text, -s AS ent_sum_micro,
+             |       round((-s) * 1.0 / (1000000.0 * len), 6) AS entropy_nats
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // X2 — BPE-ish regex token counting.
     Q("x2_token_count_regex",
       (s, d) => Tables(s, d, "documents")

@@ -623,6 +623,46 @@ object VectorQueries extends QueryGroup {
            |  FROM p)
            |SELECT vec_id, round(adc, 6) AS adc_dist
            |FROM sc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // V12 — hard-negative mining (triplet mining for contrastive/retrieval
+    // training): for each anchor, the top-3 most-cosine-similar vectors
+    // with a DIFFERENT label — the near-misses that actually teach a
+    // contrastive model, vs random negatives that are trivially far. The
+    // anchor set broadcasts (bounded, like every query workload); the
+    // corpus side is one scan + a per-anchor ranking window. At 100 TB the
+    // exact scan swaps for the LSH/IVF shortlist paths above — same output
+    // contract, and the label-mismatch filter rides into the shortlist.
+    Q("v12_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, d, "embeddings")
+        val anchors = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        e.crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"),
+            col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+              |           FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT qid, vec_id,
+              |             round(${duckCos("embedding", "qv")}, 6) AS cos
+              |      FROM embeddings CROSS JOIN a
+              |      WHERE label <> qlabel),
+              |r AS (SELECT qid, vec_id, cos,
+              |             row_number() OVER (PARTITION BY qid
+              |               ORDER BY cos DESC, vec_id) AS rk
+              |      FROM c)
+              |SELECT qid, rk, vec_id, cos
+              |FROM r WHERE rk <= 3
+              |ORDER BY qid, rk""".stripMargin))
   )
 }
