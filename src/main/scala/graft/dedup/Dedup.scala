@@ -365,4 +365,46 @@ object Dedup {
         coalesce(col("ndp"), lit(0L)).cast("long").as("n_dup_pos"),
         round(coalesce(col("ndp"), lit(0L)) * lit(1.0) / col("n"), 6).as("dup_ratio"))
   }
+
+  /** Passage-level dedup with document reassembly (the CCNet paragraph-hash
+    * stage, at fixed k-token passage granularity since the synthetic corpus
+    * has no newlines): slice each document into non-overlapping k-token
+    * passages, keep only the globally FIRST occurrence of each passage text
+    * (ordered by doc_id, then position), and reassemble what survives of
+    * every document in original order. Sub-document dedup — the boilerplate
+    * repeated across thousands of pages disappears while the unique prose
+    * around it survives, which whole-document dedup (d1/d2) cannot do.
+    *
+    * Scale shape: ONE shuffle of the passage stream keyed by passage text
+    * (at 100 TB the key would be a fixed-width hash of the passage — same
+    * plan, narrower rows); first-occurrence is a row_number over that key,
+    * reassembly is a doc_id-keyed agg over kept passages. Nothing quadratic,
+    * no driver state. Documents with zero tokens are excluded (no passages).
+    *
+    * Output: (doc_id, n_pass, n_kept, kept_md5) — kept_md5 hashes the
+    * reassembled surviving text so the oracle gates reassembly order too.
+    */
+  def passageDedup(df: DataFrame, id: Column, text: Column, k: Int = 32): DataFrame = {
+    val t = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val pass = t
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, ((n + ${k - 1}) div $k) - 1)")).as("pid"))
+      .select(col("doc_id"), col("pid"),
+        expr(s"array_join(slice(toks, pid * $k + 1, $k), ' ')").as("ptext"))
+    val firstOcc = Window.partitionBy(col("ptext")).orderBy(col("doc_id"), col("pid"))
+    pass
+      .withColumn("rk", row_number().over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pass"),
+        count(when(col("rk") === 1, lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("pid"), col("ptext"))))),
+            x => x.getField("ptext")),
+          " ")).as("kept_md5"))
+      .select(col("doc_id"), col("n_pass"), col("n_kept"), col("kept_md5"))
+  }
 }

@@ -93,6 +93,27 @@ object DataSplit {
       .drop("__rn")
   }
 
+  /** Reproducible global shuffle + shard assignment — the "shuffle the
+    * corpus, write N training shards" step every data loader needs to be
+    * able to replay byte-identically. Shard membership is a map-side id
+    * hash (no global sort — the 100 TB-safe move; a row_number over ONE
+    * global ordering would funnel the corpus through a single task), and
+    * the within-shard read order is a per-shard row_number over a second,
+    * independent salted hash, so shards parallelize and the permutation is
+    * a pure function of ids: stable across reruns, cluster sizes, and input
+    * partitioning. Adds (shard, pos) to the input frame.
+    */
+  def shuffleShard(df: DataFrame, id: Column, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"shuffleShard: nShards must be >= 1, got $nShards")
+    val ord = md5(concat(lit(s"$salt-ord:"), id.cast("string")))
+    df.withColumn("shard",
+        pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(ord, id)))
+  }
+
   /** Pack documents into ~`budget`-token chunks in id order per group: the
     * window cumsum form (chunk = floor of the tokens BEFORE this doc /
     * budget) — deterministic, one shuffle on the group key, and the chunk id

@@ -537,6 +537,35 @@ object DedupQueries extends QueryGroup {
              |  FROM documents)
              |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups,
              |       md5(k) AS key_md5
-             |FROM n GROUP BY k ORDER BY keep_doc_id""".stripMargin))
+             |FROM n GROUP BY k ORDER BY keep_doc_id""".stripMargin)),
+
+    // D9 — passage-level dedup with reassembly (CCNet's paragraph-hash
+    // stage at 32-token granularity): only the globally first occurrence of
+    // each passage survives; each doc is reassembled from its surviving
+    // passages in original order. The sub-document complement of d1/d2 —
+    // kept_md5 gates the reassembled text, so passage slicing, the global
+    // first-occurrence choice, AND reassembly order all sit under the hash.
+    Q("d9_passage_dedup",
+      (s, d) => Dedup.passageDedup(
+        Tables(s, d, "documents"), col("doc_id"), col("text"), k = 32)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |          FROM documents),
+             |z AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |p AS (SELECT doc_id, unnest(range(0, (n + 31) // 32)) AS pid, toks
+             |      FROM z),
+             |px AS (SELECT doc_id, pid,
+             |              array_to_string(toks[pid * 32 + 1 : pid * 32 + 32], ' ') AS ptext
+             |       FROM p),
+             |r AS (SELECT doc_id, pid, ptext,
+             |             row_number() OVER (PARTITION BY ptext
+             |                                ORDER BY doc_id, pid) AS rk
+             |      FROM px)
+             |SELECT doc_id, count(*) AS n_pass,
+             |       count(*) FILTER (WHERE rk = 1) AS n_kept,
+             |       md5(coalesce(string_agg(ptext, ' ' ORDER BY pid)
+             |                      FILTER (WHERE rk = 1), '')) AS kept_md5
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -351,6 +351,88 @@ object PipelineQueries extends QueryGroup {
              |        FROM lp GROUP BY 1)
              |SELECT doc_id, n_toks, w_micro,
              |       round((w_micro * 1.0 / 1000000.0) / n_toks, 6) AS avg_w
-             |FROM agg ORDER BY doc_id""".stripMargin))
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // x17 — CCNet head/middle/tail bucketing: per-language perplexity
+    // terciles under the corpus unigram LM (x12's gated scorer) — head =
+    // most-fluent third, the cut CCNet keeps; tail = the third that gets
+    // dropped or down-weighted. ntile(3) over (avg_lp desc, doc_id) is the
+    // exact, oracle-able form; language partitions parallelize, and the
+    // window rows carry only (doc_id, score). At 100 TB the same cut comes
+    // from sampled per-lang tercile thresholds (approx_percentile) applied
+    // map-side — threshold semantics, same buckets up to boundary ties.
+    Q("x17_ccnet_buckets",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val lm = graft.pipeline.LmScore.unigramAvgLogProb(
+          docs, col("doc_id"), col("text"))
+        lm.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("bid", ntile(3).over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("avg_lp").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lang"), col("avg_lp"),
+            element_at(
+              array(lit("head"), lit("middle"), lit("tail")), col("bid"))
+              .as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |                 unnest(list_filter(string_split(text, ' '),
+              |                                    x -> x <> '')) AS term
+              |          FROM documents),
+              |uni AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+              |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+              |lp AS (SELECT doc_id,
+              |              CAST(floor(ln(cnt * 1.0 / n) * 1000000.0 + 0.5) AS BIGINT)
+              |                AS lp_micro
+              |       FROM t JOIN uni USING (term) CROSS JOIN n),
+              |agg AS (SELECT doc_id, count(*) AS n_toks,
+              |               CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+              |        FROM lp GROUP BY 1),
+              |sc AS (SELECT d.doc_id, d.lang,
+              |              round((sum_lp_micro * 1.0 / 1000000.0) / n_toks, 6)
+              |                AS avg_lp
+              |       FROM agg JOIN documents d USING (doc_id)),
+              |b AS (SELECT doc_id, lang, avg_lp,
+              |             ntile(3) OVER (PARTITION BY lang
+              |                            ORDER BY avg_lp DESC, doc_id) AS bid
+              |      FROM sc)
+              |SELECT doc_id, lang, avg_lp,
+              |       CASE bid WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              |                ELSE 'tail' END AS bucket
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // x18 — reproducible global shuffle + shard manifest: hash-assign every
+    // doc to one of 8 training shards (map-side — no global sort anywhere),
+    // order each shard by an independent salted hash, and emit the per-
+    // shard manifest with an md5 over the ordered doc_id sequence — the
+    // PERMUTATION itself is under the oracle hash, not just the counts.
+    // Replaying the job on any cluster/partitioning reproduces the exact
+    // same shards in the exact same order.
+    Q("x18_shuffle_shard",
+      (s, d) => DataSplit.shuffleShard(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")),
+            ",")).as("order_md5"))
+        .orderBy(col("shard")),
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |              AS BIGINT) % 8 AS shard,
+             |         md5('shard-ord:' || CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord, doc_id))
+             |         AS order_md5
+             |FROM r GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
