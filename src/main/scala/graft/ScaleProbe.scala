@@ -168,6 +168,16 @@ object ScaleProbe {
         graft.multimodal.Multimodal.phashPairsDistinct(
           graft.multimodal.Multimodal.perceptualHash(media), maxHamming = 2)
       }),
+      // x18 manifest under xf: the r11 verdict pinned the old flat digest as
+      // OOM-by-construction (one collect_list buffer per shard). The
+      // hierarchical prefix digest must scale ~linearly in corpus size with
+      // bounded buffers — a super-linear result here means a roll-up level
+      // collapsed back into an unbounded aggregation.
+      "x18_manifest_shape" -> (() => graft.pipeline.DataSplit.shardManifest(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), nShards = 8,
+        sums = Seq("n_tokens" -> col("n_tok")))),
       "v11_pq_shape" -> (() => {
         val sample = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
         val cb = graft.similarity.Pq.train(
@@ -204,8 +214,10 @@ object ScaleProbe {
       s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs}"""
     println(json)
     // A filtered run never overwrites the committed artifact — partial shape
-    // sets must not masquerade as a full probe.
-    if (only.isEmpty) {
+    // sets must not masquerade as a full probe. An explicit SPOT_OUT target
+    // is the escape hatch (mirrors Bench's SPARK_GRAFT_BENCH_OUT): the
+    // caller asked for the partial artifact somewhere else on purpose.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_SPOT_OUT")) {
       val w = new java.io.PrintWriter(
         sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "BENCH_sf1_spot.json"), "UTF-8")
       try w.println(json) finally w.close()

@@ -2,16 +2,22 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table loader (see TESTDATA.md). One parquet file per table under
   * `$dir/`. All query entry points take `(spark, dir)` so the driver can point
   * them at any scale factor.
   *
-  * `events.ts` is nanosecond parquet (TIMESTAMP(NANOS)), which Spark 4
-  * rejects outright by default; we read it as raw nanos
-  * (`legacy.parquet.nanosAsLong`) and truncate to a microsecond timestamp —
-  * exactly what DuckDB does on read, so oracle parity holds (SURVEY §7.4(3)).
+  * `events.ts` has shipped in two physical forms across driver fixture
+  * generations: nanosecond parquet (TIMESTAMP(NANOS)), which Spark 4
+  * rejects outright by default — read as raw nanos
+  * (`legacy.parquet.nanosAsLong`) and truncated to a microsecond timestamp,
+  * exactly what DuckDB does on read (SURVEY §7.4(3)) — and plain
+  * microsecond TIMESTAMP_NTZ, which Spark's NTZ inference surfaces as a
+  * type the time functions (`unix_micros` etc.) reject. Both are
+  * normalized here to a session-zone TIMESTAMP; every entry point runs
+  * with session tz UTC, so the NTZ wall-clock maps to the identical
+  * instant DuckDB's naive TIMESTAMP sees.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,6 +30,9 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (df.schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == TimestampNTZType))
+      df.withColumn("ts", expr("cast(ts as timestamp)"))
     else df
   }
 }

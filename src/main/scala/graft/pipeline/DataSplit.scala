@@ -102,6 +102,12 @@ object DataSplit {
     * independent salted hash, so shards parallelize and the permutation is
     * a pure function of ids: stable across reruns, cluster sizes, and input
     * partitioning. Adds (shard, pos) to the input frame.
+    *
+    * NOTE: materializing `pos` costs a window whose parallelism is nShards
+    * — use it only when an explicit integer position is genuinely needed
+    * (e.g. row-addressed shard files). The manifest/digest path
+    * ([[shardManifest]]) does NOT need pos: it orders by the salted hash
+    * directly and stays fully parallel.
     */
   def shuffleShard(df: DataFrame, id: Column, nShards: Int,
       salt: String = "shard"): DataFrame = {
@@ -112,6 +118,63 @@ object DataSplit {
           1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
       .withColumn("pos",
         row_number().over(Window.partitionBy(col("shard")).orderBy(ord, id)))
+  }
+
+  /** Per-shard order manifest with a BOUNDED-memory digest: a Merkle-style
+    * hierarchy over prefixes of the salted order hash, instead of one
+    * `collect_list` of the whole shard (which is an unbounded single-buffer
+    * aggregation — OOM by construction at corpus scale).
+    *
+    * Because the order hash is the LEADING sort key, grouping by its hex
+    * prefix partitions the shard's global (ord, id) order into contiguous
+    * runs: digesting each run, then chaining run digests in prefix order,
+    * pins the exact same permutation as one flat digest would. Levels:
+    * 6-hex leaf buckets (~16.7M per shard — a uniform md5 keeps each leaf
+    * at n/16.7M rows), then 4-hex and 2-hex roll-ups with a hard 256
+    * fan-in, then the per-shard root. Every aggregation buffer is O(leaf)
+    * or O(256); nothing is proportional to shard size, no global window,
+    * and the whole thing is one corpus scan (counts/sums ride the same
+    * hierarchy). Reruns on any cluster or input partitioning reproduce the
+    * digest bit-for-bit — it is a pure function of the id set.
+    *
+    * `sums`: (outputName, column) pairs summed per shard alongside the
+    * digest (e.g. token counts) so callers don't need a second scan.
+    */
+  def shardManifest(df: DataFrame, id: Column, nShards: Int,
+      salt: String = "shard", sums: Seq[(String, Column)] = Nil): DataFrame = {
+    require(nShards >= 1, s"shardManifest: nShards must be >= 1, got $nShards")
+    val idS = id.cast("string")
+    val base = df.select(
+      Seq(
+        pmod(conv(substring(md5(concat(lit(s"$salt:"), idS)), 1, 15), 16, 10)
+          .cast("long"), lit(nShards.toLong)).as("shard"),
+        md5(concat(lit(s"$salt-ord:"), idS)).as("__ord"),
+        idS.as("__id")) ++ sums.map { case (n, c) => c.as(n) }: _*)
+    // md5 over the values of (sortKey, value) pairs in sortKey order. The
+    // buffer is one leaf bucket or one 256-wide roll-up — never a shard.
+    def digest(pairs: Column): Column =
+      md5(array_join(transform(array_sort(pairs), _.getField("v")), ","))
+    val leaf = base
+      .groupBy(col("shard"), substring(col("__ord"), 1, 6).as("__k"))
+      .agg(
+        digest(collect_list(struct(col("__ord").as("s"), col("__id").as("v"))))
+          .as("__h"),
+        (count(lit(1)).as("n_docs") +:
+          sums.map { case (n, _) => sum(col(n)).cast("long").as(n) }): _*)
+    val rolled = Seq(4, 2, 0).foldLeft(leaf) { (prev, plen) =>
+      val sumCols = sum(col("n_docs")).as("n_docs") +:
+        sums.map { case (n, _) => sum(col(n)).cast("long").as(n) }
+      val h = digest(collect_list(struct(col("__k").as("s"), col("__h").as("v"))))
+        .as("__h")
+      if (plen == 0) prev.groupBy(col("shard")).agg(h, sumCols: _*)
+      else prev
+        .groupBy(col("shard"), substring(col("__k"), 1, plen).as("__kp"))
+        .agg(h, sumCols: _*)
+        .withColumnRenamed("__kp", "__k")
+    }
+    rolled.select(
+      Seq(col("shard"), col("n_docs")) ++ sums.map { case (n, _) => col(n) } :+
+        col("__h").as("order_md5"): _*)
   }
 
   /** Pack documents into ~`budget`-token chunks in id order per group: the

@@ -405,34 +405,46 @@ object PipelineQueries extends QueryGroup {
     // x18 — reproducible global shuffle + shard manifest: hash-assign every
     // doc to one of 8 training shards (map-side — no global sort anywhere),
     // order each shard by an independent salted hash, and emit the per-
-    // shard manifest with an md5 over the ordered doc_id sequence — the
+    // shard manifest digest over the ordered doc_id sequence — the
     // PERMUTATION itself is under the oracle hash, not just the counts.
-    // Replaying the job on any cluster/partitioning reproduces the exact
-    // same shards in the exact same order.
+    // The digest is the Merkle-style prefix hierarchy of
+    // [[DataSplit.shardManifest]]: every aggregation buffer is one leaf
+    // bucket or a 256-wide roll-up, never a whole shard, so the manifest
+    // is bounded-memory at any corpus size. Replaying the job on any
+    // cluster/partitioning reproduces the exact same shards in the exact
+    // same order; the DuckDB oracle mirrors the hierarchy level by level.
     Q("x18_shuffle_shard",
-      (s, d) => DataSplit.shuffleShard(
+      (s, d) => DataSplit.shardManifest(
         Tables(s, d, "documents")
           .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok")),
-        col("doc_id"), nShards = 8)
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).cast("long").as("n_tokens"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(struct(col("pos"), col("doc_id")))),
-              x => x.getField("doc_id").cast("string")),
-            ",")).as("order_md5"))
+        col("doc_id"), nShards = 8,
+        sums = Seq("n_tokens" -> col("n_tok")))
         .orderBy(col("shard")),
       Some("""WITH r AS (
-             |  SELECT doc_id,
+             |  SELECT CAST(doc_id AS VARCHAR) AS id,
              |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
              |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
              |              AS BIGINT) % 8 AS shard,
              |         md5('shard-ord:' || CAST(doc_id AS VARCHAR)) AS ord
-             |  FROM documents)
-             |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord, doc_id))
-             |         AS order_md5
-             |FROM r GROUP BY shard ORDER BY shard""".stripMargin))
+             |  FROM documents),
+             |l1 AS (SELECT shard, substr(ord, 1, 6) AS k1,
+             |              md5(string_agg(id, ',' ORDER BY ord, id)) AS h,
+             |              count(*) AS n_docs,
+             |              CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |       FROM r GROUP BY 1, 2),
+             |l2 AS (SELECT shard, substr(k1, 1, 4) AS k2,
+             |              md5(string_agg(h, ',' ORDER BY k1)) AS h,
+             |              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |       FROM l1 GROUP BY 1, 2),
+             |l3 AS (SELECT shard, substr(k2, 1, 2) AS k3,
+             |              md5(string_agg(h, ',' ORDER BY k2)) AS h,
+             |              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |       FROM l2 GROUP BY 1, 2)
+             |SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       md5(string_agg(h, ',' ORDER BY k3)) AS order_md5
+             |FROM l3 GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }

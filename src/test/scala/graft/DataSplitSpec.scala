@@ -125,4 +125,43 @@ class DataSplitSpec extends SparkSuite {
     assert(got.select("doc_id").exceptAll(re.select("doc_id")).count() == 0)
     assert(re.select("doc_id").exceptAll(got.select("doc_id")).count() == 0)
   }
+
+  test("shardManifest matches a sequential golden hierarchy and is partition-invariant") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_tok"))
+    val ids = docs.select(col("doc_id"), col("n_tok"))
+      .as[(Long, Int)].collect().toSeq
+    // sequential reference: same prefix hierarchy, computed in plain Scala
+    val byShard = ids.groupBy { case (id, _) =>
+      (BigInt(md5hex(s"shard:$id").take(15), 16) % 8).toLong
+    }
+    val golden = byShard.map { case (shard, rows) =>
+      val tagged = rows.map { case (id, nt) => (md5hex(s"shard-ord:$id"), id.toString, nt) }
+      def roll(level: Map[String, String], plen: Int): Map[String, String] =
+        level.groupBy { case (k, _) => k.take(plen) }
+          .map { case (kp, m) =>
+            kp -> md5hex(m.toSeq.sortBy(_._1).map(_._2).mkString(","))
+          }
+      val leaf = tagged.groupBy(_._1.take(6)).map { case (k, rs) =>
+        k -> md5hex(rs.sortBy(r => (r._1, r._2)).map(_._2).mkString(","))
+      }
+      val root = roll(roll(roll(leaf, 4), 2), 0)("")
+      shard -> (rows.size.toLong, rows.map(_._2.toLong).sum, root)
+    }
+    val got = DataSplit.shardManifest(docs, col("doc_id"), nShards = 8,
+      sums = Seq("n_tokens" -> col("n_tok")))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == golden)
+    // bit-identical under a different physical partitioning — the digest is
+    // a pure function of the id set, not of task layout
+    val re = DataSplit.shardManifest(docs.repartition(13), col("doc_id"),
+      nShards = 8, sums = Seq("n_tokens" -> col("n_tok")))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(re == golden)
+  }
 }
