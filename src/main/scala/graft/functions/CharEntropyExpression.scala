@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row character-entropy kernel for x16: one tight JVM pass over the
+  * row's code points instead of exploding one row per corpus character
+  * (the r11 verdict's named shuffle) or an interpreted per-character
+  * `aggregate` fold (measured 30× slower than even the shuffle form —
+  * Catalyst HOF lambdas evaluate interpreted per element).
+  *
+  * Output `struct<n_chars, s_micro>` where `s_micro` is
+  * Σ_{distinct char} floor(cnt·ln(cnt/len)·1e6 + 0.5) — the same quantized
+  * IEEE sequence as the groupBy form and the DuckDB oracle: cnt widened to
+  * double, one ln, the multiply-then-bias order preserved, integer sum
+  * (order-free). Characters are code points, matching `split(text, '')`
+  * (Java regex splits between code points, so a surrogate pair is one
+  * element) and DuckDB's `string_split(text, '')`. Empty text mirrors
+  * `split('', '') = ['']`: one empty token, len 1, entropy 0.
+  */
+case class CharEntropySum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("s_micro", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy_sum"
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    if (cps.isEmpty) return InternalRow(1L, 0L)
+    java.util.Arrays.sort(cps)
+    val len = cps.length
+    var i = 0
+    var sum = 0L
+    while (i < len) {
+      var j = i
+      while (j < len && cps(j) == cps(i)) j += 1
+      val cnt = (j - i).toDouble
+      val t = cnt * math.log(cnt * 1.0 / len.toDouble)
+      sum += math.floor(t * 1000000.0 + 0.5).toLong
+      i = j
+    }
+    InternalRow(len.toLong, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

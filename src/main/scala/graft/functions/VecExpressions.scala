@@ -124,6 +124,8 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash_h", exprs => SimHashFromHashes(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_entropy_sum", exprs => CharEntropySum(exprs(0)), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime row-level filtering but does NOT expose them in the public
     // registry — surface them for the BloomPrune operator.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -153,25 +154,25 @@ object TextQueries extends QueryGroup {
     // tokenize to one "word"). Determinism: each character class's
     // cnt·ln(cnt/len) term is quantized to integer micros (one mirrored
     // IEEE sequence), the per-doc sum is exact integer arithmetic, and the
-    // final divide is the only (mirrored) float op. Two small aggs — the
-    // char-count frame is bounded by alphabet×docs, nothing wide shuffles.
+    // final divide is the only (mirrored) float op.
+    //
+    // Entirely MAP-SIDE (r11 verdict item #3 — the first version shuffled
+    // one row per corpus character, twice): the native
+    // [[graft.functions.CharEntropySum]] kernel run-lengths each row's
+    // sorted code points in one JVM pass — no Exchange anywhere but the
+    // final sort. The integer term sum is addition-order-free, so the
+    // kernel equals the old groupBy bit-for-bit and the DuckDB oracle is
+    // unchanged.
     Q("x16_char_entropy",
       (s, d) => {
-        val counts = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
-        val lens = counts.groupBy(col("doc_id"))
-          .agg(sum(col("cnt")).cast("long").as("len"))
-        counts.join(lens, "doc_id")
-          .select(col("doc_id"), col("len"),
-            floor((col("cnt") * log(col("cnt") * lit(1.0) / col("len")))
-              * lit(1000000.0) + lit(0.5)).cast("long").as("term_micro"))
-          .groupBy(col("doc_id"), col("len"))
-          .agg(sum(col("term_micro")).as("s"))
-          .select(col("doc_id"), col("len").as("n_chars_text"),
-            (-col("s")).as("ent_sum_micro"),
-            round((-col("s")) * lit(1.0) / (lit(1000000.0) * col("len")), 6)
-              .as("entropy_nats"))
+        val e = call_function("char_entropy_sum", col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), e.getField("n_chars").as("n_chars_text"),
+            e.getField("s_micro").as("__s"))
+          .select(col("doc_id"), col("n_chars_text"),
+            (-col("__s")).as("ent_sum_micro"),
+            round((-col("__s")) * lit(1.0)
+              / (lit(1000000.0) * col("n_chars_text")), 6).as("entropy_nats"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -283,4 +283,37 @@ class QualitySignalsSpec extends SparkSuite {
       assert(math.abs(score - (tf * idfMicro) * 1.0 / 1000000.0) < 1e-6)
     }
   }
+
+  test("char_entropy_sum kernel equals the declarative explode/groupBy form") {
+    // the shuffled form the native kernel replaced, kept here as the
+    // executable spec (same pattern as SimHashDedup.simhashRef)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, "aaaaaaaa"),          // single-char flood: entropy 0
+        (-2L, "ab"),                // two classes: ln 2
+        (-3L, "naïve — café ☕"))   // non-ASCII code points
+        .toDF("doc_id", "text"))
+    val ref = {
+      val counts = docs
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      val lens = counts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("len"))
+      counts.join(lens, "doc_id")
+        .select(col("doc_id"), col("len"),
+          floor((col("cnt") * log(col("cnt") * lit(1.0) / col("len")))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("term_micro"))
+        .groupBy(col("doc_id"), col("len"))
+        .agg(sum(col("term_micro")).as("s"))
+        .select(col("doc_id"), col("len"), col("s"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val e = call_function("char_entropy_sum", col("text"))
+    val got = docs
+      .select(col("doc_id"), e.getField("n_chars"), e.getField("s_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == ref && got.nonEmpty)
+    assert(got(-1L)._2 == 0L)
+  }
 }
