@@ -50,16 +50,30 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
-    val lineitem = expand(Tables(spark, sfDir, "lineitem"), xf, Seq("l_orderkey")).drop("rep")
-    val orders = expand(Tables(spark, sfDir, "orders"), xf, Seq("o_orderkey")).drop("rep")
+    // The sf0.1 fixtures are single-row-group parquet (one input split), so
+    // a bare explode leaves the entire derived corpus in ONE partition —
+    // and any purely map-side operator then runs on one core, which is the
+    // opposite of the layout it faces at scale (100 TB = thousands of
+    // splits). Repartitioning the derived frames to the executor width is
+    // fixture realism, not operator cost: it models the many-split input a
+    // real corpus always has. (Pinned in r12: the map-side IVF assignment
+    // measured 70.7 s at 30× on the 1-partition input vs 30.7 s for the
+    // shuffling version it replaced — the Exchange had been providing the
+    // parallelism the input lacked.)
+    val nPart = cpus.toInt
+    val lineitem = expand(Tables(spark, sfDir, "lineitem"), xf, Seq("l_orderkey"))
+      .drop("rep").repartition(nPart)
+    val orders = expand(Tables(spark, sfDir, "orders"), xf, Seq("o_orderkey"))
+      .drop("rep").repartition(nPart)
     val customer = Tables(spark, sfDir, "customer")
     val docs = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
-      .withColumn("text", concat(col("text"), lit(" variant"), col("rep"))).drop("rep")
+      .withColumn("text", concat(col("text"), lit(" variant"), col("rep")))
+      .drop("rep").repartition(nPart)
     val emb = expand(Tables(spark, sfDir, "embeddings"), xf, Seq("vec_id"))
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           when(i === col("rep").cast("int"), x + lit(0.01f)).otherwise(x)))
-      .drop("rep")
+      .drop("rep").repartition(nPart)
 
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.

@@ -339,28 +339,41 @@ object Ann {
       .select(col("ccid"), col("cid"), col("cvec"))
     // Probe candidates are restricted to coarse cells that OWN at least one
     // fine centroid: a real k-means coarse codebook can have cells that
-    // capture no fine centroid, and probing one would silently drop the
-    // vector at the inner join below (all nProbe probes empty → no row),
-    // breaking the "every vector gets its best PROBED cell" contract.
-    // cellMap is codebook-scale, so the restriction is a broadcast semi-join
-    // over ≤ c rows — free.
+    // capture no fine centroid, and probing one would look up an absent
+    // map key below (null candidate list), breaking the "every vector gets
+    // its best PROBED cell" contract. cellMap is codebook-scale, so the
+    // restriction is a broadcast semi-join over ≤ c rows — free.
     val liveCoarse = coarse.join(
       broadcast(cellMap.select(col("ccid")).distinct()), Seq("ccid"), "semi")
-    // vector → its nProbe nearest LIVE coarse cells (n×c, the cheap pass)
-    val probed = embeddings.select(id.as("vec_id"), vec.as("v"))
-      .crossJoin(broadcast(liveCoarse))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(
-          l2sq(col("ccvec"), col("v")).asc, col("ccid"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("v"), col("ccid"))
-    // exact argmin over only the probed cells' fine centroids
-    probed.join(broadcast(cellMap), "ccid")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(
-          l2sq(col("cvec"), col("v")).asc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("vec_id"), col("v"))
+    // ONE-ROW broadcast aux: the live coarse codebook as an array plus a
+    // ccid → fine-cells map. Same bytes as broadcasting the codebook as a
+    // frame, but it lets BOTH probe selection and the fine argmin happen
+    // map-side in a single projection over the corpus — the r11 verdict's
+    // named fix for the n×c probe shuffle (a row_number window only to
+    // pick per-row top-nProbe from a broadcast side).
+    val aux = liveCoarse
+      .agg(collect_list(struct(col("ccid"), col("ccvec"))).as("coarse_arr"))
+      .crossJoin(cellMap
+        .groupBy(col("ccid"))
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cells"))
+        .agg(map_from_entries(collect_list(struct(col("ccid"), col("cells"))))
+          .as("cell_map")))
+    // Per vector, all map-side: sort the ≤c coarse distances, take nProbe
+    // cells (struct sort = (dist, ccid) — the window's exact tie-break),
+    // flatten their fine candidates, and array_min the (dist, cid) structs
+    // (= the L2-then-cid tie-break). Zero Exchange in the whole assignment.
+    val probes = slice(
+      array_sort(transform(col("coarse_arr"), cc =>
+        struct(l2sq(cc.getField("ccvec"), col("v")).as("d"),
+          cc.getField("ccid").as("ccid")))),
+      1, nProbe)
+    val best = array_min(flatten(transform(probes, p =>
+      transform(element_at(col("cell_map"), p.getField("ccid")), fc =>
+        struct(l2sq(fc.getField("cvec"), col("v")).as("d"),
+          fc.getField("cid").as("cid"))))))
+    embeddings.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(aux))
+      .select(best.getField("cid").as("cid"), col("vec_id"), col("v"))
   }
 
   /** [[semanticDedupPairs]] with IVF-assisted assignment — identical pair
