@@ -402,6 +402,35 @@ object PipelineQueries extends QueryGroup {
               |                ELSE 'tail' END AS bucket
               |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // x17 at 100 TB — the sampled-threshold scale variant the exact twin's
+    // scaladoc promises (rows-only; a3/h6 twin pattern): per-lang tercile
+    // CUT VALUES from approx_percentile, applied map-side. The per-lang
+    // window over every doc disappears; what shuffles is one sketch row
+    // per language, and bucketing becomes two broadcast-joined
+    // comparisons. Bucket agreement with the exact ntile form up to
+    // boundary ties is asserted in QualitySignalsSpec.
+    Q("x17_ccnet_buckets_approx",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val lm = graft.pipeline.LmScore.unigramAvgLogProb(
+          docs, col("doc_id"), col("text"))
+        val scored = lm.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val cuts = scored.groupBy(col("lang"))
+          .agg(percentile_approx(col("avg_lp"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("q"))
+          .select(col("lang"),
+            col("q").getItem(0).as("q33"), col("q").getItem(1).as("q67"))
+        // DESC terciles: head = most-fluent third (avg_lp above the 2/3
+        // ascending cut), tail = below the 1/3 cut
+        scored.join(broadcast(cuts), "lang")
+          .select(col("doc_id"), col("lang"), col("avg_lp"),
+            when(col("avg_lp") >= col("q67"), "head")
+              .when(col("avg_lp") < col("q33"), "tail")
+              .otherwise("middle").as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // x18 — reproducible global shuffle + shard manifest: hash-assign every
     // doc to one of 8 training shards (map-side — no global sort anywhere),
     // order each shard by an independent salted hash, and emit the per-

@@ -316,4 +316,22 @@ class QualitySignalsSpec extends SparkSuite {
     assert(got == ref && got.nonEmpty)
     assert(got(-1L)._2 == 0L)
   }
+
+  test("x17 approx buckets agree with exact ntile terciles up to boundary ties") {
+    def buckets(name: String): Map[Long, String] =
+      queries.Registry.byName(name).run(spark, sf)
+        .select(col("doc_id"), col("bucket"))
+        .as[(Long, String)].collect().toMap
+    val exact = buckets("x17_ccnet_buckets")
+    val approx = buckets("x17_ccnet_buckets_approx")
+    assert(approx.keySet == exact.keySet && exact.nonEmpty)
+    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val diff = exact.keys.filter(k => exact(k) != approx(k)).toSeq
+    // threshold semantics can only move a doc across ONE adjacent cut —
+    // head↔tail flips would mean the cuts themselves are wrong
+    assert(diff.forall(k => math.abs(ord(exact(k)) - ord(approx(k))) == 1),
+      s"non-adjacent bucket flips: ${diff.take(5).map(k => (k, exact(k), approx(k)))}")
+    val agree = (exact.size - diff.size).toDouble / exact.size
+    assert(agree >= 0.9, s"bucket agreement $agree below 0.9 (${diff.size} diffs)")
+  }
 }
