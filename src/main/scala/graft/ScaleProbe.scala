@@ -224,8 +224,49 @@ object ScaleProbe {
       name -> sec
     }
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // LSH candidate RECALL at scale (r11 verdict item #7): cost scaling was
+    // measured, quality scaling was not — and the replicated corpus's dense
+    // buckets are exactly where recall quietly degrades. Ground truth is
+    // anchored, not all-pairs (all-pairs exact Jaccard is the quadratic
+    // blow-up the LSH exists to avoid): ~1% of docs are anchors, their
+    // exact shingle-Jaccard >= 0.8 partners over the whole corpus are the
+    // true pairs, and recall is the fraction of those the banded candidate
+    // stream (minEstJaccard=0, same dial as the fixture spec) surfaces.
+    val recallJson =
+      if (only.forall(_.contains("d2_minhash_recall"))) {
+        val toks = docs.select(col("doc_id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("t"))
+          .distinct()
+        graft.Caches.track(toks.cache())
+        val anchor = pmod(col("doc_id"), lit(97L)) === 0
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val exact = toks.filter(anchor).select(col("doc_id").as("da"), col("t"))
+          .join(toks.select(col("doc_id").as("db"), col("t")), Seq("t"))
+          .filter(col("da") =!= col("db"))
+          // normalize orientation; an anchor-anchor pair arrives once per
+          // side, so the intersection count must be over DISTINCT shingles
+          .select(least(col("da"), col("db")).as("da"),
+            greatest(col("da"), col("db")).as("db"), col("t"))
+          .groupBy(col("da"), col("db")).agg(countDistinct(col("t")).as("i"))
+          .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+          .filter(col("i").cast("double")
+            / (col("sa") + col("sb") - col("i")) >= 0.8)
+          .select(col("da"), col("db"))
+        val cand = graft.dedup.MinHashDedup.candidatePairs(
+            docs, col("doc_id"), col("text"), minEstJaccard = 0.0)
+          .select(col("da"), col("db"))
+        val total = exact.count()
+        val hit = exact.join(cand, Seq("da", "db"), "semi").count()
+        Caches.unpersistAll()
+        val recall = if (total == 0) -1.0 else hit.toDouble / total
+        println(s"[scaleprobe] d2_minhash_lsh_recall=$recall ($hit/$total anchored true pairs)")
+        s""","recall":{"d2_minhash_lsh":$recall,"true_pairs":$total,"recalled":$hit}"""
+      } else ""
+
     val json =
-      s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs}"""
+      s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs$recallJson}"""
     println(json)
     // A filtered run never overwrites the committed artifact — partial shape
     // sets must not masquerade as a full probe. An explicit SPOT_OUT target
