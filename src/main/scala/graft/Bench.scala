@@ -118,8 +118,16 @@ object Bench {
       .digest(perQueryJson.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // The full_out pointer + sha are only honest when THIS run writes the
+    // artifact; a BENCH_ONLY-filtered run without an explicit BENCH_OUT
+    // skips the write, and advertising the committed file's path against
+    // this run's sha would dangle (ADVICE r11).
+    val writesArtifact = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    val fullOutJson =
+      if (writesArtifact) s""","full_out":"$outPath","per_query_sha256":"$perQuerySha""""
+      else s""","written":false"""
     val headlineJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir","full_out":"$outPath","per_query_sha256":"$perQuerySha"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir"$fullOutJson}"""
     // Per-query detail first (may exceed the driver's tail window), then the
     // compact headline as the LAST line so it always lands inside the
     // driver's 2 KB tail capture.
@@ -131,7 +139,7 @@ object Bench {
     // A BENCH_ONLY-filtered run must not clobber the committed full artifact
     // with a partial query set (it silently did until round 11); route
     // filtered output to SPARK_GRAFT_BENCH_OUT explicitly when needed.
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+    if (writesArtifact) {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try {
         w.println(perQueryJson); w.println(streamingJson); w.println(headlineJson)

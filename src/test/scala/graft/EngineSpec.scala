@@ -261,9 +261,18 @@ class EngineSpec extends SparkSuite {
     val emb = spark.read.parquet(dir)
     val out = graft.similarity.Ann.knnJoinLshMd5(
       emb, col("vec_id"), col("embedding"), k = 3)
-    val plan = out.queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("parquet"),
-      s"default-nBits knn-join still re-scans the parquet input:\n$plan")
+    // Count actual file-source leaves instead of substring-matching the
+    // plan text (ADVICE r11: an incidental 'parquet' token in options or a
+    // relation name failed the old assert spuriously, and a non-parquet
+    // re-scan passed it).
+    val scans = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation
+            .isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] => l
+    }
+    assert(scans.isEmpty,
+      s"default-nBits knn-join still re-scans the file input (${scans.size} " +
+        s"file-source leaves):\n${out.queryExecution.optimizedPlan}")
     assert(out.limit(1).count() == 1)
   }
 
