@@ -402,6 +402,42 @@ object PipelineQueries extends QueryGroup {
               |                ELSE 'tail' END AS bucket
               |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // x21 — OOV rate against the corpus top-1000 vocabulary: the
+    // vocab-pruning QC every tokenizer-training pipeline runs (a doc whose
+    // tokens mostly fall outside the head vocab is boilerplate, another
+    // language, or noise). Vocab = one agg + top-k (TakeOrdered, no global
+    // sort; cnt-desc/term-asc tie-break pinned on both engines), then a
+    // BROADCAST membership join — per-token work is map-side, and the only
+    // corpus-scale shuffle is the per-doc sum on doc_id, x12's shape.
+    Q("x21_oov_rate",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(1000)
+          .select(col("term"), lit(1).as("in_v"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_v").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+          .select(col("doc_id"), col("n_toks"), col("n_oov"),
+            round(col("n_oov") * lit(1.0) / col("n_toks"), 6).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |                 unnest(list_filter(string_split(text, ' '),
+             |                                    x -> x <> '')) AS term
+             |          FROM documents),
+             |v AS (SELECT term FROM (SELECT term, count(*) AS c FROM t GROUP BY 1)
+             |      ORDER BY c DESC, term LIMIT 1000),
+             |a AS (SELECT doc_id, count(*) AS n_toks,
+             |             CAST(sum(CASE WHEN term IN (SELECT term FROM v)
+             |                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+             |      FROM t GROUP BY 1)
+             |SELECT doc_id, n_toks, n_oov,
+             |       round(n_oov * 1.0 / n_toks, 6) AS oov_rate
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // x17 at 100 TB — the sampled-threshold scale variant the exact twin's
     // scaladoc promises (rows-only; a3/h6 twin pattern): per-lang tercile
     // CUT VALUES from approx_percentile, applied map-side. The per-lang

@@ -199,6 +199,40 @@ object TextQueries extends QueryGroup {
              |       len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> '')) AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // x20 — script/character-class ratio QC: per-doc counts of ASCII
+    // letters, digits and spaces (explicit ASCII classes — identical
+    // semantics in both regex engines) plus the alpha ratio. The signal
+    // that catches code-as-text, digit floods, and non-target-script
+    // contamination before tokenization. Entirely map-side: four
+    // regexp_replace length deltas per row, no Exchange but the final
+    // sort; at 100 TB this is a pure scan-projection.
+    Q("x20_script_ratio",
+      (s, d) => {
+        val n = length(col("text"))
+        def cnt(pat: String) =
+          (n - length(regexp_replace(col("text"), pat, ""))).cast("long")
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          n.cast("long").as("n_chars"),
+          cnt("[a-zA-Z]").as("n_alpha"),
+          cnt("[0-9]").as("n_digit"),
+          cnt("[ ]").as("n_space"),
+          (n.cast("long") - cnt("[a-zA-Z]") - cnt("[0-9]") - cnt("[ ]"))
+            .as("n_other"),
+          round(cnt("[a-zA-Z]") * lit(1.0) / n, 6).as("alpha_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, length(text) AS n_chars,
+             |         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             |         length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space
+             |  FROM documents)
+             |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+             |       n_chars - n_alpha - n_digit - n_space AS n_other,
+             |       round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // X3 — document fingerprint (md5 of normalized text) + exact-dup groups.
     Q("x3_fingerprint",
       (s, d) => Tables(s, d, "documents")
