@@ -203,20 +203,21 @@ object Ann {
       .collect().head.getDouble(0)
 
   /** Inverted-file assignment: each vector → its nearest centroid's list.
-    * Centroids are broadcast (a codebook is small by construction); the
-    * argmin is a ranking window over ncentroids candidates per vector.
+    * Centroids are broadcast as ONE array row; the per-vector argmin is
+    * array_min over (dist, cid) structs — the same (1-cos)-then-cid
+    * tie-break as the ranking-window form it replaces, with zero Exchange
+    * (map-side, like [[assignCentroids]], r12).
     */
   def ivfIndex(embeddings: DataFrame, id: Column, vec: Column,
       centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val cb = centroids.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("cb_arr"))
+    val best = array_min(transform(col("cb_arr"), cc =>
+      struct((lit(1.0) - VectorFunctions.cosineNative(col("v"),
+        cc.getField("cvec"))).as("d"), cc.getField("cid").as("cid"))))
     embeddings.select(id.as("vec_id"), vec.as("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"),
-        (lit(1.0) - VectorFunctions.cosineNative(col("v"), col("cvec"))).as("dist"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
   }
 
   /** IVF top-k: score only vectors whose list is among the query's `nProbe`
@@ -301,14 +302,21 @@ object Ann {
     * Output: (cid, vec_id, v).
     */
   def assignCentroids(embeddings: DataFrame, id: Column, vec: Column,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    // One-row broadcast of the codebook; per-vector argmin is array_min
+    // over (dist, cid) structs — identical L2-then-cid tie-break to the
+    // ranking-window form this replaces, but with ZERO Exchange (the
+    // window shuffled the n×k expanded frame just to pick per-vector
+    // minima from a broadcast side; same fix as the IVF path, r12).
+    val cb = centroids.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("cb_arr"))
+    val best = array_min(transform(col("cb_arr"), cc =>
+      struct(l2sq(cc.getField("cvec"), col("v")).as("d"),
+        cc.getField("cid").as("cid"))))
     embeddings.select(id.as("vec_id"), vec.as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(
-          l2sq(col("cvec"), col("v")).asc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("vec_id"), col("v"))
+      .crossJoin(broadcast(cb))
+      .select(best.getField("cid").as("cid"), col("vec_id"), col("v"))
+  }
 
   /** IVF-ASSISTED assignment — the scale path past the n×k wall the 10×
     * probe pinned (22.4 s, all in exact assignment): a two-level coarse
