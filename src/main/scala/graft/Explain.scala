@@ -66,7 +66,25 @@ object Explain {
         |(no float math, no join — the distance tables are baked into the
         |projection), TakeOrdered to a 100-row shortlist, then one
         |broadcast-semi-join re-rank against raw vectors. The only full-table
-        |scan touches the 4-int code column.""".stripMargin))
+        |scan touches the 4-int code column.""".stripMargin),
+    "x17_ccnet_buckets" ->
+      ("""Contract note: the per-lang ntile window over every scored doc is
+        |the ORACLE BASELINE (exact terciles, DuckDB-mirrorable). The scale
+        |path is x17_ccnet_buckets_approx: per-lang cut values from
+        |approx_percentile applied as broadcast-joined comparisons — no
+        |corpus-wide window; bucket agreement up to boundary ties asserted
+        |in QualitySignalsSpec. Same exact-for-oracle / approx-for-scale
+        |pattern as a3 / h6.""".stripMargin),
+    "x18_shuffle_shard" ->
+      ("""Shape note: the four stacked HashAggregates are the LEVELS of the
+        |Merkle prefix digest (6-hex leaves, then 4-hex / 2-hex / root
+        |roll-ups with 256 fan-in): every collect_list buffer is one leaf
+        |bucket or one 256-wide roll-up — bounded at ANY corpus size. The
+        |r11 form was a single per-shard collect_list whose buffer grew
+        |with shard size (OOM by construction at 100 TB); the hierarchy
+        |pins the identical permutation because the order hash is the
+        |leading sort key, so prefix groups are contiguous runs of the
+        |global order.""".stripMargin))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
