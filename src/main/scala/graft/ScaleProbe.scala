@@ -54,21 +54,28 @@ object ScaleProbe {
     // a bare explode leaves the entire derived corpus in ONE partition —
     // and any purely map-side operator then runs on one core, which is the
     // opposite of the layout it faces at scale (100 TB = thousands of
-    // splits). Repartitioning the derived frames to the executor width is
-    // fixture realism, not operator cost: it models the many-split input a
-    // real corpus always has. (Pinned in r12: the map-side IVF assignment
-    // measured 70.7 s at 30× on the 1-partition input vs 30.7 s for the
-    // shuffling version it replaced — the Exchange had been providing the
-    // parallelism the input lacked.)
+    // splits). For the MAP-SIDE-KERNEL corpora (docs: minhash/simhash
+    // signatures, manifest digests; emb: distance kernels) a repartition
+    // to executor width is fixture realism: it models the many-split input
+    // a real corpus always has. (Pinned in r12: the map-side IVF
+    // assignment measured 70.7 s at 30× on the 1-partition input vs 30.7 s
+    // for the shuffling version it replaced — the Exchange had been
+    // providing the parallelism the input lacked; with realistic splits
+    // d7 exact fell 223 s → 22 s at 30×.)
+    //
+    // The SHUFFLE-FIRST shapes (h1/j2/h3 aggs+joins, d6's span groupBy)
+    // get NO repartition: their first operator already redistributes, so
+    // input layout cannot starve them, and a user repartition only inserts
+    // a second full exchange of the corpus (measured: j2 10.4 s → 82.5 s
+    // at 30× with the exchange in the lineage). Per-shape input layout is
+    // the honest emulation, not a tuning knob.
     val nPart = cpus.toInt
-    val lineitem = expand(Tables(spark, sfDir, "lineitem"), xf, Seq("l_orderkey"))
-      .drop("rep").repartition(nPart)
-    val orders = expand(Tables(spark, sfDir, "orders"), xf, Seq("o_orderkey"))
-      .drop("rep").repartition(nPart)
+    val lineitem = expand(Tables(spark, sfDir, "lineitem"), xf, Seq("l_orderkey")).drop("rep")
+    val orders = expand(Tables(spark, sfDir, "orders"), xf, Seq("o_orderkey")).drop("rep")
     val customer = Tables(spark, sfDir, "customer")
-    val docs = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
-      .withColumn("text", concat(col("text"), lit(" variant"), col("rep")))
-      .drop("rep").repartition(nPart)
+    val docsRaw = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
+      .withColumn("text", concat(col("text"), lit(" variant"), col("rep"))).drop("rep")
+    val docs = docsRaw.repartition(nPart)
     val emb = expand(Tables(spark, sfDir, "embeddings"), xf, Seq("vec_id"))
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
@@ -132,7 +139,7 @@ object ScaleProbe {
       // the per-rep variant tokens; the agg must absorb the stream, the
       // 1-row winner broadcast is scale-free)
       "d6_dup_span_shape" -> (() => graft.dedup.Dedup.dupSpanCoverage(
-        docs, col("doc_id"), col("text"), k = 8)),
+        docsRaw, col("doc_id"), col("text"), k = 8)),
       // rounds=20 (real tokenizers run thousands; 3 was round 9's smoke
       // depth): with the every-10-rounds seq checkpoint, wall time must stay
       // ~linear in rounds and the plan tree bounded — a super-linear result
