@@ -366,6 +366,65 @@ object DedupQueries extends QueryGroup {
              |  ON k.node = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // D10 — dedup YIELD report: the cluster-size histogram + removal count
+    // every dedup run reports before anyone commits to dropping data (how
+    // much of the corpus is duplicated, and in how large families). Rides
+    // d3's components; the aggregation on top is two tiny keyed groupBys
+    // over one row per cluster — free at any scale next to the pair stage.
+    Q("d10_dedup_yield",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = graft.dedup.Dedup.jaccardPairs(
+          docs, col("doc_id"), col("text"), 0.5,
+          Seq(col("lang"), col("source")))
+        graft.dedup.Dedup.dedupGroups(docs, col("doc_id"), pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"),
+            ((col("sz") - 1) * col("n_clusters")).as("n_removed"))
+          .orderBy(col("sz"))
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT da, db
+             |  FROM inter
+             |  JOIN sizes sa ON sa.doc_id = da
+             |  JOIN sizes sb ON sb.doc_id = db
+             |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+             |edges AS (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(node, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+             |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+             |cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY 1),
+             |h AS (SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1)
+             |SELECT sz AS cluster_size, n_clusters,
+             |       sz * n_clusters AS n_docs,
+             |       (sz - 1) * n_clusters AS n_removed
+             |FROM h ORDER BY sz""".stripMargin)),
+
     // D4 — decontamination: corpus docs sharing ≥5 distinct trigram shingles
     // with the eval/benchmark slice (source src0 stands in for the benchmark
     // set). Exact integer counts — fully oracle-mirrored.
