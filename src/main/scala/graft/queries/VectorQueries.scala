@@ -627,6 +627,21 @@ object VectorQueries extends QueryGroup {
 
     // V12 — hard-negative mining (triplet mining for contrastive/retrieval
     // training): for each anchor, the top-3 most-cosine-similar vectors
+    // V13 — MMR-diversified top-k (rows-only: the greedy selection is
+    // sequential by construction; λ=1 top-k degeneracy, first-pick, and
+    // diversity-vs-plain-top-k contracts are asserted in EngineSpec).
+    // Distributed relevance scan + TakeOrdered shortlist; driver-side
+    // greedy over the ≤100-row shortlist only.
+    Q("v13_mmr_diversify",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        graft.similarity.Ann.mmrDiversify(
+          e.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          q, col("embedding"), k = 10, shortlist = 100, lambda = 0.5)
+      },
+      None),
+
     // with a DIFFERENT label — the near-misses that actually teach a
     // contrastive model, vs random negatives that are trivially far. The
     // anchor set broadcasts (bounded, like every query workload); the

@@ -33,6 +33,62 @@ object Ann {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick k results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the retrieval variant
+    * a curation pipeline uses when plain top-k would return k near-copies
+    * of the same document.
+    *
+    * Scale shape: relevance scoring + the `shortlist`-sized candidate cut
+    * are distributed (one scan, TakeOrdered — no global sort); the greedy
+    * selection is inherently sequential in k, so it runs on the DRIVER
+    * over the collected shortlist — a documented codebook-scale collect
+    * (shortlist ≤ a few hundred rows of d floats, the same posture as
+    * Pq.train / kmeans centroids), NOT a corpus materialization — at no
+    * point does the corpus leave the cluster.
+    *
+    * Determinism: ties in both the shortlist cut and every greedy step
+    * break by ascending id; λ=1 degenerates to exact top-k (asserted in
+    * EngineSpec alongside the first-pick and diversity contracts).
+    * Output: (rank, vec_id, rel, mmr) — rank is 1-based selection order.
+    */
+  def mmrDiversify(embeddings: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, k: Int, shortlist: Int,
+      lambda: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cand = embeddings.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(query.select(queryVec.as("qv"))))
+      .select(col("vec_id"), col("v"),
+        VectorFunctions.cosineNative(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(cand.map(c => c._1 -> c): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick = remaining.values.map { case (cid, cv, rel) =>
+        val div = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(cv, s._2)).max
+        (cid, cv, rel, lambda * rel - (1 - lambda) * div)
+      }.minBy { case (cid, _, _, score) => (-score, cid) }
+      selected += pick
+      remaining.remove(pick._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((cid, _, rel, mmr), i) => (i + 1, cid, rel, mmr) }
+      .toSeq.toDF("rank", "vec_id", "rel", "mmr")
+  }
+
   /** Exact all-pairs above a cosine threshold (quadratic — baseline only).
     * Norms are precomputed per SIDE (n per vector), not per pair: the O(n²)
     * loop then does one dot + one divide instead of three dots.

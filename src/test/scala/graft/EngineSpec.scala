@@ -206,6 +206,71 @@ class EngineSpec extends SparkSuite {
     assert(lsh.subsetOf(exact)) // same threshold, pruned candidates only
   }
 
+  test("MMR diversify: λ=1 degenerates to top-k, first pick is the relevance " +
+    "argmax, and the selected set is more diverse than plain top-k") {
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val k = 10
+    def vecs(ids: Set[Long]): Map[Long, Array[Float]] = emb
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    def meanPairwise(ids: Seq[Long]): Double = {
+      val v = vecs(ids.toSet)
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(v(ids(i)), v(ids(j)))
+      ps.sum / ps.size
+    }
+    val topk = Ann.knnExact(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // λ=1: diversity term vanishes — selection IS top-k, in rank order
+    val degenerate = Ann.mmrDiversify(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k, shortlist = 100, lambda = 1.0)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(degenerate == topk)
+    // λ=0.5 on a corpus with duplicated near-identical vectors (append
+    // jittered copies of the top hit): plain top-k drowns in the copies,
+    // MMR must (a) still open with the relevance argmax, (b) select a set
+    // with strictly lower mean pairwise cosine than plain top-k
+    import spark.implicits._
+    val top1 = vecs(Set(topk.head))(topk.head)
+    val copies = (1 to 8).map { i =>
+      (10000L + i, top1.zipWithIndex.map { case (x, j) =>
+        if (j == i) x + 0.01f else x })
+    }.toDF("vec_id", "embedding")
+    val crowded = rest.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val crowdedTopk = Ann.knnExact(crowded, col("vec_id"), col("embedding"),
+        q, col("embedding"), k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val mmr = Ann.mmrDiversify(crowded, col("vec_id"), col("embedding"),
+        q, col("embedding"), k, shortlist = 100, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    def vecsOf(ids: Seq[Long]): Map[Long, Array[Float]] = {
+      val extra = copies.as[(Long, Array[Float])].collect().toMap
+      ids.map(i => i -> (if (i > 10000L) extra(i) else vecs(Set(i))(i))).toMap
+    }
+    def meanPairwiseIn(ids: Seq[Long]): Double = {
+      val v = vecsOf(ids)
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(v(ids(i)), v(ids(j)))
+      ps.sum / ps.size
+    }
+    val bestRel = mmr.map(_._2).max
+    assert(mmr.head._2 == bestRel, "first MMR pick must be the relevance argmax")
+    val divTopk = meanPairwiseIn(crowdedTopk)
+    val divMmr = meanPairwiseIn(mmr.map(_._1).toSeq)
+    assert(divMmr < divTopk,
+      s"MMR set not more diverse: mean pairwise cos $divMmr vs top-k $divTopk")
+  }
+
   test("LSH multi-probe recovers recall a single probe loses (Hamming-1 buckets)") {
     import graft.similarity.Ann
     val emb = Tables(spark, sf, "embeddings")
