@@ -67,6 +67,14 @@ object Explain {
         |projection), TakeOrdered to a 100-row shortlist, then one
         |broadcast-semi-join re-rank against raw vectors. The only full-table
         |scan touches the 4-int code column.""".stripMargin),
+    "v13_mmr_diversify" ->
+      ("""Shape note: the plan below is the k-row RESULT frame — the
+        |distributed work (relevance scan + TakeOrdered shortlist over the
+        |corpus) ran at construction time, and the greedy MMR selection is
+        |driver-side over the ≤100-row shortlist by design (sequential in
+        |k; same posture as a12_heavy_hitters_mg's sketch pass). What to
+        |audit is the shortlist stage: one corpus scan, no global sort,
+        |broadcast query row.""".stripMargin),
     "x17_ccnet_buckets" ->
       ("""Contract note: the per-lang ntile window over every scored doc is
         |the ORACLE BASELINE (exact terciles, DuckDB-mirrorable). The scale
