@@ -5,10 +5,39 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    // Constrained-heap CANARY (r12 verdict #1): SPARK_GRAFT_BENCH_HEAP=2g
+    // emulates running the whole bench inside a 2 GiB heap. The JVM heap is
+    // fixed at launch, so the emulation scales spark.memory.fraction to
+    // give execution+storage the unified-region bytes a heap of that size
+    // would have under the default fraction (0.6) — the queries whose hash
+    // aggregates degrade superlinearly under memory contention (d2/d10 in
+    // the driver's r12 run) then spill HERE, before a contended driver run
+    // finds them. Canary runs never write BENCH_full.json unless
+    // SPARK_GRAFT_BENCH_OUT is set explicitly (pressure numbers must not
+    // clobber the committed quiet-run artifact).
+    val heapCanary = sys.env.get("SPARK_GRAFT_BENCH_HEAP")
+    def parseBytes(s: String): Long = {
+      val t = s.trim.toLowerCase
+      val (num, mult) =
+        if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+        else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+        else (t, 1L)
+      (num.toDouble * mult).toLong
+    }
+    val reserved = 300L * 1024 * 1024 // spark.testing.reservedMemory default
+    val canaryFraction = heapCanary.map { h =>
+      val target = parseBytes(h)
+      val actual = Runtime.getRuntime.maxMemory()
+      math.max(0.05, math.min(0.6,
+        0.6 * (target - reserved).toDouble / math.max(1L, actual - reserved)))
+    }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    canaryFraction.foreach(f =>
+      builder.config("spark.memory.fraction", f.toString))
+    val spark = builder
       // ContextCleaner only reclaims finished broadcasts/shuffles when a GC
       // actually runs; its default periodic-GC interval (30 min) never fires
       // inside a few-minute bench, so ~300 broadcast exchanges pile up in an
@@ -122,12 +151,15 @@ object Bench {
     // artifact; a BENCH_ONLY-filtered run without an explicit BENCH_OUT
     // skips the write, and advertising the committed file's path against
     // this run's sha would dangle (ADVICE r11).
-    val writesArtifact = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    val writesArtifact = (only.isEmpty && heapCanary.isEmpty) ||
+      sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     val fullOutJson =
       if (writesArtifact) s""","full_out":"$outPath","per_query_sha256":"$perQuerySha""""
       else s""","written":false"""
+    val canaryJson = heapCanary.map(h =>
+      s""","heap_canary":"$h","memory_fraction":${canaryFraction.get}""").getOrElse("")
     val headlineJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir"$fullOutJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_total_s":$total,"n_queries":${ok.size},"n_errors":${errors.size},"reps":$reps,"seed":$seed,"sf":"$sfDir"$canaryJson$fullOutJson}"""
     // Per-query detail first (may exceed the driver's tail window), then the
     // compact headline as the LAST line so it always lands inside the
     // driver's 2 KB tail capture.

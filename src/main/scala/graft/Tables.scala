@@ -18,6 +18,15 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * normalized here to a session-zone TIMESTAMP; every entry point runs
   * with session tz UTC, so the NTZ wall-clock maps to the identical
   * instant DuckDB's naive TIMESTAMP sees.
+  *
+  * SESSION-WIDE CONF PINS (ADVICE r12): every `Tables()` call sets
+  * `legacy.parquet.nanosAsLong=true` and
+  * `parquet.inferTimestampNTZ.enabled=false` for the WHOLE session —
+  * neither is available as a per-read DataFrameReader option in Spark
+  * 4.1.2 (ParquetOptions only scopes datetimeRebase modes), so any other
+  * reader sharing the session inherits them, exactly like the UTC
+  * session-tz requirement above. A co-hosted reader that needs NTZ
+  * inference or rejects nano parquet must use its own SparkSession.
   */
 object Tables {
   val names: Seq[String] = Seq(

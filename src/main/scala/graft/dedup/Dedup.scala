@@ -67,11 +67,31 @@ object Dedup {
     * Zipf-distributed REAL corpus hapax terms are ~half the postings, so
     * this is the standard win; on the synthetic fixture it measured 1.5×
     * SLOWER (the extra aggregate+join shuffle outweighs the few rows
-    * saved), hence default off — flip it on for natural-language corpora.
+    * saved), hence default off below `autoPruneDocs`. When the corpus
+    * exceeds `autoPruneDocs` documents (a cheap `df.count()` probe —
+    * metadata-only on a parquet source) the prune flips ON automatically:
+    * at that size the hapax savings dominate and an unpruned self-join is
+    * the spill hazard the r12 driver run measured. Pass
+    * `pruneSingletons = true` to force it, or `autoPruneDocs <= 0` to
+    * disable the probe (fully lazy — no job at construction time).
+    *
+    * Memory-pressure hardening (r12 verdict #1): the postings are
+    * explicitly repartitioned on the join keys into
+    * `max(spark.sql.shuffle.partitions, 64)` partitions BEFORE the
+    * self-join (same shuffle count as the ENSURE_REQUIREMENTS plan it
+    * replaces, finer granularity). The join — and the pair-stream partial
+    * aggregate that pipelines off it — then runs at that width, so each
+    * task's aggregate hash map is bounded at ~1/64th of the pair space
+    * instead of 1/numShufflePartitions (= 1/4 under the driver's bench
+    * config): the difference between a bounded flush and the superlinear
+    * spill cascade the driver measured at 11× under host memory
+    * contention. Verified under `SPARK_GRAFT_BENCH_HEAP` canary runs
+    * (BASELINE.md r13).
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, blockCols: Seq[Column] = Seq.empty,
-      pruneSingletons: Boolean = false): DataFrame = {
+      pruneSingletons: Boolean = false,
+      autoPruneDocs: Long = 20000L): DataFrame = {
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     // cached via the session-visible registry: reused by the self-join's two
@@ -82,18 +102,24 @@ object Dedup {
       .distinct())
     val bnames = toks.columns.filter(_.startsWith("__b"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val toksShared = if (!pruneSingletons) toks else {
+    val prune = pruneSingletons ||
+      (autoPruneDocs > 0L && df.count() > autoPruneDocs)
+    val toksShared = if (!prune) toks else {
       val shared = toks.groupBy(col("term") +: bnames.map(col): _*)
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= 2)
         .drop("__df")
       toks.join(shared, "term" +: bnames.toSeq)
     }
-    val right = toksShared.select(col("doc_id").as("db") +:
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 64)
+    val keyed = toksShared.repartition(parts,
+      col("term") +: bnames.map(col): _*)
+    val right = keyed.select(col("doc_id").as("db") +:
       col("term").as("tb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
     val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
       .foldLeft(col("term") === col("tb") && col("doc_id") < col("db"))(_ && _)
-    toksShared.join(right, joinCond)
+    keyed.join(right, joinCond)
       .groupBy(col("doc_id").as("da"), col("db"))
       .agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")

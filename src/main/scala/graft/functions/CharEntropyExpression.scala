@@ -20,6 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Java regex splits between code points, so a surrogate pair is one
   * element) and DuckDB's `string_split(text, '')`. Empty text mirrors
   * `split('', '') = ['']`: one empty token, len 1, entropy 0.
+  *
+  * NULL contract (ADVICE r12): null text follows standard expression null
+  * propagation — the result STRUCT is null, so the row SURVIVES with null
+  * fields. The declarative explode/groupBy reference form instead DROPS a
+  * null-text doc entirely (explode of a null array emits nothing). Callers
+  * that need drop semantics must filter `text IS NOT NULL` first; x16 runs
+  * on the fixture's non-null text column, where the two forms are
+  * bit-identical (QualitySignalsSpec asserts both the equivalence and this
+  * null divergence explicitly).
   */
 case class CharEntropySum(child: Expression)
     extends UnaryExpression with CodegenFallback {

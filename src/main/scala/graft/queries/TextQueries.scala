@@ -219,7 +219,9 @@ object TextQueries extends QueryGroup {
           cnt("[ ]").as("n_space"),
           (n.cast("long") - cnt("[a-zA-Z]") - cnt("[0-9]") - cnt("[ ]"))
             .as("n_other"),
-          round(cnt("[a-zA-Z]") * lit(1.0) / n, 6).as("alpha_ratio"))
+          // empty text: Spark's x/0 is NaN but DuckDB's is NULL — guard the
+          // divide on both sides so the ratio is NULL for n_chars = 0
+          round(when(n > 0, cnt("[a-zA-Z]") * lit(1.0) / n), 6).as("alpha_ratio"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH c AS (
@@ -230,7 +232,7 @@ object TextQueries extends QueryGroup {
              |  FROM documents)
              |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
              |       n_chars - n_alpha - n_digit - n_space AS n_other,
-             |       round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio
+             |       round(n_alpha * 1.0 / nullif(n_chars, 0), 6) AS alpha_ratio
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // X3 — document fingerprint (md5 of normalized text) + exact-dup groups.

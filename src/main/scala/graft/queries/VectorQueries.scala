@@ -31,6 +31,22 @@ object VectorQueries extends QueryGroup {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** DuckDB mirror of [[graft.similarity.Ann.mmrDiversify]]'s DRIVER-side
+    * greedy cosine: each float operand is cast to double BEFORE the
+    * multiply (`a(i).toDouble * b(i)` in the JVM loop) — a different IEEE
+    * sequence from [[duckDot]]'s float-multiply-then-cast, and the bits
+    * diverge, so the two mirrors must not be mixed up.
+    */
+  private def duckDotD(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, len($a)),
+       |                   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def duckCosD(a: String, b: String): String =
+    s"(${duckDotD(a, b)}) / (sqrt(${duckDotD(a, a)}) * sqrt(${duckDotD(b, b)}))"
+
   /** DuckDB L2² between two double lists — same sequential left-fold the
     * engine uses (i ascending, (a-b)² accumulated in order).
     */
@@ -641,6 +657,54 @@ object VectorQueries extends QueryGroup {
           q, col("embedding"), k = 10, shortlist = 100, lambda = 0.5)
       },
       None),
+
+    // V13 — the ORACLE twin (r12 verdict #3): identical engine path, output
+    // rounded to 6 decimals, mirrored in DuckDB with a recursive CTE (the
+    // d3/d5 closure technique applied to greedy selection). The recursive
+    // state is ONE row per rank carrying the chosen-id list; each step
+    // re-ranks the remaining shortlist by 0.5·rel − 0.5·max-sim-to-chosen
+    // and takes the (score DESC, vec_id ASC) head — exactly the driver
+    // loop's minBy((-score, cid)). Two distinct IEEE mirrors meet here:
+    // rel is the codegen float-product dot (duckCos, the v1 mirror), while
+    // the greedy diversity term is the driver's double-product loop
+    // (duckCosD) — both reproduced bit-exactly, so the SELECTION ORDER
+    // (compared unrounded) matches, not just the rounded output values.
+    Q("v13_mmr_oracle",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        graft.similarity.Ann.mmrDiversify(
+          e.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          q, col("embedding"), k = 10, shortlist = 100, lambda = 0.5)
+          .select(col("rank"), col("vec_id"),
+            round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH RECURSIVE
+              |sl AS (
+              |  SELECT vec_id, embedding, rel FROM (
+              |    SELECT e.vec_id, e.embedding,
+              |           ${duckCos("e.embedding", "q.qv")} AS rel
+              |    FROM embeddings e,
+              |         (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+              |    WHERE e.vec_id <> 0)
+              |  ORDER BY rel DESC, vec_id LIMIT 100),
+              |sel(rank, vec_id, rel, mmr, chosen) AS (
+              |  (SELECT 1, vec_id, rel, 0.5 * rel - 0.5 * 0.0, [vec_id]
+              |   FROM sl ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id LIMIT 1)
+              |  UNION ALL
+              |  (SELECT s.rank + 1, p.vec_id, p.rel, p.score,
+              |          list_append(s.chosen, p.vec_id)
+              |   FROM sel s, LATERAL (
+              |     SELECT c.vec_id, c.rel,
+              |            0.5 * c.rel - 0.5 *
+              |              (SELECT max(${duckCosD("c.embedding", "s2.embedding")})
+              |               FROM sl s2 WHERE list_contains(s.chosen, s2.vec_id)) AS score
+              |     FROM sl c WHERE NOT list_contains(s.chosen, c.vec_id)
+              |     ORDER BY score DESC, c.vec_id LIMIT 1) p
+              |   WHERE s.rank < 10))
+              |SELECT rank, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+              |FROM sel ORDER BY rank""".stripMargin)),
 
     // with a DIFFERENT label — the near-misses that actually teach a
     // contrastive model, vs random negatives that are trivially far. The

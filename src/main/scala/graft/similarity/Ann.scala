@@ -55,6 +55,16 @@ object Ann {
   def mmrDiversify(embeddings: DataFrame, id: Column, vec: Column,
       query: DataFrame, queryVec: Column, k: Int, shortlist: Int,
       lambda: Double): DataFrame = {
+    // The greedy stage collects `shortlist` rows of d floats onto the
+    // driver — legal ONLY at codebook scale (same contract as Pq.train and
+    // TopKPerGroup's per-group heap memory note). Enforce the bound rather
+    // than trusting callers: 4096 × 1k-dim floats ≈ 16 MB, the upper edge
+    // of a sane driver collect; a larger shortlist means the caller wants
+    // a distributed reranker, not this operator.
+    require(k >= 1, s"mmrDiversify: k must be >= 1 (got $k)")
+    require(shortlist >= k && shortlist <= 4096,
+      s"mmrDiversify: shortlist must be in [k, 4096] — it is collected on " +
+        s"the driver (got shortlist=$shortlist, k=$k)")
     val spark = embeddings.sparkSession
     val cand = embeddings.select(id.as("vec_id"), vec.as("v"))
       .crossJoin(broadcast(query.select(queryVec.as("qv"))))
@@ -263,6 +273,14 @@ object Ann {
     * array_min over (dist, cid) structs — the same (1-cos)-then-cid
     * tie-break as the ranking-window form it replaces, with zero Exchange
     * (map-side, like [[assignCentroids]], r12).
+    *
+    * Empty-codebook contract (ADVICE r12): the one-row collect_list
+    * aggregate yields an empty array for an empty `centroids`, whose
+    * array_min is null — the null-cid filter below restores the
+    * empty-RESULT semantics of the crossJoin+window form this replaced
+    * (silent null-key rows would otherwise flow into downstream groupBys).
+    * A real codebook (kmeans / train output) never produces a null cid, so
+    * the filter is a no-op null check on the hot path.
     */
   def ivfIndex(embeddings: DataFrame, id: Column, vec: Column,
       centroids: DataFrame): DataFrame = {
@@ -274,6 +292,7 @@ object Ann {
     embeddings.select(id.as("vec_id"), vec.as("v"))
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
+      .filter(col("cid").isNotNull)
   }
 
   /** IVF top-k: score only vectors whose list is among the query's `nProbe`
@@ -372,6 +391,8 @@ object Ann {
     embeddings.select(id.as("vec_id"), vec.as("v"))
       .crossJoin(broadcast(cb))
       .select(best.getField("cid").as("cid"), col("vec_id"), col("v"))
+      // empty-codebook → empty result, not null-cid rows (see ivfIndex)
+      .filter(col("cid").isNotNull)
   }
 
   /** IVF-ASSISTED assignment — the scale path past the n×k wall the 10×
@@ -438,6 +459,8 @@ object Ann {
     embeddings.select(id.as("vec_id"), vec.as("v"))
       .crossJoin(broadcast(aux))
       .select(best.getField("cid").as("cid"), col("vec_id"), col("v"))
+      // empty-codebook → empty result, not null-cid rows (see ivfIndex)
+      .filter(col("cid").isNotNull)
   }
 
   /** [[semanticDedupPairs]] with IVF-assisted assignment — identical pair

@@ -271,6 +271,45 @@ class EngineSpec extends SparkSuite {
       s"MMR set not more diverse: mean pairwise cos $divMmr vs top-k $divTopk")
   }
 
+  test("MMR diversify enforces the driver-collect shortlist bound") {
+    // r12 verdict #6: the greedy stage collects the shortlist on the
+    // driver; the codebook-scale contract must be a hard require, not a
+    // comment — oversized shortlists and degenerate k must throw before
+    // any job runs.
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val rest = emb.filter(col("vec_id") =!= 0)
+    intercept[IllegalArgumentException] {
+      Ann.mmrDiversify(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 10, shortlist = 5000, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.mmrDiversify(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 10, shortlist = 5, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.mmrDiversify(rest, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 0, shortlist = 100, lambda = 0.5)
+    }
+  }
+
+  test("centroid assignment on an empty codebook is an empty result, not null-cid rows") {
+    // ADVICE r12: the one-row collect_list codebook broadcast turns an
+    // empty centroids frame into an empty array whose array_min is null —
+    // the assignment paths must filter those out, restoring the
+    // empty-result semantics of the window form they replaced.
+    import graft.similarity.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val emptyF = emb.filter(lit(false))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val emptyD = emb.filter(lit(false))
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    assert(Ann.ivfIndex(emb, col("vec_id"), col("embedding"), emptyF).isEmpty)
+    assert(Ann.assignCentroids(emb, col("vec_id"), col("embedding"), emptyD).isEmpty)
+  }
+
   test("LSH multi-probe recovers recall a single probe loses (Hamming-1 buckets)") {
     import graft.similarity.Ann
     val emb = Tables(spark, sf, "embeddings")
@@ -330,10 +369,16 @@ class EngineSpec extends SparkSuite {
     // plan text (ADVICE r11: an incidental 'parquet' token in options or a
     // relation name failed the old assert spuriously, and a non-parquet
     // re-scan passed it).
+    // Match BOTH source APIs: DSv1 (LogicalRelation over HadoopFsRelation)
+    // and DSv2 (DataSourceV2[Scan]Relation) — if the parquet source ever
+    // migrates to V2 (useV1SourceList change), a genuine file re-scan must
+    // still fail this assert (ADVICE r12).
     val scans = out.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
           if l.relation
             .isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] => l
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => v2
+      case v2s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => v2s
     }
     assert(scans.isEmpty,
       s"default-nBits knn-join still re-scans the file input (${scans.size} " +

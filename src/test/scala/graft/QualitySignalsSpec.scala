@@ -315,6 +315,21 @@ class QualitySignalsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == ref && got.nonEmpty)
     assert(got(-1L)._2 == 0L)
+    // Null contract divergence, pinned explicitly (ADVICE r12): the kernel
+    // null-propagates (row survives, struct null) while the declarative
+    // form drops the doc — x16's fixture has no null text, so only this
+    // assertion exercises the difference.
+    val nullDoc = Seq((-4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kernelRows = nullDoc
+      .select(col("doc_id"), call_function("char_entropy_sum", col("text")).as("e"))
+      .collect()
+    assert(kernelRows.length == 1 && kernelRows.head.isNullAt(1),
+      "kernel must null-propagate on null text (row survives, struct null)")
+    val declarativeRows = nullDoc
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .collect()
+    assert(declarativeRows.isEmpty,
+      "declarative explode form must drop a null-text doc")
   }
 
   test("x17 approx buckets agree with exact ntile terciles up to boundary ties") {
