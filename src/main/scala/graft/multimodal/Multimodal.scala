@@ -102,6 +102,31 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Deterministic 8×8 gray PNG from a payload's bytes — the REAL-codec
+    * fixture generator for [[graft.queries.MultimodalQueries]]'s
+    * m1_media_features_real (r12 verdict #4): pixel i is byte (i mod n)
+    * rendered as r=g=b. PNG encodes RGB losslessly and integer BT.601 luma
+    * of (v,v,v) is (299+587+114)·v/1000 = v exactly, so features computed
+    * through an ACTUAL `javax.imageio` encode→decode round-trip are pure
+    * arithmetic over the source bytes — DuckDB-mirrorable, unlike any real
+    * media corpus. TYPE_INT_RGB deliberately, not TYPE_BYTE_GRAY: gray
+    * rasters pass through a linear-to-sRGB color conversion in getRGB that
+    * would shift the values.
+    */
+  def encodeGrayPng(payload: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched decode + feature extraction: one partition = one batch loop,
     * no per-row task overhead, executes distributed (never on the driver).
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 
 /** Multimodal-column pipeline (SURVEY.md north-star): binary payloads +
   * typed metadata, batched decode via mapPartitions, frame sampling. The
@@ -42,6 +42,46 @@ object MultimodalQueries extends QueryGroup {
              |             / n_bytes, 6) AS mean_intensity
              |FROM m
              |ORDER BY doc_id""".stripMargin)),
+
+    // M1 — the REAL decode path under the gate (r12 verdict #4): each doc's
+    // bytes are encoded into an actual 8×8 gray PNG executor-side
+    // (Multimodal.encodeGrayPng), and extractFeatures then takes the
+    // `javax.imageio` branch of MediaCodec.decode — container sniff,
+    // ImageIO.read, per-pixel BT.601 luma — not the stub. Because PNG
+    // round-trips r=g=b losslessly and luma(v,v,v) = v, the decoded
+    // features stay pure arithmetic over the source bytes, so even the
+    // real-codec path sits under the DuckDB oracle (n_bytes is excluded:
+    // PNG encoder output size is codec-internal, not contract).
+    // The stub-decode m1_media_features above stays the oracle twin for
+    // the non-image (audio/video) dispatch.
+    Q("m1_media_features_real",
+      (s, d) => {
+        implicit val sp = s
+        import sp.implicits._
+        val media = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id, "image", Multimodal.encodeGrayPng(
+              Option(text).getOrElse("")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+        Multimodal.extractFeatures(media)
+          .toDF()
+          .select(col("doc_id"), col("kind"), col("width"), col("height"),
+            round(col("mean_intensity"), 6).as("mean_intensity"))
+          .orderBy(col("doc_id"))
+      },
+      // ASCII fixture ⇒ bytes == chars; pixel i = char (i mod n), so the
+      // decoded 8×8 mean is sum over 64 wrapped chars / 64.
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |         list_transform(generate_series(0, 63),
+             |           i -> ascii(substr(text, (i % greatest(1, strlen(text))) + 1, 1))) AS px
+             |  FROM documents)
+             |SELECT doc_id, 'image' AS kind,
+             |       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             |       round(list_sum(px) * 1.0 / 64, 6) AS mean_intensity
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // M2 — frame sampling: fixed-size strided windows over the payload.
     Q("m2_frame_sample",

@@ -162,6 +162,57 @@ object StorageQueries extends QueryGroup {
         s.read.orc(out).orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // K1 — the reference's ACTUAL sink contract under the differential gate
+    // (r12 verdict #5): events rendered as ES `_bulk` index actions
+    // (irclogbot.py:50-51 — index/doc_type/id metadata line + document
+    // source line), written through EsShapedSink.writeBulk to the spool
+    // transport (the zero-egress stand-in for HTTP `_bulk`), then read BACK
+    // from the NDJSON spool and upserted-by-id (distinct — ids are content
+    // keys, so replayed actions collapse exactly like ES upsert). The gate
+    // therefore covers renderAction's JSON shape, jsonEscape, the ISO
+    // second stamp, executor-side bulk batching, AND the id-upsert
+    // round-trip — against an oracle that computes the expected documents
+    // straight from the events table. Scale: render+send is map-side
+    // (foreachPartition, no shuffle); the read-back dedup is one keyed
+    // exchange, the d1 shape.
+    Q("k1_es_upsert_roundtrip",
+      (s, d) => {
+        val t = tag(d)
+        val spool = s"${System.getProperty("java.io.tmpdir")}/graft_esspool_$t"
+        // reruns (bench reps) must not accumulate spool files
+        val dir = new java.io.File(spool)
+        if (dir.exists) dir.listFiles.foreach(f => { f.delete(); () })
+        val recs = Tables(s, d, "events")
+          .select(
+            concat(lit("#chan"), pmod(col("user_id"), lit(13))).as("channel"),
+            concat(lit("nick"), col("user_id")).as("nick"),
+            col("event_type").as("remark"),
+            date_trunc("second", col("ts")).as("posted"))
+          .withColumn("id", md5(concat_ws("|", col("channel"), col("nick"),
+            date_format(col("posted"), "yyyy-MM-dd'T'HH:mm:ss"), col("remark"))))
+        graft.sinks.EsShapedSink.writeBulk(recs,
+          new graft.sinks.EsShapedSink.SpoolTransport(spool))
+        val docSchema = org.apache.spark.sql.types.StructType(
+          Seq("channel", "nick", "posted", "remark", "id").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.StringType)))
+        s.read.schema(docSchema).json(spool)
+          // action-metadata lines parse to all-null rows under the doc
+          // schema; the doc lines carry the fields
+          .filter(col("channel").isNotNull)
+          .distinct()
+          .orderBy(col("id"), col("channel"), col("nick"), col("posted"))
+      },
+      Some("""WITH r AS (
+             |  SELECT '#chan' || (user_id % 13) AS channel,
+             |         'nick' || user_id AS nick,
+             |         event_type AS remark,
+             |         strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS posted
+             |  FROM events)
+             |SELECT DISTINCT channel, nick, posted, remark,
+             |       md5(concat_ws('|', channel, nick, posted, remark)) AS id
+             |FROM r ORDER BY id, channel, nick, posted""".stripMargin))
   )
 }

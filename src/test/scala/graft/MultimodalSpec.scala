@@ -55,6 +55,23 @@ class MultimodalSpec extends SparkSuite {
     assert(epx.isEmpty && Multimodal.phashFromPixels(ew, eh, epx) == ((0L, 0L)))
   }
 
+  test("encodeGrayPng round-trips source bytes exactly through the real codec") {
+    // the m1_media_features_real contract: encode → real imageio decode →
+    // luma recovers byte (i mod n) EXACTLY (PNG lossless RGB + luma(v,v,v)=v)
+    val payload = "The quick brown fox".getBytes("UTF-8")
+    val bytes = Multimodal.encodeGrayPng(payload)
+    assert(MediaCodec.looksLikeImage(bytes), "generated PNG must sniff as image")
+    val (w, h, px) = MediaCodec.decode(bytes)
+    assert(w == 8 && h == 8 && px.length == 64)
+    (0 until 64).foreach { i =>
+      assert(px(i) == (payload(i % payload.length) & 0xff),
+        s"pixel $i diverged from source byte")
+    }
+    // empty payload → all-zero raster, still a real decodable PNG
+    val (ew, eh, epx) = MediaCodec.decode(Multimodal.encodeGrayPng(Array.empty))
+    assert(ew == 8 && eh == 8 && epx.forall(_ == 0))
+  }
+
   test("phash: single-pixel perturbation flips one bit; inversion flips all 64") {
     val base = phashOf(checker(invert = false))
     val inverted = phashOf(checker(invert = true))
