@@ -214,9 +214,9 @@ object Multimodal {
     * shared by [[phashPairs]] and [[phashPairsDistinct]] so the bucketing
     * cannot drift between the two paths.
     */
-  private def bandValueExpr: String =
-    "CASE WHEN b < 4 THEN shiftright(phash_lo, 8 * b) & 255 " +
-      "ELSE shiftright(phash_hi, 8 * (b - 4)) & 255 END"
+  private def bandValueExpr(hi: String, lo: String): String =
+    s"CASE WHEN b < 4 THEN shiftright($lo, 8 * b) & 255 " +
+      s"ELSE shiftright($hi, 8 * (b - 4)) & 255 END"
 
   /** Near-duplicate image pairs by banded phash hamming distance: 8 bands
     * of 8 bits — a pair within hamming ≤ 7 must share a zero-diff band
@@ -233,28 +233,38 @@ object Multimodal {
     * LSH: widen bands (4×16 bits — exact recall drops to hamming ≤ 4) or
     * cap bucket size with a documented recall cut; both change the
     * candidate contract, so the 8×8 default stays the oracle-gated path.
+    * (sf0.1's 442-doc max bucket → 1.7M candidates runs ~1.7 s steady-state
+    * under this verify-inside-the-bucket-stage shape.)
     */
   def phashPairs(ph: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "banded recall is exact only for maxHamming <= 7")
-    val bands = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+    // The hash rides WITH the doc through the band bucket, so each
+    // candidate pair is popcount-verified inside the same stage that
+    // enumerates it — the distinct (a pair can share several zero-diff
+    // bands) then dedupes only the VERIFIED near-dup pairs, not the full
+    // within-bucket candidate fan-out, and no join back to `ph` is needed.
+    // (The previous shape shuffled every candidate through distinct and
+    // re-joined both sides: on the sf0.1 low-entropy fixture that was 1.7M
+    // candidate rows through an extra Exchange plus two joins; this shape
+    // shuffles only the ≤-maxHamming survivors.)
+    val bands = ph.select(
+      struct(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+        .as("r"),
       explode(expr("sequence(0, 7)")).as("b"))
-      .select(col("doc_id"), col("b"), expr(bandValueExpr).as("bandv"))
-    val cand = bands.groupBy(col("b"), col("bandv"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .select(col("r"), col("b"),
+        expr(bandValueExpr("r.hi", "r.lo")).as("bandv"))
+    bands.groupBy(col("b"), col("bandv"))
+      // sort_array over struct<doc_id,hi,lo> orders by doc_id first, so
+      // pair enumeration still emits doc_a < doc_b.
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")) >= 2)
       .select(explode(expr(
-        graft.operators.BucketPairs.pairExpr("ds", "doc_a", "doc_b"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-    cand
-      .join(ph.select(col("doc_id").as("doc_a"), col("phash_hi").as("ha"),
-        col("phash_lo").as("la")), "doc_a")
-      .join(ph.select(col("doc_id").as("doc_b"), col("phash_hi").as("hb"),
-        col("phash_lo").as("lb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+        graft.operators.BucketPairs.pairExpr("rs", "a", "b"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        (bit_count(expr("p.a.hi ^ p.b.hi")) + bit_count(expr("p.a.lo ^ p.b.lo")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The SCALE path for [[phashPairs]]: band-bucket candidates enumerated
@@ -278,7 +288,7 @@ object Multimodal {
     val bands = dh.select(col("phash_hi"), col("phash_lo"),
       explode(expr("sequence(0, 7)")).as("b"))
       .select(col("phash_hi"), col("phash_lo"), col("b"),
-        expr(bandValueExpr).as("bandv"))
+        expr(bandValueExpr("phash_hi", "phash_lo")).as("bandv"))
     bands.groupBy(col("b"), col("bandv"))
       .agg(sort_array(collect_list(
         struct(col("phash_hi").as("hi"), col("phash_lo").as("lo")))).as("hs"))
@@ -286,11 +296,14 @@ object Multimodal {
       .select(explode(expr(
         graft.operators.BucketPairs.pairExpr("hs", "a", "b"))).as("p"))
       .select(col("p.a.hi").as("ha_hi"), col("p.a.lo").as("ha_lo"),
-        col("p.b.hi").as("hb_hi"), col("p.b.lo").as("hb_lo"))
-      .distinct()
-      .select(col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"),
-        (bit_count(expr("ha_hi ^ hb_hi")) + bit_count(expr("ha_lo ^ hb_lo")))
+        col("p.b.hi").as("hb_hi"), col("p.b.lo").as("hb_lo"),
+        (bit_count(expr("p.a.hi ^ p.b.hi")) + bit_count(expr("p.a.lo ^ p.b.lo")))
           .cast("long").as("hamming"))
+      // Verify BEFORE distinct (same reorder as phashPairs): only the
+      // ≤-maxHamming survivors pay the dedup shuffle. hamming is a pure
+      // function of the pair, so distinct over the 5-tuple equals
+      // distinct-pairs-then-verify.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -114,6 +114,79 @@ object PipelineQueries extends QueryGroup {
              |WHERE redacted <> text
              |ORDER BY doc_id""".stripMargin)),
 
+    // x22 — Gopher document-quality rule gate (Rae et al. 2021, Appendix A
+    // "quality filtering"): the published heuristic thresholds every
+    // large-scale text pipeline applies before training — word count in
+    // [50, 100k], mean word length in [3, 10], symbol-to-word ratio ('#' or
+    // '...') <= 0.1, >= 80% of words containing an alphabetic char, and
+    // >= 2 of Gopher's stop words. Emits every signal plus the combined
+    // keep flag, so downstream can audit WHICH rule dropped a doc. Entirely
+    // map-side (no shuffle but the output sort); every signal is integer
+    // arithmetic or a single same-operand IEEE divide, mirrored exactly.
+    Q("x22_gopher_rules",
+      (s, d) => {
+        val nw = size(col("toks"))
+        val mwl = expr(
+          "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+          .cast("double") / nw
+        val nSym =
+          (length(col("text")) - length(translate(col("text"), "#", ""))) +
+            (length(col("text")) -
+              length(expr("replace(text, '...', '')"))) / lit(3)
+        val nAlpha = expr("size(filter(toks, x -> x rlike '[A-Za-z]'))")
+        val nStop = expr("size(filter(toks, x -> x IN " +
+          "('the','be','to','of','and','that','have','with')))")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+          .select(col("doc_id"),
+            nw.as("n_words"),
+            when(nw > 0, round(mwl, 6)).as("mean_word_len"),
+            when(nw > 0, round(nSym.cast("double") / nw, 6)).as("symbol_ratio"),
+            when(nw > 0, round(nAlpha.cast("double") / nw, 6)).as("alpha_ratio"),
+            nStop.as("n_stop"),
+            (nw.between(50, 100000) &&
+              mwl.between(3.0, 10.0) &&
+              (nSym.cast("double") / nw) <= 0.1 &&
+              (nAlpha.cast("double") / nw) >= 0.8 &&
+              nStop >= 2).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         len(toks) AS n_words,
+             |         CAST(list_sum(list_transform(toks, x -> strlen(x)))
+             |              AS DOUBLE) AS sum_len,
+             |         (strlen(text) - strlen(replace(text, '#', '')))
+             |           + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |           AS n_sym,
+             |         len(list_filter(toks,
+             |               x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             |         len(list_filter(toks, x -> x IN
+             |               ('the','be','to','of','and','that','have','with')))
+             |           AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words,
+             |       CASE WHEN n_words > 0
+             |            THEN round(sum_len / n_words, 6) END AS mean_word_len,
+             |       CASE WHEN n_words > 0
+             |            THEN round(CAST(n_sym AS DOUBLE) / n_words, 6)
+             |            END AS symbol_ratio,
+             |       CASE WHEN n_words > 0
+             |            THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6)
+             |            END AS alpha_ratio,
+             |       n_stop,
+             |       (n_words BETWEEN 50 AND 100000
+             |        AND sum_len / n_words BETWEEN 3.0 AND 10.0
+             |        AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+             |        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+             |        AND n_stop >= 2) AS keep
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // x6 — token-budget chunk packing: cumsum window per lang, chunk id =
     // tokens-before / budget. One shuffle on the group key.
     Q("x6_token_packing",

@@ -213,6 +213,36 @@ object StorageQueries extends QueryGroup {
              |  FROM events)
              |SELECT DISTINCT channel, nick, posted, remark,
              |       md5(concat_ws('|', channel, nick, posted, remark)) AS id
-             |FROM r ORDER BY id, channel, nick, posted""".stripMargin))
+             |FROM r ORDER BY id, channel, nick, posted""".stripMargin)),
+
+    // S12 — Z-order layout clustering: events range-partitioned + sorted on
+    // the Morton interleave of (user_id, epoch-seconds), written, read
+    // back. The identity oracle recomputes the z-value in DuckDB bit for
+    // bit, so the curve arithmetic AND the write round-trip both sit under
+    // the hash gate; the layout PAYOFF (file min/max intervals narrow on
+    // BOTH dimensions, vs a lexicographic sort pruning only its leading
+    // key) is asserted comparatively in ZOrderSpec. 100 TB posture: this is
+    // the one-time write-side cost that makes time-sliced AND user-sliced
+    // scans each skip most files of the same copy of the data.
+    Q("s12_zorder_cluster",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$t"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("es"))
+        graft.operators.ZOrder.cluster(
+          ev, col("user_id"), col("es"), numFiles = 8)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("event_id"), col("user_id"), col("es"),
+            graft.operators.ZOrder.zValue(col("user_id"), col("es"))
+              .as("zval"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+              |       CAST(${graft.operators.ZOrder.duckSql(
+                       "user_id", "epoch_us(ts) // 1000000")} AS BIGINT) AS zval
+              |FROM events ORDER BY event_id""".stripMargin))
   )
 }
