@@ -92,7 +92,28 @@ object Explain {
         |with shard size (OOM by construction at 100 TB); the hierarchy
         |pins the identical permutation because the order hash is the
         |leading sort key, so prefix groups are contiguous runs of the
-        |global order.""".stripMargin))
+        |global order.""".stripMargin),
+    "k1_es_upsert_roundtrip" ->
+      ("""Cost note: deliberately an I/O round-trip — render events as ES
+        |`_bulk` NDJSON actions, spool them (the zero-egress HTTP stand-in),
+        |read the spool BACK as JSON and dedup by content id. The ~5-6 s
+        |bench cost is the spool write + schema'd JSON re-parse, not a plan
+        |defect; the render+send half is pure foreachPartition (no shuffle),
+        |and only the read-back dedup pays one keyed exchange (the d1
+        |shape). Production would stop at the transport (no read-back).""".stripMargin),
+    "m1_media_features_real" ->
+      ("""Cost note: the real-codec twin of m1_media_features — each row pays
+        |a PNG encode + javax.imageio decode so the oracle gates the REAL
+        |decode path (PNG round-trips r=g=b losslessly). ~6× the stub twin's
+        |cost by codec arithmetic, map-side only, no shuffle: the honest
+        |per-row price of real image decode, not a plan regression.""".stripMargin),
+    "s12_zorder_cluster" ->
+      ("""Shape note: the single range exchange IS the operator — z-values
+        |are a map-side projection (statically unrolled 32-term interleave),
+        |repartitionByRange samples them, and the write inherits the
+        |clustering. The read-back + recomputed zval under the identity
+        |oracle adds the scan; production pays only the write half, once,
+        |to make BOTH user-sliced and time-sliced scans prune files.""".stripMargin))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
