@@ -331,7 +331,90 @@ object AggQueries extends QueryGroup {
         Tables(s, d, "documents")
           .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
         col("term"), phi = 200, k = 256),
-      Some(hhOracle))
+      Some(hhOracle)),
+
+    // A15 — percentile_ranks (the ES inverse-percentile agg): per
+    // event_type, the percentage of values at or below each fixed
+    // threshold. Exact integer cents + conditional counts, one mirrored
+    // divide per rank — the dual of h6_percentiles, same one-pass hash-agg
+    // shape (conditional sums, no sort, no per-group value materialization
+    // — this form is 100 TB-safe where a rank-window dual would not be).
+    Q("a15_percentile_ranks",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("vc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("vc") <= 10000, 1).otherwise(0)).cast("long").as("le_100"),
+          sum(when(col("vc") <= 25000, 1).otherwise(0)).cast("long").as("le_250"))
+        .select(col("event_type"), col("n"),
+          round(col("le_100") * lit(100.0) / col("n"), 6).as("pr_100"),
+          round(col("le_250") * lit(100.0) / col("n"), 6).as("pr_250"))
+        .orderBy(col("event_type")),
+      Some("""WITH v AS (SELECT event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |a AS (SELECT event_type, count(*) AS n,
+             |             CAST(sum(CASE WHEN vc <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
+             |             CAST(sum(CASE WHEN vc <= 25000 THEN 1 ELSE 0 END) AS BIGINT) AS le_250
+             |      FROM v GROUP BY 1)
+             |SELECT event_type, n,
+             |       round(le_100 * 100.0 / n, 6) AS pr_100,
+             |       round(le_250 * 100.0 / n, 6) AS pr_250
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // A16 — composite aggregation with after-key pagination (the ES
+    // composite agg, the ONLY way to page through an unbounded bucket
+    // space): buckets over (event_type, user_id), resume after the cursor
+    // ('error', 25), page size 50. The cursor predicate is on the GROUP
+    // KEYS, so Catalyst pushes it below the aggregate — each page
+    // aggregates only the key range it returns, and the page itself is a
+    // TakeOrdered, never a global sort. That push-then-page plan is what
+    // makes bucket pagination viable over a 100 TB fact table.
+    Q("a16_composite_paging",
+      (s, d) => Tables(s, d, "events")
+        .filter(col("event_type") > "error" ||
+          (col("event_type") === "error" && col("user_id") > 25))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .orderBy(col("event_type"), col("user_id"))
+        .limit(50),
+      Some("""SELECT event_type, user_id, count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events
+             |WHERE event_type > 'error'
+             |   OR (event_type = 'error' AND user_id > 25)
+             |GROUP BY 1, 2
+             |ORDER BY event_type, user_id
+             |LIMIT 50""".stripMargin)),
+
+    // A17 — date-histogram pipeline aggregations (ES derivative +
+    // cumulative_sum): daily counts per event_type, then bucket-to-bucket
+    // delta and running total. The window runs over AGGREGATED buckets
+    // (days × types), not raw rows — after the first groupBy the frame is
+    // calendar-bounded, so the per-type window is a few thousand rows no
+    // matter how many raw events fed it. All integer arithmetic.
+    Q("a17_derivative",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("deriv", col("n") - lag(col("n"), 1).over(w))
+          .withColumn("cum_n", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n,
+             |       n - lag(n) OVER w AS deriv,
+             |       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+             |                         ROWS BETWEEN UNBOUNDED PRECEDING
+             |                         AND CURRENT ROW) AS BIGINT) AS cum_n
+             |FROM b
+             |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+             |ORDER BY event_type, day""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

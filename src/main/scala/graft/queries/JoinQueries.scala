@@ -221,6 +221,65 @@ object JoinQueries extends QueryGroup {
              |SELECT a.term AS term_a, b.term AS term_b
              |FROM v a JOIN v b
              |  ON a.term < b.term AND levenshtein(a.term, b.term) = 1
-             |ORDER BY term_a, term_b""".stripMargin))
+             |ORDER BY term_a, term_b""".stripMargin)),
+
+    // J12 — point-in-time (temporal) join: each probe row picks the
+    // dimension version whose [valid_from, valid_to) interval contains its
+    // timestamp — the SCD2 lookup every feature-store / training-snapshot
+    // pipeline runs (no leakage: a probe never sees a state from its
+    // future). Dim = i5_scd2_dim's intervals built from the full event
+    // stream; probes = the 'error' events. Executed as an equi-join on
+    // user_id with the interval predicate as join filter: the pair space is
+    // user-local (bounded by that user's state-change count), so it
+    // shuffles on user_id like any fact-fact join — the j10 bin rewrite is
+    // the fallback for dims with huge per-key histories, and j6's as-of
+    // window the alternative when the dim is the same stream. Intervals
+    // partition each user's timeline, so every probe matches exactly once;
+    // no post-join dedup.
+    Q("j12_point_in_time",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type"))
+        val dim = e
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("us").as("valid_from_us"), col("valid_to_us"))
+          .as("dm")
+        val probe = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("us"))
+          .as("p")
+        probe.join(dim,
+            col("p.user_id") === col("dm.user_id") &&
+              col("p.us") >= col("dm.valid_from_us") &&
+              (col("dm.valid_to_us").isNull ||
+                col("p.us") < col("dm.valid_to_us")))
+          .select(col("p.event_id").as("event_id"),
+            col("p.user_id").as("user_id"), col("p.us").as("us"),
+            col("dm.state").as("state"),
+            col("dm.valid_from_us").as("valid_from_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             |           FROM events),
+             |c AS (SELECT *, lag(event_type) OVER
+             |               (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |      FROM e),
+             |f AS (SELECT user_id, event_id, us, event_type
+             |      FROM c WHERE prev IS NULL OR prev <> event_type),
+             |dim AS (SELECT user_id, event_type AS state, us AS valid_from_us,
+             |               lead(us) OVER (PARTITION BY user_id
+             |                              ORDER BY us, event_id) AS valid_to_us
+             |        FROM f),
+             |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'error')
+             |SELECT p.event_id, p.user_id, p.us, dim.state, dim.valid_from_us
+             |FROM p JOIN dim ON p.user_id = dim.user_id
+             |  AND p.us >= dim.valid_from_us
+             |  AND (dim.valid_to_us IS NULL OR p.us < dim.valid_to_us)
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

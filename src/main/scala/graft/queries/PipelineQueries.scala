@@ -583,6 +583,67 @@ object PipelineQueries extends QueryGroup {
              |SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
              |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |       md5(string_agg(h, ',' ORDER BY k3)) AS order_md5
-             |FROM l3 GROUP BY shard ORDER BY shard""".stripMargin))
+             |FROM l3 GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // x23 — top-n-gram repetition share (Gopher, Rae et al. 2021 Table A1
+    // "repetition removal"): for n ∈ {2,3,4}, the share of a doc's n-gram
+    // occurrences claimed by its single most frequent n-gram — high shares
+    // flag boilerplate/looping text the word-level distinct ratio (x7)
+    // misses. This is the occurrence-share variant (bounded [0,1], no
+    // overlap double-count); the position-union char-coverage variant is
+    // d6_dup_span's technique. Only the count of the modal gram survives
+    // the per-doc max, so the signal is fully deterministic without a gram
+    // tie-break. Per width: explode shingles (native WordNGrams kernel) →
+    // (doc, gram) count → per-doc max — every shuffle is keyed on doc_id,
+    // the same key, so the three widths co-partition and the joins are
+    // shuffle-free under AQE-reused exchange; nothing corpus-global.
+    Q("x23_top_ngram_share",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        def top(n: Int) = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), n)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as(s"top$n"))
+        docs
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+          .filter(col("n_toks") >= 4)
+          .join(top(2), "doc_id").join(top(3), "doc_id").join(top(4), "doc_id")
+          .select(col("doc_id"), col("n_toks"),
+            round(col("top2") * lit(1.0) / (col("n_toks") - 1), 6).as("top2_share"),
+            round(col("top3") * lit(1.0) / (col("n_toks") - 2), 6).as("top3_share"),
+            round(col("top4") * lit(1.0) / (col("n_toks") - 3), 6).as("top4_share"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |           FROM documents),
+             |z AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+             |      FROM t WHERE len(toks) >= 4),
+             |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+             |                 i -> toks[i] || ' ' || toks[i + 1])) AS g FROM z),
+             |m2 AS (SELECT doc_id, max(c) AS top2 FROM
+             |         (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+             |                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+             |       FROM z),
+             |m3 AS (SELECT doc_id, max(c) AS top3 FROM
+             |         (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |g4 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 3),
+             |                 i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+             |                      toks[i + 2] || ' ' || toks[i + 3])) AS g FROM z),
+             |m4 AS (SELECT doc_id, max(c) AS top4 FROM
+             |         (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+             |       GROUP BY 1)
+             |SELECT doc_id, n_toks,
+             |       round(top2 * 1.0 / (n_toks - 1), 6) AS top2_share,
+             |       round(top3 * 1.0 / (n_toks - 2), 6) AS top3_share,
+             |       round(top4 * 1.0 / (n_toks - 3), 6) AS top4_share
+             |FROM z JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+             |       JOIN m4 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

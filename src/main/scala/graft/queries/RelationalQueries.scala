@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -307,6 +308,49 @@ object RelationalQueries extends QueryGroup {
              |       count(*) AS n
              |FROM events
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // i5 — SCD Type-2 dimension build: collapse each user's event stream
+    // into versioned state intervals (state = event_type, valid_from/
+    // valid_to = [this change, next change)), the slowly-changing-dimension
+    // maintenance job every warehouse ingest runs. Two windows over the
+    // same (user_id | us, event_id) order: a lag() change-detect, then
+    // lead() on the surviving change rows to close each interval; the last
+    // version per user stays open (valid_to NULL). Both windows partition
+    // by user_id — no global sort, the per-user history is the only
+    // window state, and at 100 TB the shuffle key is user_id exactly once
+    // (Spark reuses the partitioning across the two windows and the
+    // row_number, one Exchange total).
+    Q("i5_scd2_dim",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state"),
+            col("us").as("valid_from_us"), col("valid_to_us"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+             |           FROM events),
+             |c AS (SELECT *, lag(event_type) OVER
+             |               (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |      FROM e),
+             |f AS (SELECT user_id, event_id, us, event_type
+             |      FROM c WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id,
+             |       row_number() OVER (PARTITION BY user_id
+             |                          ORDER BY us, event_id) AS version,
+             |       event_type AS state,
+             |       us AS valid_from_us,
+             |       lead(us) OVER (PARTITION BY user_id
+             |                      ORDER BY us, event_id) AS valid_to_us
+             |FROM f ORDER BY user_id, version""".stripMargin))
   )
 }

@@ -593,6 +593,108 @@ object TextQueries extends QueryGroup {
               |           FROM sc)
               |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf,
               |       round(score_micro * 1.0 / 1000000.0, 6) AS score
-              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // T15 — more_like_this (the ES MLT query): extract the source doc's
+    // top-5 terms by the exact BIGINT tf×idf_micro key (t9's technique),
+    // then score every other doc by the sum of matched-term idf_micro —
+    // presence×idf, each query term counted once, so the ENTIRE ranking is
+    // integer arithmetic under the hash gate. Scale: the query-term set is
+    // k-bounded (TakeOrdered 5) and broadcasts into the postings join; the
+    // only corpus-scale shuffle is the per-doc sum. The idf table is built
+    // once from the shared cached postings frame.
+    Q("t15_more_like_this",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val toks = TextFunctions.postings(docs, col("doc_id"), col("text"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfr = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).cast("long").as("n"))
+        val idf = dfr.crossJoin(broadcast(n))
+          .select(col("term"),
+            floor(log(col("n") * lit(1.0) / col("df")) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("idf_micro"))
+        val qterms = tf.filter(col("doc_id") === 0).join(idf, "term")
+          .select(col("term"), col("idf_micro"),
+            (col("tf") * col("idf_micro")).as("s"))
+          .orderBy(col("s").desc, col("term")).limit(5)
+          .select(col("term"), col("idf_micro"))
+        tf.filter(col("doc_id") =!= 0)
+          .join(broadcast(qterms), "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("idf_micro")).cast("long").as("score_micro"))
+          .select(col("doc_id"), col("n_matched"), col("score_micro"),
+            round(col("score_micro") * lit(1.0) / lit(1000000.0), 6).as("score"))
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2),
+              |     dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY 1),
+              |     n AS (SELECT count(*) AS n FROM documents),
+              |     idf AS (SELECT term,
+              |                    CAST(floor(ln(n * 1.0 / df) * 1000000.0 + 0.5) AS BIGINT)
+              |                      AS idf_micro
+              |             FROM dfr CROSS JOIN n),
+              |     q0 AS (SELECT term, idf_micro, tf * idf_micro AS s
+              |            FROM tf JOIN idf USING (term)
+              |            WHERE doc_id = 0
+              |            ORDER BY s DESC, term LIMIT 5),
+              |     c AS (SELECT tf.doc_id, count(*) AS n_matched,
+              |                  CAST(sum(idf_micro) AS BIGINT) AS score_micro
+              |           FROM tf JOIN q0 USING (term)
+              |           WHERE tf.doc_id <> 0 GROUP BY 1)
+              |SELECT doc_id, n_matched, score_micro,
+              |       round(score_micro * 1.0 / 1000000.0, 6) AS score
+              |FROM c ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // T16 — significant_terms (the ES agg, JLH heuristic): terms whose
+    // document frequency in a foreground slice (lang='de') is anomalously
+    // high vs the whole corpus. JLH = (fg_rate − bg_rate) × (fg_rate /
+    // bg_rate): absolute lift × relative lift, both rates from exact doc
+    // counts, one mirrored IEEE sequence, term tie-break — the fused ORDER
+    // is deterministic even under score ties. Scale: one distinct
+    // (doc, term) explode → one term-keyed agg carrying two counters (the
+    // fg counter rides the same shuffle as bg — not a second pass); the
+    // corpus totals are a broadcast 1-row frame.
+    Q("t16_significant_terms",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val td = TextFunctions.postings(docs, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("term")).distinct()
+        val stats = td
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df_bg"),
+            sum(when(col("lang") === "de", 1).otherwise(0)).cast("long").as("df_fg"))
+        val nn = docs.agg(count(lit(1)).cast("long").as("n_bg"),
+          sum(when(col("lang") === "de", 1).otherwise(0)).cast("long").as("n_fg"))
+        stats.crossJoin(broadcast(nn))
+          .filter(col("df_fg") >= 5)
+          .withColumn("fr", col("df_fg") * lit(1.0) / col("n_fg"))
+          .withColumn("br", col("df_bg") * lit(1.0) / col("n_bg"))
+          .withColumn("jlh_raw", (col("fr") - col("br")) * (col("fr") / col("br")))
+          .orderBy(col("jlh_raw").desc, col("term")).limit(25)
+          .select(col("term"), col("df_fg"), col("df_bg"),
+            round(col("jlh_raw"), 6).as("jlh"))
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     td AS (SELECT DISTINCT doc_id, term FROM tokd),
+              |     tl AS (SELECT td.doc_id, term, lang
+              |            FROM td JOIN documents USING (doc_id)),
+              |     stx AS (SELECT term, count(*) AS df_bg,
+              |                    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+              |                         AS BIGINT) AS df_fg
+              |             FROM tl GROUP BY 1),
+              |     nn AS (SELECT count(*) AS n_bg,
+              |                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+              |                        AS BIGINT) AS n_fg
+              |            FROM documents),
+              |     j AS (SELECT term, df_fg, df_bg,
+              |                  (df_fg * 1.0 / n_fg - df_bg * 1.0 / n_bg) *
+              |                  ((df_fg * 1.0 / n_fg) / (df_bg * 1.0 / n_bg)) AS jlh_raw
+              |           FROM stx CROSS JOIN nn WHERE df_fg >= 5)
+              |SELECT term, df_fg, df_bg, round(jlh_raw, 6) AS jlh
+              |FROM j ORDER BY jlh_raw DESC, term LIMIT 25""".stripMargin))
   )
 }

@@ -742,6 +742,99 @@ object VectorQueries extends QueryGroup {
               |      FROM c)
               |SELECT qid, rk, vec_id, cos
               |FROM r WHERE rk <= 3
-              |ORDER BY qid, rk""".stripMargin))
+              |ORDER BY qid, rk""".stripMargin)),
+
+    // V14 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009, the fusion every BM25+dense search stack ships): lexical arm =
+    // h8's BM25 over the corpus for term 'merge', dense arm = cosine to the
+    // query embedding (vec 0, which aligns doc_id↔vec_id in the fixtures);
+    // each arm keeps its top-100 shortlist (TakeOrdered — never a global
+    // sort), ranks within the shortlist, and fuses with
+    // rrf = Σ 1/(60 + rank), absent-arm contribution 0 via FULL OUTER.
+    // Scale posture: both arms end k-bounded before any rank window, so the
+    // fusion join is O(k) regardless of corpus size; the BM25 postings are
+    // the shared cached frame (one corpus explode), and the dense scan is
+    // v2's broadcast-query shape (knnLsh/knnIvf are the drop-in sublinear
+    // arms). Ranks are integers and 1/(60+r) is one divide mirrored
+    // verbatim, so the fused ORDER — not just the scores — is under the
+    // oracle hash.
+    Q("v14_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.functions.TextFunctions.postings(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val stats = Tables(s, d, "documents")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+        val idf = df.crossJoin(broadcast(stats))
+          .select(col("term"), col("n"), col("total_dl"), col("df"),
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)).as("idf"))
+        val lex = tf.join(dl, "doc_id").join(idf, "term")
+          .filter(col("term") === "merge" && col("doc_id") =!= 0)
+          .select(col("doc_id"),
+            (col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl") * col("n").cast("double") / col("total_dl"))))).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+          .withColumn("r_lex", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_lex"))
+        val e = Tables(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val dense = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            cosine(col("embedding"), col("qv")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(100)
+          .withColumn("r_dense", row_number()
+            .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_dense"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_raw",
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)))
+          .orderBy(col("rrf_raw").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("r_lex"), col("r_dense"),
+            round(col("rrf_raw"), 6).as("rrf"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+              |            FROM documents),
+              |     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+              |     dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              |     st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              |                   (SELECT sum(dl) FROM dl) AS total_dl),
+              |     idf AS (SELECT term, n, total_dl, df,
+              |                    ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              |             FROM dfr CROSS JOIN st),
+              |     lex0 AS (SELECT tf.doc_id,
+              |                     idf * (tf * 2.2) /
+              |                     (tf + 1.2 * (0.25 + 0.75 *
+              |                      (dl * CAST(n AS DOUBLE) / total_dl))) AS bm25
+              |              FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+              |              WHERE term = 'merge' AND tf.doc_id <> 0
+              |              ORDER BY bm25 DESC, doc_id LIMIT 100),
+              |     lex AS (SELECT doc_id,
+              |                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+              |             FROM lex0),
+              |     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |     den0 AS (SELECT vec_id AS doc_id,
+              |                     ${duckCos("embedding", "qv")} AS cos
+              |              FROM embeddings CROSS JOIN q
+              |              WHERE vec_id <> 0
+              |              ORDER BY cos DESC, doc_id LIMIT 100),
+              |     den AS (SELECT doc_id,
+              |                    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+              |             FROM den0),
+              |     fused AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+              |                      r_lex, r_dense,
+              |                      coalesce(1.0 / (60 + r_lex), 0.0) +
+              |                      coalesce(1.0 / (60 + r_dense), 0.0) AS rrf_raw
+              |               FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+              |SELECT doc_id, r_lex, r_dense, round(rrf_raw, 6) AS rrf
+              |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 20""".stripMargin))
   )
 }
