@@ -644,6 +644,93 @@ object PipelineQueries extends QueryGroup {
              |       round(top4 * 1.0 / (n_toks - 3), 6) AS top4_share
              |FROM z JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
              |       JOIN m4 USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // x24 — END-TO-END curation pipeline with per-stage drop attribution:
+    // the sequential filter chain a real corpus build runs (FineWeb /
+    // RefinedWeb shape), each doc attributed to the FIRST stage that drops
+    // it so yield loss is auditable per source. Stages: (1) Gopher integer
+    // rules (word count, mean word length via cross-multiply — no FP —
+    // and stop words; x22 is the full gate), (2) repetition
+    // (distinct-token ratio ≥ 0.3, integer cross-multiply), (3) language
+    // agreement (x4's n-gram vote langId vs the labeled lang), (4) exact
+    // dedup among survivors (min-doc_id representative per md5(text)
+    // group). Everything before the dedup window is map-side; the dedup
+    // shuffles on the content hash and the report on (source, stage) —
+    // both bounded keys. The whole chain, including the vote-argmax and
+    // the survivor-only dedup window, is mirrored in DuckDB.
+    Q("x24_curation_pipeline",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val sumLen = expr(
+          "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+        val nStop = expr("size(filter(toks, x -> x IN " +
+          "('the','be','to','of','and','that','have','with')))")
+        val f = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            toks.as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("r1",
+            col("n").between(50, 100000) &&
+              sumLen >= col("n") * 3 && sumLen <= col("n") * 10 &&
+              nStop >= 2)
+          .withColumn("r2",
+            size(array_distinct(col("toks"))) * 10 >= col("n") * 3)
+          .withColumn("r3", TextFunctions.langId(col("text")) === col("lang"))
+        val pass = col("r1") && col("r2") && col("r3")
+        f.withColumn("rep_id",
+            min(when(pass, col("doc_id")))
+              .over(Window.partitionBy(md5(col("text")))))
+          .withColumn("stage",
+            when(!col("r1"), "1_rules")
+              .when(!col("r2"), "2_repetition")
+              .when(!col("r3"), "3_lang_mismatch")
+              .when(col("doc_id") =!= col("rep_id"), "4_duplicate")
+              .otherwise("5_kept"))
+          .groupBy(col("source"), col("stage"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("stage"))
+      },
+      Some {
+        def votes(words: Seq[String], lang: String): String = {
+          val lst = words.map(w => s"'$w'").mkString(",")
+          s"lpad(CAST(len(list_filter(ltoks, x -> x IN ($lst))) AS VARCHAR), 6, '0') || '$lang'"
+        }
+        s"""WITH t AS (
+           |  SELECT doc_id, source, lang, text,
+           |         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+           |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, source, text,
+           |         (len(toks) BETWEEN 50 AND 100000
+           |          AND list_sum(list_transform(toks, x -> strlen(x))) >= len(toks) * 3
+           |          AND list_sum(list_transform(toks, x -> strlen(x))) <= len(toks) * 10
+           |          AND len(list_filter(toks, x -> x IN
+           |                ('the','be','to','of','and','that','have','with'))) >= 2) AS r1,
+           |         (len(list_distinct(toks)) * 10 >= len(toks) * 3) AS r2,
+           |         (lang = CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |                 ELSE substr(greatest(
+           |                   ${votes(Seq("the", "and", "of", "to", "is", "with"), "en")},
+           |                   ${votes(Seq("der", "die", "das", "und", "ist", "mit"), "de")},
+           |                   ${votes(Seq("el", "la", "los", "que", "es", "con"), "es")},
+           |                   ${votes(Seq("le", "la", "les", "est", "avec", "dans"), "fr")}), 7)
+           |                 END) AS r3
+           |  FROM t),
+           |g AS (
+           |  SELECT *, min(CASE WHEN r1 AND r2 AND r3 THEN doc_id END)
+           |              OVER (PARTITION BY md5(text)) AS rep_id
+           |  FROM f),
+           |st AS (
+           |  SELECT source,
+           |         CASE WHEN NOT r1 THEN '1_rules'
+           |              WHEN NOT r2 THEN '2_repetition'
+           |              WHEN NOT r3 THEN '3_lang_mismatch'
+           |              WHEN doc_id <> rep_id THEN '4_duplicate'
+           |              ELSE '5_kept' END AS stage
+           |  FROM g)
+           |SELECT source, stage, count(*) AS n_docs
+           |FROM st GROUP BY 1, 2 ORDER BY source, stage""".stripMargin
+      })
   )
 }

@@ -243,6 +243,35 @@ object StorageQueries extends QueryGroup {
       Some(s"""SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
               |       CAST(${graft.operators.ZOrder.duckSql(
                        "user_id", "epoch_us(ts) // 1000000")} AS BIGINT) AS zval
-              |FROM events ORDER BY event_id""".stripMargin))
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // S13 — schema-evolution read (mergeSchema): a corpus written over time
+    // gains columns, and readers must see the UNION schema with NULLs for
+    // pre-evolution files — the contract that lets a 100 TB lake add a
+    // column without rewriting history. Batch A (even ids) ships
+    // (doc_id, lang); batch B (odd ids) adds n_chars. The merged read plus
+    // null-backfill round-trips through the identity oracle: a reader that
+    // dropped the new column, defaulted it wrongly, or misaligned rows
+    // across file schemas breaks the hash. Schema merge is a
+    // footer-metadata union (per-file footers, no data scan), so the read
+    // cost is unchanged at scale.
+    Q("s13_schema_merge",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$t"
+        val docs = Tables(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/b0")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/b1")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/b0", s"$out/b1")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+
+/** Structural invariants for the ES-surface + temporal batch (a15-a17,
+  * i5/j12, t15/t16, v14, x23/x24, s13) — contracts the DuckDB hash gate
+  * implies but doesn't state: interval partitioning, exactly-once probe
+  * coverage, rank-fusion algebra, attribution exclusivity.
+  */
+class EsSurfaceSpec extends SparkSuite {
+
+  test("i5: SCD2 intervals partition each user's timeline") {
+    val rows = Registry.byName("i5_scd2_dim").run(spark, sf)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n dense
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // each interval closes exactly where the next opens; only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"))
+          assert(a.getAs[String]("state") != b.getAs[String]("state"))
+        case _ =>
+      }
+      assert(sorted.init.forall(!_.isNullAt(sorted.head.fieldIndex("valid_to_us"))))
+      assert(sorted.last.isNullAt(sorted.head.fieldIndex("valid_to_us")))
+    }
+  }
+
+  test("j12: every probe event matches exactly one dimension interval") {
+    val out = Registry.byName("j12_point_in_time").run(spark, sf)
+    val nProbes = Tables(spark, sf, "events")
+      .filter(col("event_type") === "error").count()
+    assert(out.count() == nProbes)
+    assert(out.select("event_id").distinct().count() == nProbes)
+    // a probe's own event is a candidate change row, so state at probe time
+    // for an 'error' probe whose event IS a change must be 'error'
+    val own = out.filter(col("us") === col("valid_from_us"))
+    assert(own.count() > 0)
+  }
+
+  test("v14: rrf column equals the 1/(60+rank) sum and ranking is consistent") {
+    val rows = Registry.byName("v14_hybrid_rrf").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def contrib(r: org.apache.spark.sql.Row, f: String): Double =
+      if (r.isNullAt(r.fieldIndex(f))) 0.0 else 1.0 / (60 + r.getAs[Long](f))
+    val raws = rows.map { r =>
+      val raw = contrib(r, "r_lex") + contrib(r, "r_dense")
+      assert(math.abs(r.getAs[Double]("rrf") - raw) < 1e-6)
+      assert(!r.isNullAt(r.fieldIndex("r_lex")) || !r.isNullAt(r.fieldIndex("r_dense")))
+      raw
+    }
+    assert(raws.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("t16: foreground doc frequency never exceeds background") {
+    val rows = Registry.byName("t16_significant_terms").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df_fg") >= 5)
+      assert(r.getAs[Long]("df_fg") <= r.getAs[Long]("df_bg"))
+    }
+  }
+
+  test("t15: MLT excludes the source doc and matches within the 5-term query") {
+    val rows = Registry.byName("t15_more_like_this").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != 0L)
+      val m = r.getAs[Long]("n_matched")
+      assert(m >= 1 && m <= 5)
+    }
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("x24: stage attribution is exhaustive and exclusive") {
+    val out = Registry.byName("x24_curation_pipeline").run(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    val stages = Set("1_rules", "2_repetition", "3_lang_mismatch",
+      "4_duplicate", "5_kept")
+    assert(out.map(_.getAs[String]("stage")).toSet.subsetOf(stages))
+    // the chain must actually keep something on the fixtures
+    assert(out.filter(_.getAs[String]("stage") == "5_kept")
+      .map(_.getAs[Long]("n_docs")).sum > 0)
+  }
+
+  test("a16: composite page lies strictly after the cursor, in key order") {
+    val rows = Registry.byName("a16_composite_paging").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val keys = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    keys.foreach { case (t, u) => assert(t > "error" || (t == "error" && u > 25)) }
+    assert(keys.sliding(2).forall { case Array(a, b) => implicitly[Ordering[(String, Long)]].lt(a, b); case _ => true })
+  }
+
+  test("a17: cumulative sum closes at the per-type total; derivative nulls only open each series") {
+    val rows = Registry.byName("a17_derivative").run(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val totals = Tables(spark, sf, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    byType.foreach { case (t, vs) =>
+      assert(vs.last.getAs[Long]("cum_n") == totals(t))
+      val derivIdx = vs.head.fieldIndex("deriv")
+      assert(vs.head.isNullAt(derivIdx))
+      assert(vs.tail.forall(!_.isNullAt(derivIdx)))
+    }
+  }
+
+  test("s13: evolved column is null exactly for pre-evolution files") {
+    val rows = Registry.byName("s13_schema_merge").run(spark, sf).collect()
+    val idx = rows.head.fieldIndex("n_chars")
+    rows.foreach { r =>
+      assert(r.isNullAt(idx) == (r.getAs[Long]("doc_id") % 2 == 0))
+    }
+  }
+
+  test("x23: modal-gram shares are in (0, 1] and widths are consistent") {
+    val rows = Registry.byName("x23_top_ngram_share").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("top2_share", "top3_share", "top4_share").foreach { c =>
+      rows.foreach { r =>
+        val v = r.getAs[Double](c)
+        assert(v > 0.0 && v <= 1.0)
+      }
+    }
+  }
+}
