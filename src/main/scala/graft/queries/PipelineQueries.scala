@@ -593,27 +593,37 @@ object PipelineQueries extends QueryGroup {
     // overlap double-count); the position-union char-coverage variant is
     // d6_dup_span's technique. Only the count of the modal gram survives
     // the per-doc max, so the signal is fully deterministic without a gram
-    // tie-break. Per width: explode shingles (native WordNGrams kernel) →
-    // (doc, gram) count → per-doc max — every shuffle is keyed on doc_id,
-    // the same key, so the three widths co-partition and the joins are
-    // shuffle-free under AQE-reused exchange; nothing corpus-global.
+    // tie-break. ONE corpus scan for all three widths (width-tagged double
+    // explode of the native WordNGrams kernel), and no token-count join at
+    // all: the per-width occurrence TOTAL is n_toks − w + 1 by identity, so
+    // share = modal/total and n_toks = total(2) + 1 fall out of the same
+    // aggregate. One gram-stream shuffle keyed (doc, w, gram); the two
+    // follow-up aggs carry three rows per doc.
     Q("x23_top_ngram_share",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-        def top(n: Int) = docs
-          .select(col("doc_id"),
-            explode(TextFunctions.shingles(col("text"), n)).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as(s"top$n"))
-        docs
-          .select(col("doc_id"),
-            TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
-          .filter(col("n_toks") >= 4)
-          .join(top(2), "doc_id").join(top(3), "doc_id").join(top(4), "doc_id")
-          .select(col("doc_id"), col("n_toks"),
-            round(col("top2") * lit(1.0) / (col("n_toks") - 1), 6).as("top2_share"),
-            round(col("top3") * lit(1.0) / (col("n_toks") - 2), 6).as("top3_share"),
-            round(col("top4") * lit(1.0) / (col("n_toks") - 3), 6).as("top4_share"))
+        val widths = Seq(2, 3, 4).map(n =>
+          struct(lit(n).as("w"),
+            TextFunctions.shingles(col("text"), n).as("gs")))
+        val perW = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(array(widths: _*)).as("x"))
+          .select(col("doc_id"), col("x.w").as("w"), explode(col("x.gs")).as("g"))
+          .groupBy(col("doc_id"), col("w"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(max(col("c")).as("m"), sum(col("c")).as("t"))
+        perW.groupBy(col("doc_id"))
+          .agg(
+            max(when(col("w") === 2, col("t"))).as("t2"),
+            max(when(col("w") === 2, col("m"))).as("m2"),
+            max(when(col("w") === 3, col("t"))).as("t3"),
+            max(when(col("w") === 3, col("m"))).as("m3"),
+            max(when(col("w") === 4, col("t"))).as("t4"),
+            max(when(col("w") === 4, col("m"))).as("m4"))
+          .filter(col("t4").isNotNull) // t4 ≥ 1 ⇔ n_toks ≥ 4
+          .select(col("doc_id"), (col("t2") + 1).cast("long").as("n_toks"),
+            round(col("m2") * lit(1.0) / col("t2"), 6).as("top2_share"),
+            round(col("m3") * lit(1.0) / col("t3"), 6).as("top3_share"),
+            round(col("m4") * lit(1.0) / col("t4"), 6).as("top4_share"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,

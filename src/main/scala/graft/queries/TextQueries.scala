@@ -660,10 +660,17 @@ object TextQueries extends QueryGroup {
     Q("t16_significant_terms",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val td = TextFunctions.postings(docs, col("doc_id"), col("text"))
-          .select(col("doc_id"), col("term")).distinct()
+        // lang rides the token row from the scan (functionally dependent on
+        // doc_id, so the distinct keeps (doc, term) cardinality) — no
+        // corpus-side join back to the documents table at all: the naive
+        // postings⋈docs formulation costs an extra full shuffle of the
+        // postings stream at any scale where the doc table stops being
+        // broadcastable.
+        val td = docs
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .distinct()
         val stats = td
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .groupBy(col("term"))
           .agg(count(lit(1)).as("df_bg"),
             sum(when(col("lang") === "de", 1).otherwise(0)).cast("long").as("df_fg"))
