@@ -129,6 +129,89 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs by PREFIX FILTERING (Bayardo et al. 2007
+    * "Scaling Up All Pairs Similarity Search"; the AllPairs/PPJoin family) —
+    * same result set as [[jaccardPairs]], structurally smaller pair stream.
+    *
+    * Why: [[jaccardPairs]] feeds the self-join's FULL postings pair stream
+    * (Σ_term df²) into a (da, db) hash aggregate — the r12-flagged spill
+    * hazard. Prefix filtering is the published exact fix: J(a,b) ≥ t
+    * requires |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, so under ANY consistent total token
+    * order two qualifying docs must collide within their first
+    * |d| − ⌈t·|d|⌉ + 1 tokens. Indexing only that prefix (rare-first order,
+    * so prefixes hold the LOWEST-df tokens) shrinks the candidate join
+    * quadratically in the hot terms; an exact array-intersect verify over
+    * the candidate pairs restores the precise Jaccard. No recall loss —
+    * candidates ⊇ true pairs by the prefix lemma (DedupFacadeSpec asserts
+    * set equality with [[jaccardPairs]], and `d2_jaccard_prefix` runs under
+    * the SAME DuckDB oracle as `d2_jaccard_neardup`).
+    *
+    * Scale shape: df-rank join and prefix window are doc/term-keyed; the
+    * candidate `.distinct()` shuffles only candidate PAIRS (post-pruning);
+    * verification joins the candidates to a MAP-SIDE-derived token-array
+    * projection (re-tokenized from the source — no corpus shuffle), so the
+    * heavy exact aggregate of the baseline disappears entirely. The ε-guards
+    * on ⌈t·sz⌉ and the length filter only ever RELAX the pruning (soundness
+    * over tightness); the final `jaccard >= t` filter is the same mirrored
+    * comparison as the baseline's.
+    *
+    * Fixture measurement (r13, sf0.1, same session, reps=3): ~1.5× SLOWER
+    * than [[jaccardPairs]] on the synthetic near-uniform token distribution
+    * — at t=0.5 the prefix is still sz/2+1 tokens and rare-first pruning has
+    * nothing to bite on, so the df-join + per-doc window overhead dominates
+    * (exactly the pruneSingletons finding above). The crossover is a Zipf
+    * corpus and/or a higher threshold, where the baseline's Σ df² pair
+    * stream explodes and the prefix index shrinks (t=0.8 indexes ~sz/5 —
+    * asserted structurally in DedupFacadeSpec). Keep [[jaccardPairs]] as the
+    * fixture-bench default; THIS is the production path for real corpora.
+    */
+  def jaccardPairsPrefix(df: DataFrame, id: Column, text: Column,
+      minJaccard: Double, blockCols: Seq[Column] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
+      blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
+    val toks = graft.Caches.track(
+      df.select((id.as("doc_id") +: block) :+
+        explode(TextFunctions.bigrams(text)).as("term"): _*)
+      .distinct())
+    val bnames = toks.columns.filter(_.startsWith("__b")).toSeq
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy(col("term") +: bnames.map(col): _*)
+      .agg(count(lit(1)).as("__tdf"))
+    // rare-first prefix: keep each doc's (sz − ⌈t·sz⌉ + 1) lowest-df tokens
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__tdf"), col("term"))
+    val alpha = ceil(col("sz") * lit(minJaccard) - lit(1e-9))
+    val pre = toks
+      .join(dfreq, "term" +: bnames)
+      .join(sizes, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("sz") - alpha + 1)
+      .select(col("doc_id") +: col("term") +: col("sz") +: bnames.map(col): _*)
+    val right = pre.select(col("doc_id").as("db") +: col("term").as("tb") +:
+      col("sz").as("szb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
+    val lengthOk = // J ≥ t ⟹ t·max ≤ min (ε only relaxes)
+      col("szb") >= col("sz") * lit(minJaccard) - lit(1e-9) &&
+        col("sz") >= col("szb") * lit(minJaccard) - lit(1e-9)
+    val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
+      .foldLeft(col("term") === col("tb") && col("doc_id") < col("db") && lengthOk)(_ && _)
+    val cands = pre.join(right, joinCond)
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    // exact verify: token arrays derived map-side from the source rows
+    val arrays = df.select(id.as("doc_id"),
+      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+    cands
+      .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
+      .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ta"), col("tb"))).as("i"),
+        size(col("ta")).as("sa"), size(col("tb")).as("sb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact baseline; LSH/IVF pruned
     * variants live in graft.similarity.Ann).
     */

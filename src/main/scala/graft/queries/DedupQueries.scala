@@ -75,6 +75,46 @@ object DedupQueries extends QueryGroup {
              |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
              |ORDER BY da, db""".stripMargin)),
 
+    // D2 prefix-filtered twin — SAME oracle as d2_jaccard_neardup: exact
+    // AllPairs prefix filtering (Bayardo et al. 2007) indexes only each
+    // doc's (sz − ⌈t·sz⌉ + 1) rarest n-grams, then verifies candidates with
+    // an exact array intersect — identical result set, and the r12-flagged
+    // pair-stream hash aggregate is gone (candidates shuffle, not the full
+    // postings pair space). Equality with the baseline is ALSO pinned in
+    // DedupFacadeSpec; here the hash gate pins it against DuckDB directly.
+    Q("d2_jaccard_prefix",
+      (s, d) => graft.dedup.Dedup.jaccardPairsPrefix(
+          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.5,
+          Seq(col("lang"), col("source")))
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db,
+             |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = da
+             |JOIN sizes sb ON sb.doc_id = db
+             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+             |ORDER BY da, db""".stripMargin)),
+
     // D2 — MinHash+LSH candidate pairs, engine default (xxhash64 shingle
     // fold; rows-only since DuckDB has no xxhash64 — recall vs exact Jaccard
     // asserted in MinHashDedupSpec).

@@ -176,6 +176,45 @@ class DedupFacadeSpec extends SparkSuite {
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(un == blocked)
   }
+
+  test("Dedup.jaccardPairsPrefix equals jaccardPairs: pairs AND jaccard values, " +
+      "blocked and unblocked, at several thresholds") {
+    val docs = Tables(spark, sf, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val base = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, col("doc_id"), col("text"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pref == base, s"threshold $t")
+    }
+    val baseB = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+        Seq(col("lang"), col("source")))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefB = Dedup.jaccardPairsPrefix(docs, col("doc_id"), col("text"), 0.5,
+        Seq(col("lang"), col("source")))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefB == baseB)
+  }
+
+  test("prefix filtering indexes strictly fewer postings than the full self-join") {
+    // the structural claim: the candidate index carries only each doc's
+    // (sz - ceil(t*sz) + 1) rarest tokens — at t=0.8 that's ~a fifth of the
+    // postings, and the win grows with the threshold
+    val docs = Tables(spark, sf, "documents")
+    val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.8)
+    full.count() // materialize so the shared toks cache exists either way
+    val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bigrams(col("text"))).as("term"))
+      .distinct()
+    val nPost = toks.count()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val nPrefix = sizes.select(
+      sum(col("sz") - ceil(col("sz") * 0.8 - 1e-9) + 1)).collect()(0).getLong(0)
+    assert(nPrefix * 3 < nPost,
+      s"prefix index $nPrefix vs postings $nPost — pruning structurally absent")
+  }
 }
 
 class SimHashDedupSpec extends SparkSuite {
