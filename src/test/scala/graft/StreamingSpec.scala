@@ -579,4 +579,32 @@ class StreamingSpec extends SparkSuite {
     assert(sink.columns.toSet ==
       Set("nick", "channel", "remark", "posted", "id", "day"))
   }
+
+  test("streaming SCD2 closed intervals equal the batch i5 dimension across batches") {
+    implicit val ctx = sqlCtx
+    // fixture events in three time-ordered chunks — state transitions that
+    // straddle chunk boundaries must still close exactly one interval
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.Scd2Stream.closedIntervals(
+        ms.toDF().toDF("user_id", "us", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("scd2_out")
+      .select("user_id", "version", "state", "valid_from_us", "valid_to_us")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val batch = queries.Registry.byName("i5_scd2_dim").run(spark, sf)
+      .filter(col("valid_to_us").isNotNull)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
