@@ -110,6 +110,24 @@ object ScaleProbe {
         .limit(20)),
       "d2_minhash_lsh_shape" -> (() => graft.dedup.MinHashDedup.candidatePairs(
         docs, col("doc_id"), col("text"))),
+      // r13 addition: EXACT AllPairs prefix filtering at 10× dense
+      // duplication — every original doc becomes a 10-member family at
+      // J ≈ 0.98, the worst-case candidate density for t=0.8. Structural
+      // claim under test: the candidate stream stays ~family-pair-sized
+      // (prefixes hold each doc's rarest ~sz/5 bigrams) instead of the full
+      // Σ df² postings pair space, and the map-side array-intersect verify
+      // absorbs the rest. A super-linear result here means the prefix
+      // window or the length filter regressed.
+      "d2_prefix_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
+        docs, col("doc_id"), col("text"), 0.8)),
+      // the same operator under the PRODUCTION blocking the d2 registry
+      // query uses (lang × source): per-block df collapses ~20×, candidate
+      // volume ~400× — the delta between these two probes measures exactly
+      // how much the prefix family depends on token-universe size, the
+      // honest boundary of the technique (see BASELINE.md r13).
+      "d2_prefix_blocked_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
+        docs, col("doc_id"), col("text"), 0.8,
+        Seq(col("lang"), col("source")))),
       // the round-8 addition: pairs → connected components at 10× density —
       // every original doc is a 10-member family, so the label-propagation
       // rounds (logged) must stay ~graph-diameter flat, not grow with xf

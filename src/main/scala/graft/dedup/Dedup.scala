@@ -164,6 +164,14 @@ object Dedup {
     * stream explodes and the prefix index shrinks (t=0.8 indexes ~sz/5 —
     * asserted structurally in DedupFacadeSpec). Keep [[jaccardPairs]] as the
     * fixture-bench default; THIS is the production path for real corpora.
+    *
+    * Boundary (ScaleProbe 10×, BASELINE.md r13): prefix filtering rests on
+    * a Zipf rare tail. On a LOW-ENTROPY corpus (tiny vocabulary, templated
+    * text) every prefix token still carries large df and candidates stay
+    * df²-driven — measured 417.8 s unblocked vs 59.4 s under lang×source
+    * blocking at 10× on the ~900-bigram synthetic fixture. For such corpora
+    * use blocking (`blockCols`) or the MinHash-LSH family, which bounds
+    * candidates by bucket construction instead of token rarity.
     */
   def jaccardPairsPrefix(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, blockCols: Seq[Column] = Seq.empty): DataFrame = {

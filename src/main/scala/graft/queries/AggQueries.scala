@@ -414,7 +414,68 @@ object AggQueries extends QueryGroup {
              |                         AND CURRENT ROW) AS BIGINT) AS cum_n
              |FROM b
              |WINDOW w AS (PARTITION BY event_type ORDER BY day)
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // A18 — rate aggregation (the ES rate pipeline agg): per event_type ×
+    // calendar month, the per-DAY event count and value rate — bucket sums
+    // normalized by the month's true day count so February and July
+    // compare. One hash aggregate over (type, month) then a constant-time
+    // per-bucket divide; the normalizer (dayofmonth ∘ last_day) is computed
+    // on the BUCKET key, never per raw row. Bucket space = types × months,
+    // so the post-agg frame stays tiny at any corpus scale. All exact
+    // integer cents until the final mirrored rounded divide.
+    Q("a18_rate",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          trunc(to_date(col("ts")), "month").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_cents"))
+        .withColumn("days", dayofmonth(last_day(col("month"))))
+        .select(col("event_type"), col("month"), col("n"), col("sum_cents"),
+          round(col("n") / col("days").cast("double"), 6).as("events_per_day"),
+          round(col("sum_cents") / col("days").cast("double"), 6)
+            .as("cents_per_day"))
+        .orderBy(col("event_type"), col("month")),
+      Some("""WITH b AS (SELECT event_type,
+             |                  CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+             |                  count(*) AS n,
+             |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, month, n, sum_cents,
+             |       round(n / CAST(date_part('day', last_day(month)) AS DOUBLE), 6) AS events_per_day,
+             |       round(sum_cents / CAST(date_part('day', last_day(month)) AS DOUBLE), 6) AS cents_per_day
+             |FROM b ORDER BY event_type, month""".stripMargin)),
+
+    // A19 — diversified sampler (the ES diversified_sampler agg): the
+    // global top-50 events by value, with AT MOST 3 per user_id so one hot
+    // user cannot fill the page. The diversity quota is a per-key
+    // row_number (shuffle on user_id — the same per-group-top-k shape the
+    // o4 native operator map-side-heaps at scale), and the page itself is
+    // a TakeOrdered over the survivors, never a global sort. Deterministic:
+    // value ties break on event_id at both levels.
+    Q("a19_diversified_sample",
+      (s, d) => {
+        val wu = Window.partitionBy(col("user_id"))
+          .orderBy(col("vc").desc, col("event_id"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("vc"))
+          .withColumn("rn", row_number().over(wu))
+          .filter(col("rn") <= 3)
+          .orderBy(col("vc").desc, col("event_id"))
+          .limit(50)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("vc"))
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                ORDER BY vc DESC, event_id) AS rn
+             |      FROM v)
+             |SELECT event_id, user_id, event_type, vc
+             |FROM r WHERE rn <= 3
+             |ORDER BY vc DESC, event_id LIMIT 50""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

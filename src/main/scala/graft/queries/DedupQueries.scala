@@ -75,16 +75,20 @@ object DedupQueries extends QueryGroup {
              |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
              |ORDER BY da, db""".stripMargin)),
 
-    // D2 prefix-filtered twin — SAME oracle as d2_jaccard_neardup: exact
-    // AllPairs prefix filtering (Bayardo et al. 2007) indexes only each
-    // doc's (sz − ⌈t·sz⌉ + 1) rarest n-grams, then verifies candidates with
-    // an exact array intersect — identical result set, and the r12-flagged
-    // pair-stream hash aggregate is gone (candidates shuffle, not the full
-    // postings pair space). Equality with the baseline is ALSO pinned in
-    // DedupFacadeSpec; here the hash gate pins it against DuckDB directly.
+    // D2 prefix-filtered twin — same oracle SHAPE as d2_jaccard_neardup at
+    // the technique's DESIGN POINT t=0.8: exact AllPairs prefix filtering
+    // (Bayardo et al. 2007) indexes only each doc's (sz − ⌈t·sz⌉ + 1)
+    // rarest n-grams — ~sz/5 at t=0.8, where the pruning actually bites;
+    // at t=0.5 the prefix is sz/2+1 and the candidate join degenerates
+    // toward the full postings pair space on this low-entropy fixture
+    // (BASELINE.md r13 boundary note; bench medians 4-12 s vs ~2 s here).
+    // Candidates are verified with an exact array intersect, so the result
+    // is the exact J≥0.8 pair set — no recall loss. Equality with the
+    // postings baseline is ALSO pinned in DedupFacadeSpec (at t=0.5, the
+    // weaker point); here the hash gate pins t=0.8 against DuckDB directly.
     Q("d2_jaccard_prefix",
       (s, d) => graft.dedup.Dedup.jaccardPairsPrefix(
-          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.5,
+          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.8,
           Seq(col("lang"), col("source")))
         .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db")),
@@ -112,7 +116,7 @@ object DedupQueries extends QueryGroup {
              |FROM inter
              |JOIN sizes sa ON sa.doc_id = da
              |JOIN sizes sb ON sb.doc_id = db
-             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
              |ORDER BY da, db""".stripMargin)),
 
     // D2 — MinHash+LSH candidate pairs, engine default (xxhash64 shingle

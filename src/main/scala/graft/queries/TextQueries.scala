@@ -702,6 +702,68 @@ object TextQueries extends QueryGroup {
               |                  ((df_fg * 1.0 / n_fg) / (df_bg * 1.0 / n_bg)) AS jlh_raw
               |           FROM stx CROSS JOIN nn WHERE df_fg >= 5)
               |SELECT term, df_fg, df_bg, round(jlh_raw, 6) AS jlh
-              |FROM j ORDER BY jlh_raw DESC, term LIMIT 25""".stripMargin))
+              |FROM j ORDER BY jlh_raw DESC, term LIMIT 25""".stripMargin)),
+
+    // T17 — completion suggester (the ES suggest API): prefix-match the
+    // term dictionary, rank by corpus frequency, top 10. The dictionary is
+    // the one term-keyed aggregate every text query already shares; the
+    // prefix probe is a LIKE pushed onto it and the page is a TakeOrdered.
+    // At 100 TB the dictionary is the materialized artifact (vocab-scale,
+    // not corpus-scale) — optionally range-partitioned by prefix so a
+    // suggest probe touches one partition; the corpus pass happens once at
+    // dictionary build, never per keystroke.
+    Q("t17_prefix_suggest",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .filter(col("term").startsWith("s"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(10),
+      Some(s"""WITH tokd AS (SELECT unnest($tok) AS term FROM documents),
+              |     v AS (SELECT term, count(*) AS freq FROM tokd GROUP BY 1)
+              |SELECT term, freq FROM v
+              |WHERE term LIKE 's%'
+              |ORDER BY freq DESC, term LIMIT 10""".stripMargin)),
+
+    // T18 — term suggester ("did you mean", the ES suggest API's other
+    // half, completing t17's completion suggester): for each probe term,
+    // the 3 closest dictionary terms within edit distance 2, ranked by
+    // (distance, corpus frequency desc, term). The dictionary is the same
+    // vocab-scale term aggregate as t17; the PROBES side (a keystroke's
+    // worth of terms) broadcasts into a nested-loop join against it —
+    // corpus touched once at dictionary build, never per suggestion. At
+    // 100 TB the refinement is a deletion-neighborhood blocked join on the
+    // dictionary (the j11_fuzzy_join operator, O(n·len) not O(n²)); at
+    // vocab×3 the nested loop is already the cheaper plan.
+    Q("t18_term_suggest",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe"))
+          .orderBy(col("dist"), col("freq").desc, col("term"))
+        val vocab = Tables(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val probes = s.range(1).select(explode(array(
+          lit("spakr"), lit("windoww"), lit("bath"))).as("probe"))
+        vocab.join(broadcast(probes),
+            levenshtein(col("probe"), col("term")) <= 2)
+          .withColumn("dist", levenshtein(col("probe"), col("term")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("term"), col("dist"), col("freq"),
+            col("rn"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH tokd AS (SELECT unnest($tok) AS term FROM documents),
+              |     v AS (SELECT term, count(*) AS freq FROM tokd GROUP BY 1),
+              |     p AS (SELECT unnest(['spakr', 'windoww', 'bath']) AS probe),
+              |     c AS (SELECT probe, term, levenshtein(probe, term) AS dist, freq
+              |           FROM v CROSS JOIN p
+              |           WHERE levenshtein(probe, term) <= 2),
+              |     r AS (SELECT *, row_number() OVER (PARTITION BY probe
+              |                    ORDER BY dist, freq DESC, term) AS rn
+              |           FROM c)
+              |SELECT probe, term, dist, freq, rn FROM r
+              |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin))
   )
 }

@@ -189,13 +189,17 @@ class DedupFacadeSpec extends SparkSuite {
           math.round(r.getDouble(2) * 1e9))).toSet
       assert(pref == base, s"threshold $t")
     }
-    val baseB = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
-        Seq(col("lang"), col("source")))
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val prefB = Dedup.jaccardPairsPrefix(docs, col("doc_id"), col("text"), 0.5,
-        Seq(col("lang"), col("source")))
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(prefB == baseB)
+    // blocked at t=0.5 AND at t=0.8 — the d2_jaccard_prefix registry query
+    // runs the 0.8 blocked point (the technique's design point)
+    for (t <- Seq(0.5, 0.8)) {
+      val baseB = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), t,
+          Seq(col("lang"), col("source")))
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefB = Dedup.jaccardPairsPrefix(docs, col("doc_id"), col("text"), t,
+          Seq(col("lang"), col("source")))
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefB == baseB, s"blocked threshold $t")
+    }
   }
 
   test("prefix filtering indexes strictly fewer postings than the full self-join") {

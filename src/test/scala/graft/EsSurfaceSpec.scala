@@ -131,4 +131,43 @@ class EsSurfaceSpec extends SparkSuite {
       }
     }
   }
+
+  test("a19: diversity quota holds — at most 3 per user, page ordered by value") {
+    val rows = Registry.byName("a19_diversified_sample").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      assert(vs.length <= 3, s"user $u over quota")
+    }
+    val vcs = rows.map(_.getAs[Long]("vc"))
+    assert(vcs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("a18: rate normalizer is the true month length") {
+    val rows = Registry.byName("a18_rate").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val month = r.getAs[java.sql.Date]("month").toLocalDate
+      val days = month.lengthOfMonth()
+      val n = r.getAs[Long]("n")
+      val epd = r.getAs[Double]("events_per_day")
+      assert(math.abs(epd - n.toDouble / days) < 1e-6,
+        s"month $month: $epd vs $n/$days")
+    }
+  }
+
+  test("t18: suggestions are within distance 2, ranked (dist, freq desc, term)") {
+    val rows = Registry.byName("t18_term_suggest").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("probe")).foreach { case (_, vs) =>
+      assert(vs.length <= 3)
+      val ranked = vs.sortBy(_.getAs[Int]("rn"))
+      val keys = ranked.map(r => (r.getAs[Int]("dist"),
+        -r.getAs[Long]("freq"), r.getAs[String]("term")))
+      assert(keys.sliding(2).forall {
+        case Array(a, b) => implicitly[Ordering[(Int, Long, String)]].lteq(a, b)
+        case _ => true
+      })
+      ranked.foreach(r => assert(r.getAs[Int]("dist") <= 2))
+    }
+  }
 }
