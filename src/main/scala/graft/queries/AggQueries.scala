@@ -475,7 +475,53 @@ object AggQueries extends QueryGroup {
              |      FROM v)
              |SELECT event_id, user_id, event_type, vc
              |FROM r WHERE rn <= 3
-             |ORDER BY vc DESC, event_id LIMIT 50""".stripMargin))
+             |ORDER BY vc DESC, event_id LIMIT 50""".stripMargin)),
+
+    // A20 — auto_date_histogram (ES): pick the smallest calendar interval
+    // from the hour→day→week→month ladder whose estimated bucket count
+    // stays ≤ 20, then histogram at that interval. Interval choice is
+    // span-arithmetic on a ONE-ROW bounds aggregate (map-side-combined
+    // min/max reduce — two longs off a full scan) broadcast back over the
+    // fact table; the second pass groups into ≤ target buckets by
+    // construction. Both engines floor the epoch seconds before the span
+    // subtract and both truncate weeks to Monday, so the interval decision
+    // and the bucket keys are bit-mirrored.
+    Q("a20_auto_date_histogram",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val bounds = ev.agg((unix_timestamp(max(col("ts"))) -
+          unix_timestamp(min(col("ts")))).as("span_s"))
+        val unit = when(ceil(col("span_s") / 3600.0) <= 20, "hour")
+          .when(ceil(col("span_s") / 86400.0) <= 20, "day")
+          .when(ceil(col("span_s") / 604800.0) <= 20, "week")
+          .otherwise("month")
+        val bucket = when(col("unit") === "hour", date_trunc("hour", col("ts")))
+          .when(col("unit") === "day", date_trunc("day", col("ts")))
+          .when(col("unit") === "week", date_trunc("week", col("ts")))
+          .otherwise(date_trunc("month", col("ts")))
+        ev.crossJoin(broadcast(bounds.select(unit.as("unit"))))
+          .groupBy(col("unit"), bucket.as("bucket_start"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          .orderBy(col("bucket_start"))
+      },
+      Some("""WITH b AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT)
+             |                  - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s
+             |           FROM events),
+             |u AS (SELECT CASE WHEN ceil(span_s / 3600.0) <= 20 THEN 'hour'
+             |                  WHEN ceil(span_s / 86400.0) <= 20 THEN 'day'
+             |                  WHEN ceil(span_s / 604800.0) <= 20 THEN 'week'
+             |                  ELSE 'month' END AS unit
+             |      FROM b)
+             |SELECT unit,
+             |       CASE WHEN unit = 'hour' THEN date_trunc('hour', ts)
+             |            WHEN unit = 'day' THEN date_trunc('day', ts)
+             |            WHEN unit = 'week' THEN date_trunc('week', ts)
+             |            ELSE date_trunc('month', ts) END AS bucket_start,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events CROSS JOIN u
+             |GROUP BY 1, 2
+             |ORDER BY bucket_start""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

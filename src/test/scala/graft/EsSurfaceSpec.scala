@@ -142,6 +142,24 @@ class EsSurfaceSpec extends SparkSuite {
     assert(vcs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("a19 plan: the quota is a WindowGroupLimit pushed below the exchange") {
+    // Spark 4's rank-limit pushdown must keep kicking in for the row_number
+    // <= k filter: a PARTIAL WindowGroupLimit before the user_id Exchange
+    // prunes each map partition to its local top-3-per-user, so the shuffle
+    // carries ~3·|users| rows, not the corpus. If a refactor ever breaks
+    // the rank-filter pattern Catalyst matches on, this assert fails.
+    val df = Registry.byName("a19_diversified_sample").run(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit in the final plan:\n" + plan)
+    val firstExchange = plan.indexOf("Exchange")
+    val lastWgl = plan.lastIndexOf("WindowGroupLimit")
+    assert(firstExchange >= 0 && lastWgl > firstExchange,
+      "expected a partial WindowGroupLimit BELOW the exchange (printed after " +
+        "it in the tree):\n" + plan)
+  }
+
   test("a18: rate normalizer is the true month length") {
     val rows = Registry.byName("a18_rate").run(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -153,6 +171,14 @@ class EsSurfaceSpec extends SparkSuite {
       assert(math.abs(epd - n.toDouble / days) < 1e-6,
         s"month $month: $epd vs $n/$days")
     }
+  }
+
+  test("a20: auto interval lands under the bucket target and loses no events") {
+    val rows = Registry.byName("a20_auto_date_histogram").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[String]("unit")).distinct.length == 1)
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
   }
 
   test("t18: suggestions are within distance 2, ranked (dist, freq desc, term)") {
