@@ -128,6 +128,28 @@ object ScaleProbe {
       "d2_prefix_blocked_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8,
         Seq(col("lang"), col("source")))),
+      // r13 addition: interval-overlap join at 10×. expand() remaps only
+      // l_orderkey, so each part keeps its key and sees 10× the lineitems —
+      // per-(part, bin) density grows 10× and the TRUE overlap-pair count
+      // grows ~100× (quadratic in density — semantic output growth, not an
+      // operator cliff; same bookkeeping as m3's doc-level enumeration).
+      // The structural claim under test: the join stays a (partkey, bin)
+      // hash join — no BNLJ/cartesian flip, no dedup shuffle — so wall
+      // time tracks the candidate/output volume and nothing worse.
+      "j13_interval_shape" -> (() => {
+        def iv(p: String) = lineitem.select(
+            col("l_partkey").as(s"${p}part"), col("l_suppkey").as(s"${p}supp"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as(s"${p}id"),
+            datediff(col("l_shipdate").cast("date"),
+              to_date(lit("1970-01-01"))).cast("long").as(s"${p}lo"),
+            col("l_quantity").cast("long").as(s"${p}q"))
+          .withColumn(s"${p}hi", col(s"${p}lo") + col(s"${p}q"))
+          .drop(s"${p}q")
+        graft.operators.RangeJoin.intervalOverlap(
+            iv("a"), "alo", "ahi", iv("b"), "blo", "bhi", 32L,
+            Seq(("apart", "bpart")))
+          .filter(col("asupp") =!= col("bsupp") && col("aid") < col("bid"))
+      }),
       // the round-8 addition: pairs → connected components at 10× density —
       // every original doc is a 10-member family, so the label-propagation
       // rounds (logged) must stay ~graph-diameter flat, not grow with xf

@@ -439,6 +439,52 @@ object Dedup {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Per-EVAL-doc overlap report — the dual of [[decontaminate]]: for each
+    * eval document, the fraction of its distinct n-gram shingles that occur
+    * anywhere in the training corpus (the "benchmark burn" analysis LLM
+    * papers publish next to their decontamination step).
+    *
+    * Scale shape: the EVAL shingle vocabulary is small by definition, so it
+    * broadcasts into a map-side LEFT SEMI against the train shingle stream —
+    * the train corpus is scanned once and never shuffled; the only exchange
+    * carries the matched-term set (bounded by the eval vocabulary), which
+    * then broadcasts back over the per-doc eval shingles for the counts.
+    *
+    * Null contract (mirrored in the d11 oracle): an eval doc with fewer
+    * than n tokens has 0 shingles → overlap_frac NULL (never NaN — the
+    * divide is guarded, because Spark orders NaN ABOVE all doubles and an
+    * unguarded 0/0 would flip `burned` to true) and burned FALSE.
+    */
+  def evalOverlap(corpus: DataFrame, evalSet: DataFrame, id: Column,
+      text: Column, n: Int = 3, minFrac: Double = 0.1): DataFrame = {
+    val evalSh = evalSet
+      .select(id.as("doc_id"), explode(TextFunctions.shingles(text, n)).as("term"))
+      .distinct()
+    val evalTerms = evalSh.select(col("term")).distinct()
+    val matched = corpus
+      .select(explode(TextFunctions.shingles(text, n)).as("term"))
+      .join(broadcast(evalTerms), Seq("term"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val agg = evalSh
+      .join(broadcast(matched), Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+    evalSet.select(id.as("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_matched") * lit(1.0) / col("n_shingles"), 6)))
+      .withColumn("burned", coalesce(
+        when(col("n_shingles") > 0,
+          col("n_matched") * lit(1.0) / col("n_shingles") >= minFrac),
+        lit(false)))
+  }
+
   /** Exact duplicate-span coverage at k-token granularity (the signal behind
     * exact-substring training-data dedup, Lee et al. 2021): per document,
     * how many token positions sit inside some k-token span that also occurs

@@ -53,4 +53,39 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Join every `left` interval `[lLo, lHi]` to every `right` interval
+    * `[rLo, rHi]` that OVERLAPS it (inclusive ends; the interval-join of
+    * the streaming engines, both sides ranges). Same binning idea as
+    * [[pointInRange]], with both sides exploded to their covered bins and
+    * an equi-join on (equiKeys, bin).
+    *
+    * Exactly-once without a dedup shuffle: a pair whose intervals share k
+    * bins would surface k times, so candidates are kept only in the bin of
+    * the OVERLAP'S START, `floorDiv(greatest(lLo, rLo))` — that bin is
+    * covered by both sides of a true overlap (the overlap start lies in
+    * both intervals) and is unique per pair, so each match is emitted in
+    * exactly one bin and `.distinct()` never runs. Empty intervals
+    * (lo > hi) drop. Column names must be disjoint across inputs.
+    *
+    * Scale: shuffle key is (equiKeys, bin) — pick `binWidth` ≈ the typical
+    * interval span so each side explodes ~2× and candidate pairs stay
+    * co-binned instead of quadratic; the exact overlap predicate re-checks
+    * candidates map-side after the hash join.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String, binWidth: Long,
+      equiKeys: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left.filter(col(lLo) <= col(lHi)).withColumn("__lbin",
+      explode(sequence(floorDiv(col(lLo), binWidth), floorDiv(col(lHi), binWidth))))
+    val r = right.filter(col(rLo) <= col(rHi)).withColumn("__rbin",
+      explode(sequence(floorDiv(col(rLo), binWidth), floorDiv(col(rHi), binWidth))))
+    val joinCond = equiKeys.map { case (a, b) => col(a) === col(b) }
+      .foldLeft(col("__lbin") === col("__rbin"))(_ && _)
+    l.join(r, joinCond)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__lbin") === floorDiv(greatest(col(lLo), col(rLo)), binWidth))
+      .drop("__lbin", "__rbin")
+  }
 }

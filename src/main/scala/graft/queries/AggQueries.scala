@@ -521,7 +521,60 @@ object AggQueries extends QueryGroup {
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events CROSS JOIN u
              |GROUP BY 1, 2
-             |ORDER BY bucket_start""".stripMargin))
+             |ORDER BY bucket_start""".stripMargin)),
+
+    // A21 — Welch t-test between every pair of event_type value
+    // distributions (the ES t_test agg, unpaired/heteroscedastic form). One
+    // hash aggregate collects EXACT integer-cent partials (n, Σv, Σv²) per
+    // type — map-side-combinable longs, the only corpus-scale pass; the
+    // pair frame is |types|² rows of driver-free crossJoin on the tiny agg.
+    // The t statistic is derived from those exact integers through ONE
+    // mirrored IEEE sequence (mean → variance → standard error → t), so
+    // the rounded values hash-match DuckDB bit-for-bit. Σv² of int cents
+    // stays far under Long range (~1e17 at petabyte row counts vs 9.2e18).
+    Q("a21_welch_ttest",
+      (s, d) => {
+        val stats = Tables(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("vc"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+            sum(col("vc") * col("vc")).as("q"))
+        val a = stats.select(col("event_type").as("ta"), col("n").as("na"),
+          col("s").as("sa"), col("q").as("qa"))
+        val b = stats.select(col("event_type").as("tb"), col("n").as("nb"),
+          col("s").as("sb"), col("q").as("qb"))
+        val ma = col("sa").cast("double") / col("na")
+        val mb = col("sb").cast("double") / col("nb")
+        val va = (col("qa").cast("double") - col("sa").cast("double") * ma) /
+          (col("na") - 1)
+        val vb = (col("qb").cast("double") - col("sb").cast("double") * mb) /
+          (col("nb") - 1)
+        a.crossJoin(b).filter(col("ta") < col("tb"))
+          .select(col("ta"), col("tb"), col("na"), col("nb"),
+            round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+            round((ma - mb) / sqrt(va / col("na") + vb / col("nb")), 6)
+              .as("t_stat"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type, count(*) AS n,
+             |         CAST(sum(vc) AS BIGINT) AS s,
+             |         CAST(sum(vc * vc) AS BIGINT) AS q
+             |  FROM (SELECT event_type,
+             |               CAST(round(value * 100) AS BIGINT) AS vc
+             |        FROM events)
+             |  GROUP BY 1)
+             |SELECT a.event_type AS ta, b.event_type AS tb,
+             |       a.n AS na, b.n AS nb,
+             |       round(CAST(a.s AS DOUBLE) / a.n, 6) AS mean_a,
+             |       round(CAST(b.s AS DOUBLE) / b.n, 6) AS mean_b,
+             |       round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             |             / sqrt(((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * (CAST(a.s AS DOUBLE) / a.n)) / (a.n - 1)) / a.n
+             |                  + ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * (CAST(b.s AS DOUBLE) / b.n)) / (b.n - 1)) / b.n),
+             |             6) AS t_stat
+             |FROM st a CROSS JOIN st b
+             |WHERE a.event_type < b.event_type
+             |ORDER BY ta, tb""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

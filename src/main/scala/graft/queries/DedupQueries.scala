@@ -669,6 +669,53 @@ object DedupQueries extends QueryGroup {
              |       count(*) FILTER (WHERE rk = 1) AS n_kept,
              |       md5(coalesce(string_agg(ptext, ' ' ORDER BY pid)
              |                      FILTER (WHERE rk = 1), '')) AS kept_md5
-             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // D11 — per-EVAL-doc overlap report, the dual of d4: d4 flags TRAIN
+    // docs that leak eval shingles; this audits each EVAL doc ("which
+    // benchmarks are burned") — the overlap analysis LLM papers publish
+    // next to their decontamination step. Scale shape is the one that
+    // matters: the eval shingle set is SMALL by definition, so it
+    // broadcasts into a map-side semi against the train shingle stream —
+    // the train corpus is scanned once and NEVER shuffled; the only
+    // exchange carries matched terms, bounded by the eval vocabulary. The
+    // per-doc fraction then rides a broadcast join back over the eval set.
+    Q("d11_eval_overlap",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.dedup.Dedup.evalOverlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, source, term FROM (
+             |    SELECT doc_id, source,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |tr AS (SELECT DISTINCT term FROM sh WHERE source <> 'src0'),
+             |ev AS (SELECT doc_id, term FROM sh WHERE source = 'src0'),
+             |agg AS (
+             |  SELECT ev.doc_id, count(*) AS n_shingles,
+             |         CAST(count(tr.term) AS BIGINT) AS n_matched
+             |  FROM ev LEFT JOIN tr USING (term)
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+             |       coalesce(agg.n_matched, 0) AS n_matched,
+             |       round(agg.n_matched * 1.0 / nullif(agg.n_shingles, 0), 6) AS overlap_frac,
+             |       coalesce(agg.n_matched * 1.0 / nullif(agg.n_shingles, 0) >= 0.1,
+             |                FALSE) AS burned
+             |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+             |LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -280,6 +280,56 @@ object JoinQueries extends QueryGroup {
              |FROM p JOIN dim ON p.user_id = dim.user_id
              |  AND p.us >= dim.valid_from_us
              |  AND (dim.valid_to_us IS NULL OR p.us < dim.valid_to_us)
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // J13 — interval-overlap join (both sides ranges; the interval join of
+    // the streaming engines): competing shipments of the SAME part from
+    // DIFFERENT suppliers whose shipping windows overlap. The window is
+    // [shipdate, shipdate + quantity days] — the fixture carries no
+    // receiptdate, so quantity stands in for transit days (deterministic;
+    // a real TPC-H would use l_receiptdate). Plan shape is the part that
+    // matters: both sides explode to 32-day bins, the hash join runs on
+    // (partkey, bin), and each pair is emitted exactly once in its
+    // overlap-start bin — no distinct, no cartesian, no nested loop (see
+    // RangeJoin.intervalOverlap). The oracle runs the brute-force theta
+    // self-join, so the binned rewrite's completeness is oracle-gated.
+    Q("j13_interval_overlap",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        def iv(p: String) = li.select(
+            col("l_partkey").as(s"${p}part"), col("l_suppkey").as(s"${p}supp"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as(s"${p}id"),
+            datediff(col("l_shipdate").cast("date"),
+              to_date(lit("1970-01-01"))).cast("long").as(s"${p}lo"),
+            col("l_quantity").cast("long").as(s"${p}q"))
+          .withColumn(s"${p}hi", col(s"${p}lo") + col(s"${p}q"))
+          .drop(s"${p}q")
+        graft.operators.RangeJoin.intervalOverlap(
+            iv("a"), "alo", "ahi", iv("b"), "blo", "bhi", 32L,
+            Seq(("apart", "bpart")))
+          .filter(col("asupp") =!= col("bsupp") && col("aid") < col("bid"))
+          .select(col("apart").as("p_key"), col("aid").as("ida"),
+            col("bid").as("idb"),
+            (least(col("ahi"), col("bhi")) -
+              greatest(col("alo"), col("blo")) + 1).as("overlap_days"))
+          .orderBy(col("ida"), col("idb"))
+      },
+      Some("""WITH l AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+             |         CAST(datediff('day', DATE '1970-01-01',
+             |                       CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+             |         CAST(datediff('day', DATE '1970-01-01',
+             |                       CAST(l_shipdate AS DATE))
+             |              + CAST(l_quantity AS BIGINT) AS BIGINT) AS hi
+             |  FROM lineitem)
+             |SELECT a.l_partkey AS p_key, a.id AS ida, b.id AS idb,
+             |       CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+             |         AS overlap_days
+             |FROM l a JOIN l b
+             |  ON a.l_partkey = b.l_partkey AND a.id < b.id
+             |WHERE a.l_suppkey <> b.l_suppkey
+             |  AND a.lo <= b.hi AND b.lo <= a.hi
+             |ORDER BY ida, idb""".stripMargin))
   )
 }

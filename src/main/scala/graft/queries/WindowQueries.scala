@@ -260,6 +260,86 @@ object WindowQueries extends QueryGroup {
              |       last_value(last_id IGNORE NULLS) OVER (
              |         PARTITION BY event_type ORDER BY h
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_id
-             |FROM g ORDER BY event_type, h""".stripMargin))
+             |FROM g ORDER BY event_type, h""".stripMargin)),
+
+    // W9 — resample with LINEAR INTERPOLATION, the w8 twin for continuous
+    // metrics: gaps in the hourly per-type value series are filled by the
+    // straight line between the flanking observed hours (edges take the
+    // nearest observed value). Same spine/type scaffolding as w8 (one
+    // hourly aggregate feeds spine bounds, type list and values through
+    // AQE exchange reuse); the interpolation is two IGNORE NULLS window
+    // probes per direction over the CALENDAR-BOUNDED spine (hours × types
+    // — thousands of rows regardless of corpus size), and the arithmetic
+    // runs one mirrored IEEE sequence over exact integer cents and
+    // floor-epoch second positions.
+    Q("w9_resample_interpolate",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val e = Tables(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            round(col("value") * 100).cast("long").as("vc"))
+        val hourly = e.groupBy(col("event_type"), col("h"))
+          .agg(sum(col("vc")).as("v"))
+        val spine = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val types = hourly.select(col("event_type")).distinct()
+        val back = W.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Long.MinValue, 0)
+        val fwd = W.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(0, Long.MaxValue)
+        val hs = unix_timestamp(col("h"))
+        val obsH = when(col("v").isNotNull, hs)
+        val g = spine.crossJoin(broadcast(types))
+          .join(hourly, Seq("event_type", "h"), "left_outer")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("ph", last(obsH, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", first(obsH, ignoreNulls = true).over(fwd))
+        g.select(col("event_type"), col("h"),
+            round(
+              when(col("v").isNotNull, col("v").cast("double"))
+                .when(col("pv").isNull, col("nv").cast("double"))
+                .when(col("nv").isNull, col("pv").cast("double"))
+                .otherwise(col("pv").cast("double") +
+                  (col("nv").cast("double") - col("pv").cast("double")) *
+                    ((hs - col("ph")) / (col("nh") - col("ph")))),
+              6).as("v_interp"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |hourly AS (SELECT event_type, h, CAST(sum(vc) AS BIGINT) AS v
+             |           FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+             |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |          FROM b),
+             |ty AS (SELECT DISTINCT event_type FROM hourly),
+             |g AS (SELECT ty.event_type, spine.h, hourly.v,
+             |             CAST(floor(epoch(spine.h)) AS BIGINT) AS hs,
+             |             CASE WHEN hourly.v IS NOT NULL
+             |                  THEN CAST(floor(epoch(spine.h)) AS BIGINT) END AS oh
+             |      FROM spine CROSS JOIN ty
+             |      LEFT JOIN hourly ON hourly.event_type = ty.event_type
+             |                      AND hourly.h = spine.h),
+             |w AS (SELECT event_type, h, v, hs,
+             |             last_value(v IGNORE NULLS) OVER wb AS pv,
+             |             last_value(oh IGNORE NULLS) OVER wb AS ph,
+             |             first_value(v IGNORE NULLS) OVER wf AS nv,
+             |             first_value(oh IGNORE NULLS) OVER wf AS nh
+             |      FROM g
+             |      WINDOW wb AS (PARTITION BY event_type ORDER BY h
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |             wf AS (PARTITION BY event_type ORDER BY h
+             |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_type, h,
+             |       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             |                  WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             |                  WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             |                  ELSE CAST(pv AS DOUBLE)
+             |                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+             |                         * ((hs - ph) / (nh - ph)) END,
+             |             6) AS v_interp
+             |FROM w ORDER BY event_type, h""".stripMargin))
   )
 }

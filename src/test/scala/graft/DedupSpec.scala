@@ -202,6 +202,29 @@ class DedupFacadeSpec extends SparkSuite {
     }
   }
 
+  test("Dedup.evalOverlap: fraction bounds, and the <n-token null contract") {
+    val train = Seq(
+      (1L, "a b c d e"),          // shares shingle "a b c" with eval 10
+      (2L, "x y z w v")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c q r"),         // 3 of 3... shingles: "a b c","b c q","c q r" -> 1 matched
+      (11L, "p q"),               // < 3 tokens: 0 shingles -> NULL frac, burned=false
+      (12L, "x y z w v")).toDF("doc_id", "text")  // fully contained
+    val out = Dedup.evalOverlap(train, eval_, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val r10 = out(0)
+    assert(r10.getAs[Long]("n_shingles") == 3 && r10.getAs[Long]("n_matched") == 1)
+    assert(math.abs(r10.getAs[Double]("overlap_frac") - 0.333333) < 1e-6)
+    assert(r10.getAs[Boolean]("burned"))
+    val r11 = out(1)
+    assert(r11.getAs[Long]("n_shingles") == 0 && r11.getAs[Long]("n_matched") == 0)
+    assert(r11.isNullAt(r11.fieldIndex("overlap_frac")))
+    assert(!r11.getAs[Boolean]("burned"))   // NULL-guarded, never NaN>=t
+    val r12 = out(2)
+    assert(r12.getAs[Double]("overlap_frac") == 1.0 && r12.getAs[Boolean]("burned"))
+  }
+
   test("prefix filtering indexes strictly fewer postings than the full self-join") {
     // the structural claim: the candidate index carries only each doc's
     // (sz - ceil(t*sz) + 1) rarest tokens — at t=0.8 that's ~a fifth of the

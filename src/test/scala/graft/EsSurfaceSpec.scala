@@ -181,6 +181,20 @@ class EsSurfaceSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == total)
   }
 
+  test("a21: one row per unordered type pair; t sign follows the mean gap") {
+    val rows = Registry.byName("a21_welch_ttest").run(spark, sf).collect()
+    val k = Tables(spark, sf, "events").select("event_type").distinct().count()
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("ta") < r.getAs[String]("tb"))
+      assert(r.getAs[Long]("na") >= 2 && r.getAs[Long]("nb") >= 2)
+      val gap = r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b")
+      val t = r.getAs[Double]("t_stat")
+      assert(!t.isNaN && !t.isInfinite)
+      assert(math.signum(gap) == math.signum(t) || t == 0.0)
+    }
+  }
+
   test("t18: suggestions are within distance 2, ranked (dist, freq desc, term)") {
     val rows = Registry.byName("t18_term_suggest").run(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -34,6 +34,26 @@ class RangeJoinSpec extends SparkSuite {
     }
   }
 
+  test("intervalOverlap matches the theta join, exactly once, across bin widths") {
+    // intervals spanning 0/1/2/many bins, inclusive-endpoint touches,
+    // negatives, an empty (lo > hi) row, and pairs sharing MANY bins (the
+    // dedup-free exactly-once claim is only interesting when they do)
+    val a = Seq((0L, 0L, 0L), (1L, 0L, 9L), (2L, 5L, 40L), (3L, -12L, -1L),
+      (4L, 95L, 105L), (5L, 50L, 40L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 9L, 9L), (11L, 10L, 39L), (12L, 0L, 100L),
+      (13L, -20L, -12L), (14L, 41L, 44L), (15L, 60L, 50L)).toDF("bid", "blo", "bhi")
+    val exp = a.filter(col("alo") <= col("ahi"))   // empty intervals drop,
+      .join(b.filter(col("blo") <= col("bhi")),    // same as the operator
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet === exp, s"binWidth=$w")
+    }
+  }
+
   test("plan: equi-join on the bin key, no BNLJ / cartesian") {
     val e = Tables(spark, sf, "events")
     val errs = e.filter(col("event_type") === "error").select(
