@@ -574,7 +574,55 @@ object AggQueries extends QueryGroup {
              |             6) AS t_stat
              |FROM st a CROSS JOIN st b
              |WHERE a.event_type < b.event_type
-             |ORDER BY ta, tb""".stripMargin))
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // A22 — adjacency_matrix (ES): doc counts for each named filter and
+    // each pairwise intersection. NOT 2^k filter-combination scans — the
+    // flags are computed once per row map-side and every matrix cell is a
+    // conditional sum in ONE hash aggregate over the single corpus pass;
+    // the bucket rows are a constant-size stack() unpivot of that one-row
+    // aggregate. Weekend is defined Sat/Sun via weekday()/isodow so both
+    // engines agree on week-start conventions.
+    Q("a22_adjacency_matrix",
+      (s, d) => {
+        val f = Tables(s, d, "events").select(
+          (col("event_type") === "error").cast("long").as("fa"),
+          (cents(col("value")) >= 25000).cast("long").as("fb"),
+          weekday(col("ts")).isin(5, 6).cast("long").as("fc"))
+        f.agg(
+            sum(col("fa")).as("n_a"), sum(col("fb")).as("n_b"),
+            sum(col("fc")).as("n_c"),
+            sum(col("fa") * col("fb")).as("n_ab"),
+            sum(col("fa") * col("fc")).as("n_ac"),
+            sum(col("fb") * col("fc")).as("n_bc"))
+          .select(expr(
+            "stack(6, 'error', n_a, 'high_value', n_b, 'weekend', n_c, " +
+              "'error&high_value', n_ab, 'error&weekend', n_ac, " +
+              "'high_value&weekend', n_bc) AS (bucket, n)"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fa,
+             |         CASE WHEN CAST(round(value * 100) AS BIGINT) >= 25000
+             |              THEN 1 ELSE 0 END AS fb,
+             |         CASE WHEN date_part('isodow', ts) IN (6, 7)
+             |              THEN 1 ELSE 0 END AS fc
+             |  FROM events),
+             |a AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+             |             CAST(sum(fb) AS BIGINT) AS n_b,
+             |             CAST(sum(fc) AS BIGINT) AS n_c,
+             |             CAST(sum(fa * fb) AS BIGINT) AS n_ab,
+             |             CAST(sum(fa * fc) AS BIGINT) AS n_ac,
+             |             CAST(sum(fb * fc) AS BIGINT) AS n_bc
+             |      FROM f)
+             |SELECT bucket, n FROM (
+             |  SELECT 'error' AS bucket, n_a AS n FROM a
+             |  UNION ALL SELECT 'high_value', n_b FROM a
+             |  UNION ALL SELECT 'weekend', n_c FROM a
+             |  UNION ALL SELECT 'error&high_value', n_ab FROM a
+             |  UNION ALL SELECT 'error&weekend', n_ac FROM a
+             |  UNION ALL SELECT 'high_value&weekend', n_bc FROM a)
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

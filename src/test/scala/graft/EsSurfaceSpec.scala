@@ -195,6 +195,16 @@ class EsSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("a22: intersection cells never exceed their margins") {
+    val rows = Registry.byName("a22_adjacency_matrix").run(spark, sf).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(rows.size == 6)
+    assert(rows("error&high_value") <= math.min(rows("error"), rows("high_value")))
+    assert(rows("error&weekend") <= math.min(rows("error"), rows("weekend")))
+    assert(rows("high_value&weekend") <= math.min(rows("high_value"), rows("weekend")))
+    assert(rows.values.forall(_ >= 0))
+  }
+
   test("t18: suggestions are within distance 2, ranked (dist, freq desc, term)") {
     val rows = Registry.byName("t18_term_suggest").run(spark, sf).collect()
     assert(rows.nonEmpty)

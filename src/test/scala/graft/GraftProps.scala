@@ -135,4 +135,28 @@ object GraftProps extends Properties("graft") {
       val lowerBound = merged.forall { case (t, c) => c <= truth.getOrElse(t, 0L) }
       containment && lowerBound && merged.size <= hhK
     }
+
+  /** The RangeJoin.intervalOverlap exactly-once lemma, as pure arithmetic:
+    * for ANY two overlapping intervals and ANY bin width, the bin of the
+    * overlap's start (floorDiv of max(alo, blo)) lies inside BOTH sides'
+    * exploded bin ranges — so keeping candidates only in that bin loses no
+    * pair (coverage) and emits each pair exactly once (the responsible bin
+    * is a single value). Negative coordinates included: the Column-side
+    * floorDiv uses pmod, i.e. floor semantics, mirrored here by
+    * Math.floorDiv. The Spark-level equivalence to the brute theta join is
+    * RangeJoinSpec's job; this pins the math it rests on.
+    */
+  private val genIv = for {
+    lo <- Gen.choose(-2000L, 2000L)
+    len <- Gen.choose(0L, 700L)
+  } yield (lo, lo + len)
+
+  property("interval-overlap responsible bin is covered by both sides") =
+    forAll(genIv, genIv, Gen.choose(1L, 97L)) { case ((alo, ahi), (blo, bhi), w) =>
+      !(alo <= bhi && blo <= ahi) || {
+        val s = Math.floorDiv(Math.max(alo, blo), w)
+        Math.floorDiv(alo, w) <= s && s <= Math.floorDiv(ahi, w) &&
+          Math.floorDiv(blo, w) <= s && s <= Math.floorDiv(bhi, w)
+      }
+    }
 }
