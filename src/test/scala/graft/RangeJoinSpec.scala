@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.RangeJoin
+import graft.queries.Registry
 
 /** Binned range join (operators/RangeJoin.scala): exact equivalence to the
   * naive theta join, exactly-once pair production across bin boundaries,
@@ -68,6 +69,18 @@ class RangeJoinSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("__bin"), plan)
+  }
+
+  test("intervalOverlap plan: hash join on (key, bin), no BNLJ / cartesian") {
+    // the j13 registry query's structural claim — AQE may pick broadcast
+    // (fixture scale) or sort-merge (100 TB), but the join must stay a
+    // HASH-keyed strategy on the extracted (partkey, bin) equalities and
+    // never degenerate to a nested loop over the exploded sides
+    val joined = Registry.byName("j13_interval_overlap").run(spark, sf)
+    joined.collect()
+    val plan = df2FinalPlan(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("empty intervals (lo > hi) produce no pairs") {
