@@ -392,6 +392,41 @@ object TextQueries extends QueryGroup {
               |WHERE a.term = 'merge' AND b.term = 'scan'
               |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // T19 — span_near (ES span queries): the two terms IN ORDER within a
+    // slop of 2 — i.e. 0 < gap ≤ slop+1 positions apart — generalizing
+    // t10's exact-adjacency phrase match. Same positional-postings shape:
+    // the term filters push to the scan, the join is doc-keyed over the
+    // two (tiny) filtered position sets, and the gap predicate is a
+    // residual — per-doc position lists stay bounded however large the
+    // corpus, because the join never touches unfiltered postings.
+    Q("t19_span_near",
+      (s, d) => {
+        val pos = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+        val a = pos.filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term") === "scan")
+          .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+        a.join(b, col("doc_id") === col("doc_b") &&
+            col("pos_b") > col("pos") && col("pos_b") <= col("pos") + 3)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            min(col("pos")).cast("long").as("first_pos"),
+            min(col("pos_b") - col("pos")).cast("long").as("min_gap"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH z AS (SELECT doc_id, $tok AS toks FROM documents),
+              |     p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+              |           FROM z, unnest(range(1, len(toks) + 1)) AS t(i))
+              |SELECT a.doc_id, count(*) AS n_spans,
+              |       CAST(min(a.pos) AS BIGINT) AS first_pos,
+              |       CAST(min(b.pos - a.pos) AS BIGINT) AS min_gap
+              |FROM p a JOIN p b ON a.doc_id = b.doc_id
+              |                 AND b.pos > a.pos AND b.pos <= a.pos + 3
+              |WHERE a.term = 'merge' AND b.term = 'scan'
+              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
     // T11 — fuzzy term search (ES match with fuzziness=1): expand the query
     // term against the TERM DICTIONARY at edit distance ≤ 1 (what ES's FST
     // automaton computes — the dictionary is tiny next to the corpus, so
