@@ -622,7 +622,52 @@ object AggQueries extends QueryGroup {
              |  UNION ALL SELECT 'error&high_value', n_ab FROM a
              |  UNION ALL SELECT 'error&weekend', n_ac FROM a
              |  UNION ALL SELECT 'high_value&weekend', n_bc FROM a)
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // A23 — moving percentile (ES moving_percentiles pipeline agg): the
+    // 7-day moving MEDIAN of daily event counts per type. The window runs
+    // over AGGREGATED buckets (a17's posture — days × types, thousands of
+    // rows at any corpus size) with a ≤7-element sorted frame per row, so
+    // the exact median is a bounded sort, never a corpus percentile. The
+    // even/odd median arithmetic is written out explicitly on BOTH engines
+    // (sorted frame list + element picks + one /2.0) instead of trusting
+    // either engine's median() interpolation convention; every index lands
+    // on an exact integer-valued double, so rounding-vs-truncation of the
+    // casts cannot diverge.
+    Q("a23_moving_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("win", sort_array(collect_list(col("n")).over(w)))
+          .withColumn("k", size(col("win")))
+          .withColumn("mov_median", expr(
+            """CASE WHEN k % 2 = 1
+              |     THEN CAST(element_at(win, CAST((k + 1) / 2 AS INT)) AS DOUBLE)
+              |     ELSE (element_at(win, CAST(k / 2 AS INT))
+              |           + element_at(win, CAST(k / 2 + 1 AS INT))) / 2.0
+              |END""".stripMargin))
+          .select(col("event_type"), col("day"), col("n"), col("k"),
+            col("mov_median"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, n,
+             |             list_sort(list(n) OVER (
+             |               PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+             |      FROM b)
+             |SELECT event_type, day, n, len(win) AS k,
+             |       CASE WHEN len(win) % 2 = 1
+             |            THEN CAST(win[CAST((len(win) + 1) / 2 AS INT)] AS DOUBLE)
+             |            ELSE (win[CAST(len(win) / 2 AS INT)]
+             |                  + win[CAST(len(win) / 2 + 1 AS INT)]) / 2.0
+             |       END AS mov_median
+             |FROM w ORDER BY event_type, day""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

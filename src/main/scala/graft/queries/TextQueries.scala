@@ -427,6 +427,29 @@ object TextQueries extends QueryGroup {
               |WHERE a.term = 'merge' AND b.term = 'scan'
               |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // T20 — bool query with minimum_should_match (ES): docs matching at
+    // least 2 of the 3 query terms, scored by total query-term frequency.
+    // The IN-list term filter pushes to the postings scan, so the corpus
+    // contribution is one filtered explode + one doc-keyed aggregate —
+    // the should-clause cardinality never multiplies the scan.
+    Q("t20_min_should_match",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("merge", "scan", "spark"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("score"))
+        .filter(col("n_terms") >= 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents)
+              |SELECT doc_id,
+              |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+              |       count(*) AS score
+              |FROM t WHERE term IN ('merge', 'scan', 'spark')
+              |GROUP BY doc_id
+              |HAVING count(DISTINCT term) >= 2
+              |ORDER BY doc_id""".stripMargin)),
+
     // T11 — fuzzy term search (ES match with fuzziness=1): expand the query
     // term against the TERM DICTIONARY at edit distance ≤ 1 (what ES's FST
     // automaton computes — the dictionary is tiny next to the corpus, so
