@@ -835,6 +835,70 @@ object VectorQueries extends QueryGroup {
               |                      coalesce(1.0 / (60 + r_dense), 0.0) AS rrf_raw
               |               FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
               |SELECT doc_id, r_lex, r_dense, round(rrf_raw, 6) AS rrf
-              |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 20""".stripMargin))
+              |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // V15 — binary quantization + hamming shortlist + exact rerank: the
+    // 1-bit-per-dimension compression modern vector stores use below int8
+    // (v10) and PQ (v11). Each 64-dim float vector collapses to TWO 32-bit
+    // sign words (two halves, not one 64-bit word — a 1<<63 BIGINT shift
+    // overflows DuckDB, and two bounded halves mirror exactly); candidate
+    // distance is bit_count(xor) over 8 bytes per vector — a 32×
+    // memory-bandwidth cut at scan time — and the top-20 hamming shortlist
+    // (deterministic (hamming, vec_id) order) is reranked by the EXACT
+    // mirrored cosine. At 100 TB the signature column is the only thing
+    // the first pass reads; floats are fetched for the shortlist alone.
+    Q("v15_binary_quantize",
+      (s, d) => {
+        def sig(off: Int) = expr(
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + IF(element_at(embedding, i + $off) > 0.0D,
+             |                       shiftleft(CAST(1 AS BIGINT), i),
+             |                       CAST(0 AS BIGINT)))""".stripMargin)
+        val base = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sig(1).as("sig_lo"), sig(33).as("sig_hi"))
+        val q = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"),
+            col("sig_lo").as("qlo"), col("sig_hi").as("qhi"))
+        base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            (bit_count(col("sig_lo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("sig_hi").bitwiseXOR(col("qhi"))))
+              .cast("long").as("hamming"))
+          .orderBy(col("hamming"), col("vec_id"))
+          .limit(20)
+          .select(col("vec_id"), col("hamming"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+      },
+      Some(s"""WITH sigs AS (
+              |  SELECT vec_id, embedding,
+              |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |           list_transform(generate_series(0, 31),
+              |             i -> CASE WHEN embedding[i + 1] > 0.0
+              |                       THEN CAST(1 AS BIGINT) << i
+              |                       ELSE CAST(0 AS BIGINT) END)),
+              |           (acc, v) -> acc + v) AS sig_lo,
+              |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |           list_transform(generate_series(0, 31),
+              |             i -> CASE WHEN embedding[i + 33] > 0.0
+              |                       THEN CAST(1 AS BIGINT) << i
+              |                       ELSE CAST(0 AS BIGINT) END)),
+              |           (acc, v) -> acc + v) AS sig_hi
+              |  FROM embeddings),
+              |q AS (SELECT embedding AS qv, sig_lo AS qlo, sig_hi AS qhi
+              |      FROM sigs WHERE vec_id = 0),
+              |short AS (
+              |  SELECT vec_id, embedding, qv,
+              |         CAST(bit_count(xor(sig_lo, qlo))
+              |              + bit_count(xor(sig_hi, qhi)) AS BIGINT) AS hamming
+              |  FROM sigs CROSS JOIN q
+              |  WHERE vec_id <> 0
+              |  ORDER BY hamming, vec_id LIMIT 20)
+              |SELECT vec_id, hamming,
+              |       round(${duckCos("embedding", "qv")}, 6) AS cos
+              |FROM short
+              |ORDER BY cos DESC, vec_id""".stripMargin))
   )
 }
