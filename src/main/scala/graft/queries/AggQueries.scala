@@ -667,6 +667,56 @@ object AggQueries extends QueryGroup {
              |            ELSE (win[CAST(len(win) / 2 AS INT)]
              |                  + win[CAST(len(win) / 2 + 1 AS INT)]) / 2.0
              |       END AS mov_median
+             |FROM w ORDER BY event_type, day""".stripMargin)),
+
+    // A24 — EWMA over the date histogram (the ES moving_fn ewma pipeline
+    // agg, α=0.3, 7-day frame, seeded by the frame's first value). The
+    // fold is order-SENSITIVE, and neither engine contractually orders a
+    // window-collected list, so each frame element is encoded as
+    // day_index·10¹² + count, the encoded list is SORTED (total order —
+    // the day prefix dominates), and both engines run the identical
+    // decode → left-fold `0.3·x + 0.7·acc` IEEE sequence over it. Counts
+    // are asserted < 10¹² by the encoding; window state is a17's
+    // calendar-bounded bucket frame, never corpus rows. Literals are
+    // pinned DOUBLE on both sides (Spark would parse bare 0.3 as DECIMAL,
+    // and so would DuckDB — a silent precision fork the D-suffix/CAST
+    // avoids).
+    Q("a24_moving_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("enc", datediff(col("day"), to_date(lit("1970-01-01")))
+            .cast("long") * lit(1000000000000L) + col("n"))
+          .withColumn("win", sort_array(collect_list(col("enc")).over(w)))
+          .withColumn("ewma", expr(
+            """round(aggregate(
+              |  slice(transform(win, v -> CAST(v % 1000000000000 AS DOUBLE)),
+              |        2, size(win) - 1),
+              |  CAST(element_at(win, 1) % 1000000000000 AS DOUBLE),
+              |  (acc, v) -> 0.3D * v + 0.7D * acc), 6)""".stripMargin))
+          .select(col("event_type"), col("day"), col("n"), col("ewma"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |e AS (SELECT event_type, day, n,
+             |             CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+             |               * 1000000000000 + n AS enc
+             |      FROM b),
+             |w AS (SELECT event_type, day, n,
+             |             list_sort(list(enc) OVER (
+             |               PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+             |      FROM e)
+             |SELECT event_type, day, n,
+             |       round(list_reduce(
+             |         list_transform(win, v -> CAST(v % 1000000000000 AS DOUBLE)),
+             |         (acc, v) -> CAST(0.3 AS DOUBLE) * v
+             |                     + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
              |FROM w ORDER BY event_type, day""".stripMargin))
   )
 
