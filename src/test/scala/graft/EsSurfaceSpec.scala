@@ -205,6 +205,28 @@ class EsSurfaceSpec extends SparkSuite {
     assert(rows.values.forall(_ >= 0))
   }
 
+  test("a23/a24: moving median and EWMA stay within their frame's min/max") {
+    // the convexity invariant every windowed smoother must satisfy — a
+    // violated bound means the frame collection or the fold read rows
+    // outside the 7-day window (or in the wrong order, for the EWMA)
+    for (name <- Seq("a23_moving_median" -> "mov_median",
+                     "a24_moving_ewma" -> "ewma")) {
+      val (qname, colName) = name
+      val rows = Registry.byName(qname).run(spark, sf).collect()
+      val byType = rows.groupBy(_.getAs[String]("event_type"))
+      byType.foreach { case (_, vs) =>
+        val ordered = vs.sortBy(_.getAs[java.sql.Date]("day").toString)
+        ordered.zipWithIndex.foreach { case (r, i) =>
+          val frame = ordered.slice(math.max(0, i - 6), i + 1)
+            .map(_.getAs[Long]("n"))
+          val v = r.getAs[Double](colName)
+          assert(v >= frame.min - 1e-6 && v <= frame.max + 1e-6,
+            s"$qname row $i: $v outside [${frame.min}, ${frame.max}]")
+        }
+      }
+    }
+  }
+
   test("t18: suggestions are within distance 2, ranked (dist, freq desc, term)") {
     val rows = Registry.byName("t18_term_suggest").run(spark, sf).collect()
     assert(rows.nonEmpty)
