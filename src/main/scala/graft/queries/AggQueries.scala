@@ -717,7 +717,37 @@ object AggQueries extends QueryGroup {
              |         list_transform(win, v -> CAST(v % 1000000000000 AS DOUBLE)),
              |         (acc, v) -> CAST(0.3 AS DOUBLE) * v
              |                     + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
-             |FROM w ORDER BY event_type, day""".stripMargin))
+             |FROM w ORDER BY event_type, day""".stripMargin)),
+
+    // A25 — bucket_script + bucket_selector (ES pipeline aggs): per-user
+    // buckets carry two sub-aggregate counts (errors, total), the script
+    // derives their ratio, and the selector keeps buckets above the
+    // threshold. Relationally this is conditional sums in ONE hash
+    // aggregate + a HAVING on the derived column — the ratio is computed
+    // on BUCKET rows (|users|, not corpus rows), the selector prunes
+    // before the sort, and the only corpus-scale work is the single
+    // grouped pass. Exact integer counts; one mirrored rounded divide.
+    Q("a25_bucket_script",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+        .withColumn("error_rate",
+          round(col("errors") * lit(1.0) / col("total"), 6))
+        .filter(col("errors") * lit(1.0) / col("total") > 0.25)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS total,
+             |       CAST(sum(CASE WHEN event_type = 'error'
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+             |       round(sum(CASE WHEN event_type = 'error'
+             |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |         AS error_rate
+             |FROM events
+             |GROUP BY user_id
+             |HAVING sum(CASE WHEN event_type = 'error'
+             |               THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.25
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to
