@@ -747,7 +747,257 @@ object AggQueries extends QueryGroup {
              |GROUP BY user_id
              |HAVING sum(CASE WHEN event_type = 'error'
              |               THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.25
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // A26 — extended_stats + higher moments (the ES extended_stats agg —
+    // count/min/max/sum/avg/variance/std/±2σ bounds — plus the 3rd/4th
+    // standardized moments): ONE corpus pass accumulates exact BIGINT
+    // power sums Σv..Σv⁴ over the whole-unit quantized value (v ≤ 561 on
+    // the fixture ⇒ v⁴ ≤ 9.9e10, so even 10⁷-row groups stay far inside
+    // BIGINT; the cents-precision variant at 100 TB swaps the partials to
+    // DECIMAL(38,0) — same plan shape). Every double stat derives from
+    // those exact integers through one mirrored IEEE sequence, so the
+    // hash compare is independent of per-partition summation order. The
+    // std³/std⁴ normalizers are guarded (a constant group would divide by
+    // zero: Spark NaN vs DuckDB NULL — the x20 fork class).
+    Q("a26_extended_stats",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"), round(col("value")).cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          sum(col("v") * col("v") * col("v")).as("s3"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+        .withColumn("avg_v", col("s1").cast("double") / col("n"))
+        .withColumn("var_pop",
+          col("s2").cast("double") / col("n") - col("avg_v") * col("avg_v"))
+        .withColumn("std_v", sqrt(col("var_pop")))
+        .withColumn("skewness", when(col("std_v") > lit(0.0D),
+          (col("s3").cast("double") / col("n")
+            - lit(3.0D) * col("avg_v") * (col("s2").cast("double") / col("n"))
+            + lit(2.0D) * col("avg_v") * col("avg_v") * col("avg_v"))
+            / (col("std_v") * col("std_v") * col("std_v"))))
+        .withColumn("kurtosis", when(col("std_v") > lit(0.0D),
+          (col("s4").cast("double") / col("n")
+            - lit(4.0D) * col("avg_v") * (col("s3").cast("double") / col("n"))
+            + lit(6.0D) * col("avg_v") * col("avg_v")
+              * (col("s2").cast("double") / col("n"))
+            - lit(3.0D) * col("avg_v") * col("avg_v") * col("avg_v")
+              * col("avg_v"))
+            / (col("var_pop") * col("var_pop"))))
+        .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+          col("s1").as("sum_v"),
+          round(col("avg_v"), 6).as("avg_v"),
+          round(col("var_pop"), 6).as("var_pop"),
+          round(col("std_v"), 6).as("std_v"),
+          round(col("avg_v") + lit(2.0D) * col("std_v"), 6).as("std_upper"),
+          round(col("avg_v") - lit(2.0D) * col("std_v"), 6).as("std_lower"),
+          round(col("skewness"), 6).as("skewness"),
+          round(col("kurtosis"), 6).as("kurtosis"))
+        .orderBy(col("event_type")),
+      Some("""WITH v AS (SELECT event_type,
+             |                  CAST(round(value) AS BIGINT) AS v
+             |           FROM events),
+             |p AS (SELECT event_type, count(*) AS n,
+             |             min(v) AS min_v, max(v) AS max_v,
+             |             CAST(sum(v) AS BIGINT) AS s1,
+             |             CAST(sum(v * v) AS BIGINT) AS s2,
+             |             CAST(sum(v * v * v) AS BIGINT) AS s3,
+             |             CAST(sum(v * v * v * v) AS BIGINT) AS s4
+             |      FROM v GROUP BY 1),
+             |m AS (SELECT *,
+             |             CAST(s1 AS DOUBLE) / n AS avg_v,
+             |             CAST(s2 AS DOUBLE) / n
+             |               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             |               AS var_pop
+             |      FROM p),
+             |q AS (SELECT *, sqrt(var_pop) AS std_v FROM m)
+             |SELECT event_type, n, min_v, max_v, s1 AS sum_v,
+             |       round(avg_v, 6) AS avg_v,
+             |       round(var_pop, 6) AS var_pop,
+             |       round(std_v, 6) AS std_v,
+             |       round(avg_v + CAST(2.0 AS DOUBLE) * std_v, 6) AS std_upper,
+             |       round(avg_v - CAST(2.0 AS DOUBLE) * std_v, 6) AS std_lower,
+             |       round(CASE WHEN std_v > CAST(0.0 AS DOUBLE) THEN
+             |         (CAST(s3 AS DOUBLE) / n
+             |          - CAST(3.0 AS DOUBLE) * avg_v * (CAST(s2 AS DOUBLE) / n)
+             |          + CAST(2.0 AS DOUBLE) * avg_v * avg_v * avg_v)
+             |         / (std_v * std_v * std_v) END, 6) AS skewness,
+             |       round(CASE WHEN std_v > CAST(0.0 AS DOUBLE) THEN
+             |         (CAST(s4 AS DOUBLE) / n
+             |          - CAST(4.0 AS DOUBLE) * avg_v * (CAST(s3 AS DOUBLE) / n)
+             |          + CAST(6.0 AS DOUBLE) * avg_v * avg_v
+             |            * (CAST(s2 AS DOUBLE) / n)
+             |          - CAST(3.0 AS DOUBLE) * avg_v * avg_v * avg_v * avg_v)
+             |         / (var_pop * var_pop) END, 6) AS kurtosis
+             |FROM q ORDER BY event_type""".stripMargin)),
+
+    // A27 — matrix_stats (the ES matrix_stats agg): pairwise covariance +
+    // Pearson correlation between three lineitem measures, per return
+    // flag. ONE hash aggregate carries all nine exact BIGINT partials
+    // (Σx, Σx², Σxy for the quantized fields q=units, p=whole currency,
+    // d=per-mille discount; Σp² ≤ 6.6e15 at sf0.1, ∝n so DECIMAL(38,0)
+    // is the stated 10⁹-row swap) — never a per-pair pass, never engine
+    // covar_pop/corr (whose internal FP order is unspecified). Every
+    // cov/corr derives from the integer partials through one mirrored
+    // IEEE sequence; corr normalizers guarded against constant fields.
+    Q("a27_matrix_stats",
+      (s, d) => {
+        def covD(sxy: Column, sx: Column, sy: Column, n: Column): Column =
+          (sxy.cast("double") / n
+            - (sx.cast("double") / n) * (sy.cast("double") / n))
+        def varD(sxx: Column, sx: Column, n: Column): Column =
+          covD(sxx, sx, sx, n)
+        val n = col("n")
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity")).cast("long").as("q"),
+            round(col("l_extendedprice")).cast("long").as("p"),
+            round(col("l_discount") * 1000).cast("long").as("dm"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+            sum(col("dm")).as("sd"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("p") * col("p")).as("spp"),
+            sum(col("dm") * col("dm")).as("sdd"),
+            sum(col("q") * col("p")).as("sqp"),
+            sum(col("q") * col("dm")).as("sqd"),
+            sum(col("p") * col("dm")).as("spd"))
+          .select(col("l_returnflag"), n,
+            round(col("sq").cast("double") / n, 6).as("mean_q"),
+            round(col("sp").cast("double") / n, 6).as("mean_p"),
+            round(col("sd").cast("double") / n, 6).as("mean_d"),
+            round(covD(col("sqp"), col("sq"), col("sp"), n), 6).as("cov_qp"),
+            round(covD(col("sqd"), col("sq"), col("sd"), n), 6).as("cov_qd"),
+            round(covD(col("spd"), col("sp"), col("sd"), n), 6).as("cov_pd"),
+            round(covD(col("sqp"), col("sq"), col("sp"), n)
+              / (sqrt(varD(col("sqq"), col("sq"), n))
+                * sqrt(varD(col("spp"), col("sp"), n))), 6).as("corr_qp"),
+            round(covD(col("sqd"), col("sq"), col("sd"), n)
+              / (sqrt(varD(col("sqq"), col("sq"), n))
+                * sqrt(varD(col("sdd"), col("sd"), n))), 6).as("corr_qd"),
+            round(covD(col("spd"), col("sp"), col("sd"), n)
+              / (sqrt(varD(col("spp"), col("sp"), n))
+                * sqrt(varD(col("sdd"), col("sd"), n))), 6).as("corr_pd"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH v AS (SELECT l_returnflag,
+             |                  CAST(round(l_quantity) AS BIGINT) AS q,
+             |                  CAST(round(l_extendedprice) AS BIGINT) AS p,
+             |                  CAST(round(l_discount * 1000) AS BIGINT) AS dm
+             |           FROM lineitem),
+             |a AS (SELECT l_returnflag, count(*) AS n,
+             |             CAST(sum(q) AS BIGINT) AS sq,
+             |             CAST(sum(p) AS BIGINT) AS sp,
+             |             CAST(sum(dm) AS BIGINT) AS sd,
+             |             CAST(sum(q * q) AS BIGINT) AS sqq,
+             |             CAST(sum(p * p) AS BIGINT) AS spp,
+             |             CAST(sum(dm * dm) AS BIGINT) AS sdd,
+             |             CAST(sum(q * p) AS BIGINT) AS sqp,
+             |             CAST(sum(q * dm) AS BIGINT) AS sqd,
+             |             CAST(sum(p * dm) AS BIGINT) AS spd
+             |      FROM v GROUP BY 1),
+             |c AS (SELECT *,
+             |        CAST(sqp AS DOUBLE) / n
+             |          - (CAST(sq AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n) AS cqp,
+             |        CAST(sqd AS DOUBLE) / n
+             |          - (CAST(sq AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) AS cqd,
+             |        CAST(spd AS DOUBLE) / n
+             |          - (CAST(sp AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) AS cpd,
+             |        CAST(sqq AS DOUBLE) / n
+             |          - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) AS vq,
+             |        CAST(spp AS DOUBLE) / n
+             |          - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n) AS vp,
+             |        CAST(sdd AS DOUBLE) / n
+             |          - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) AS vd
+             |      FROM a)
+             |SELECT l_returnflag, n,
+             |       round(CAST(sq AS DOUBLE) / n, 6) AS mean_q,
+             |       round(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
+             |       round(CAST(sd AS DOUBLE) / n, 6) AS mean_d,
+             |       round(cqp, 6) AS cov_qp,
+             |       round(cqd, 6) AS cov_qd,
+             |       round(cpd, 6) AS cov_pd,
+             |       round(cqp / (sqrt(vq) * sqrt(vp)), 6) AS corr_qp,
+             |       round(cqd / (sqrt(vq) * sqrt(vd)), 6) AS corr_qd,
+             |       round(cpd / (sqrt(vp) * sqrt(vd)), 6) AS corr_pd
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // A28 — string_stats (the ES string_stats agg, per language): doc
+    // count, min/max/avg length, and the Shannon entropy (bits) of the
+    // corpus character distribution. Two small aggregates join on lang:
+    // the length arm is one grouped pass over (lang, length(text)); the
+    // entropy arm explodes characters but the map-side partial aggregate
+    // collapses to |langs|×|alphabet| keys (25 chars on the fixture)
+    // before the exchange, so the shuffle never carries corpus-scale
+    // rows. Entropy uses the x16 technique — each cnt·ln(cnt/total) term
+    // quantized to integer micros with tie-free floor(x·1e6+0.5), summed
+    // EXACTLY, one mirrored divide (incl. the ln(2) base change) at the
+    // end. Spark's split(text,'') keeps a trailing empty string (Java
+    // limit=-1 semantics) where DuckDB's does not — both sides filter
+    // empties so the distributions agree.
+    Q("a28_string_stats",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val lens = docs
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(length(col("text"))).as("min_len"),
+            max(length(col("text"))).as("max_len"),
+            sum(length(col("text")).cast("long")).as("sum_len"))
+        // Per-lang totals via a window over the ALREADY-AGGREGATED
+        // (lang, ch) frame (≈ |langs|×|alphabet| rows) — one aggregation
+        // pipeline, documents scanned once per arm, never three times.
+        val ent = docs
+          .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("lang"), col("ch"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("total",
+            sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+          .withColumn("term_micro",
+            floor(col("cnt") * log(col("cnt") * lit(1.0D) / col("total"))
+              * lit(1000000.0D) + lit(0.5D)).cast("long"))
+          .groupBy(col("lang"), col("total"))
+          .agg(sum(col("term_micro")).as("s_micro"))
+          .select(col("lang"), col("total").as("n_chars"),
+            round((-col("s_micro")) * lit(1.0D)
+              / (lit(1000000.0D) * col("total") * log(lit(2.0D))), 6)
+              .as("entropy_bits"))
+        lens.join(ent, "lang")
+          .select(col("lang"), col("n_docs"), col("min_len"), col("max_len"),
+            round(col("sum_len").cast("double") / col("n_docs"), 6)
+              .as("avg_len"),
+            col("n_chars"), col("entropy_bits"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (SELECT lang, count(*) AS n_docs,
+             |                  min(len(text)) AS min_len,
+             |                  max(len(text)) AS max_len,
+             |                  CAST(sum(len(text)) AS BIGINT) AS sum_len
+             |           FROM documents GROUP BY 1),
+             |ch AS (SELECT lang, unnest(list_filter(string_split(text, ''),
+             |                                       c -> c <> '')) AS ch
+             |       FROM documents),
+             |c AS (SELECT lang, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+             |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+             |      FROM c GROUP BY 1),
+             |e AS (SELECT c.lang, total,
+             |             CAST(floor(cnt * ln(cnt * 1.0 / total)
+             |                  * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+             |      FROM c JOIN t USING (lang)),
+             |a AS (SELECT lang, total AS n_chars,
+             |             round((-CAST(sum(term_micro) AS BIGINT)) * 1.0
+             |               / (1000000.0 * total
+             |                  * ln(CAST(2.0 AS DOUBLE))), 6) AS entropy_bits
+             |      FROM e GROUP BY lang, total)
+             |SELECT lang, n_docs, min_len, max_len,
+             |       round(sum_len * 1.0 / n_docs, 6) AS avg_len,
+             |       n_chars, entropy_bits
+             |FROM l JOIN a USING (lang)
+             |ORDER BY lang""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

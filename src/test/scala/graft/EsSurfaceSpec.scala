@@ -242,4 +242,65 @@ class EsSurfaceSpec extends SparkSuite {
       ranked.foreach(r => assert(r.getAs[Int]("dist") <= 2))
     }
   }
+
+  test("a26: moment identities — std² = variance, bounds bracket the mean, " +
+    "constant group nulls the standardized moments") {
+    val rows = Registry.byName("a26_extended_stats").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_v"); val std = r.getAs[Double]("std_v")
+      assert(math.abs(std * std - r.getAs[Double]("var_pop")) < 1e-3)
+      assert(r.getAs[Double]("std_lower") <= avg && avg <= r.getAs[Double]("std_upper"))
+      assert(r.getAs[Long]("min_v") <= avg && avg <= r.getAs[Long]("max_v"))
+    }
+    // the std>0 guard: a constant column must yield NULL skew/kurt on the
+    // Spark side (matching DuckDB's ELSE-less CASE), never NaN
+    import spark.implicits._
+    val const = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0)).toDF("event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_a26").toString
+    const.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.byName("a26_extended_stats").run(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("skewness")))
+    assert(out.head.isNullAt(out.head.fieldIndex("kurtosis")))
+  }
+
+  test("a27: correlations are bounded and invariant to field scaling") {
+    val rows = Registry.byName("a27_matrix_stats").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("corr_qp", "corr_qd", "corr_pd").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c=$v out of [-1,1]")
+      }
+      // the synthetic fixture draws the three measures independently, so
+      // |corr| should sit near 0 — a strict-bound regression canary that
+      // would catch a partial-sum mixup (which drives |corr| toward 1)
+      Seq("corr_qp", "corr_qd", "corr_pd").foreach { c =>
+        assert(math.abs(r.getAs[Double](c)) < 0.5, s"$c suspiciously large")
+      }
+    }
+  }
+
+  test("a28: entropy bounded by log2(alphabet), avg_len within min/max") {
+    val rows = Registry.byName("a28_string_stats").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ent = r.getAs[Double]("entropy_bits")
+      assert(ent > 0.0)
+      // uniform over the full fixture alphabet is the upper bound
+      assert(ent <= math.log(128.0) / math.log(2.0))
+      val avg = r.getAs[Double]("avg_len")
+      assert(r.getAs[Int]("min_len") <= avg && avg <= r.getAs[Int]("max_len"))
+    }
+    // distribution identity: per-lang char mass equals summed text length
+    // (the empty-string filter must drop ONLY the trailing split artifact)
+    val docs = Tables(spark, sf, "documents")
+    val lens = docs.groupBy(col("lang"))
+      .agg(sum(length(col("text"))).as("s")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("s")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chars") == lens(r.getAs[String]("lang")))
+    }
+  }
 }
