@@ -997,7 +997,149 @@ object AggQueries extends QueryGroup {
              |       round(sum_len * 1.0 / n_docs, 6) AS avg_len,
              |       n_chars, entropy_bits
              |FROM l JOIN a USING (lang)
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // A29 — stats_bucket / max_bucket / min_bucket (the ES sibling
+    // pipeline aggs): daily count buckets per event_type, then ONE row
+    // per type summarizing its bucket distribution, including the KEY
+    // (day) of the maximal bucket. Everything after the first groupBy
+    // runs on the bucket frame (types × days — calendar-bounded, never
+    // corpus rows); the argmax day is recovered via a max-over-type
+    // window + equality filter with a min(day) tie-break (ES returns a
+    // keys LIST on ties; the earliest key is the deterministic scalar
+    // projection of that contract). Integer counts; one rounded divide.
+    Q("a29_stats_bucket",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("mx", max(col("n")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"),
+            min(col("n")).as("min_bucket"),
+            max(col("n")).as("max_bucket"),
+            sum(col("n")).as("sum_buckets"),
+            min(when(col("n") === col("mx"), col("day"))).as("max_bucket_day"))
+          .withColumn("avg_bucket",
+            round(col("sum_buckets").cast("double") / col("n_buckets"), 6))
+          .select(col("event_type"), col("n_buckets"), col("min_bucket"),
+            col("max_bucket"), col("avg_bucket"), col("sum_buckets"),
+            col("max_bucket_day"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |w AS (SELECT *, max(n) OVER (PARTITION BY event_type) AS mx
+             |      FROM b)
+             |SELECT event_type, count(*) AS n_buckets,
+             |       min(n) AS min_bucket, max(n) AS max_bucket,
+             |       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_bucket,
+             |       CAST(sum(n) AS BIGINT) AS sum_buckets,
+             |       min(CASE WHEN n = mx THEN day END) AS max_bucket_day
+             |FROM w GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // A30 — cumulative_cardinality (the ES pipeline agg: running count of
+    // DISTINCT users ever seen, per day). Naive distinct-per-growing-
+    // prefix is quadratic; the equivalent one-pass form is first-seen
+    // attribution: min(day) per user (one user-keyed agg), new-user
+    // counts per first-seen day (tiny), cumulative sum over the calendar
+    // spine — days with activity but no NEW users still emit a bucket
+    // (coalesce 0), matching the date_histogram parent. All integers.
+    Q("a30_cumulative_cardinality",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(to_date(col("ts")).as("day"),
+          col("user_id"))
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val spine = ev.select(col("day")).distinct()
+        spine.join(firstSeen, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users"))
+            .over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+             |           FROM events GROUP BY 1),
+             |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1),
+             |s AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT s.day,
+             |       COALESCE(new_users, 0) AS new_users,
+             |       CAST(sum(COALESCE(new_users, 0)) OVER (
+             |         ORDER BY s.day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS BIGINT) AS cum_users
+             |FROM s LEFT JOIN n USING (day)
+             |ORDER BY s.day""".stripMargin)),
+
+    // A31 — serial_diff at lag 7 (the ES serial_diff pipeline agg:
+    // week-over-week deseasonalized delta, where a17's derivative is the
+    // lag-1 special case). Window over AGGREGATED daily buckets; the
+    // percent change guards lag=0 (fixture never hits it, but a quiet
+    // week at scale would — NaN/NULL fork class). First 7 days are NULL
+    // by the ES contract (no bucket emitted → here: null columns).
+    Q("a31_serial_diff",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lag7", lag(col("n"), 7).over(w))
+          .select(col("event_type"), col("day"), col("n"),
+            (col("n") - col("lag7")).as("wow_diff"),
+            round(when(col("lag7") > 0,
+              (col("n") - col("lag7")).cast("double") * lit(100.0D)
+                / col("lag7")), 6).as("wow_pct"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |l AS (SELECT *, lag(n, 7) OVER (
+             |        PARTITION BY event_type ORDER BY day) AS lag7
+             |      FROM b)
+             |SELECT event_type, day, n,
+             |       n - lag7 AS wow_diff,
+             |       round(CASE WHEN lag7 > 0 THEN
+             |         CAST(n - lag7 AS DOUBLE) * CAST(100.0 AS DOUBLE) / lag7
+             |       END, 6) AS wow_pct
+             |FROM l ORDER BY event_type, day""".stripMargin)),
+
+    // A32 — normalize pipeline agg (ES `normalize`, percent_of_sum
+    // method): each daily bucket's share of its type's total AND of the
+    // day's grand total. Two windows over the SAME aggregated bucket
+    // frame (types × days) — zero additional corpus passes; the grand
+    // total window repartitions only bucket rows. Shares derive from
+    // exact integer counts through one rounded divide each.
+    Q("a32_percent_of_total",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("type_total",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("day_total",
+          sum(col("n")).over(Window.partitionBy(col("day"))))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("n").cast("double") * lit(100.0D)
+            / col("type_total"), 6).as("pct_of_type"),
+          round(col("n").cast("double") * lit(100.0D)
+            / col("day_total"), 6).as("pct_of_day"))
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n,
+             |       round(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)
+             |         / sum(n) OVER (PARTITION BY event_type), 6)
+             |         AS pct_of_type,
+             |       round(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)
+             |         / sum(n) OVER (PARTITION BY day), 6) AS pct_of_day
+             |FROM b ORDER BY event_type, day""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

@@ -822,6 +822,145 @@ object TextQueries extends QueryGroup {
               |                    ORDER BY dist, freq DESC, term) AS rn
               |           FROM c)
               |SELECT probe, term, dist, freq, rn FROM r
-              |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin))
+              |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin)),
+
+    // T21 — wildcard query (ES `wildcard`, pattern `s*a*` ≙ LIKE
+    // 's%a%'): docs containing any vocabulary term matching the pattern,
+    // with the matched terms. The pattern filter runs MAP-SIDE on the
+    // exploded token stream (before any exchange — where ES walks the
+    // term dictionary, the relational dual prunes the postings at the
+    // scan), then one (doc_id, term) distinct. Matched terms are joined
+    // to a string, not an array — the driver's compare sorts cell
+    // values, and array cells are unhashable there.
+    Q("t21_wildcard",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").like("s%a%"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          array_join(sort_array(collect_set(col("term"))), ",")
+            .as("matched"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT DISTINCT doc_id, unnest($tok) AS term
+              |           FROM documents),
+              |m AS (SELECT doc_id, term FROM t WHERE term LIKE 's%a%')
+              |SELECT doc_id, count(*) AS n_terms,
+              |       array_to_string(list_sort(list(term)), ',') AS matched
+              |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // T22 — function_score with recency decay (ES function_score:
+    // filter + field_value_factor × linear `decay`): purchase events
+    // scored value × max(0, 1 − age_days/30), top 50. The reference
+    // timestamp is a one-row bounds reduce broadcast into the scan
+    // (a20's technique — never a window over raw rows); age derives
+    // from EXACT integer epoch-micros, and the decay × value product is
+    // one mirrored IEEE sequence over (exact µs diff, exact cents).
+    // TakeOrdered with an event_id tie-break — never a global sort.
+    Q("t22_decay_relevance",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val ref = ev.agg(max(expr("unix_micros(ts)")).as("ref_us"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .crossJoin(broadcast(ref))
+          .withColumn("age_days",
+            (col("ref_us") - col("us")).cast("double")
+              / lit(86400000000.0D))
+          .withColumn("decay",
+            greatest(lit(0.0D), lit(1.0D) - col("age_days") / lit(30.0D)))
+          .select(col("event_id"),
+            round(col("age_days"), 6).as("age_days"),
+            round(col("decay") * col("vc").cast("double"), 6).as("score"))
+          .orderBy(col("score").desc, col("event_id"))
+          .limit(50)
+      },
+      Some("""WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+             |e AS (SELECT event_id, epoch_us(ts) AS us,
+             |             CAST(round(value * 100) AS BIGINT) AS vc
+             |      FROM events WHERE event_type = 'purchase'),
+             |s AS (SELECT event_id,
+             |             CAST(ref_us - us AS DOUBLE)
+             |               / CAST(86400000000.0 AS DOUBLE) AS age_days,
+             |             greatest(CAST(0.0 AS DOUBLE),
+             |               CAST(1.0 AS DOUBLE)
+             |                 - CAST(ref_us - us AS DOUBLE)
+             |                   / CAST(86400000000.0 AS DOUBLE)
+             |                   / CAST(30.0 AS DOUBLE)) AS decay,
+             |             vc
+             |      FROM e CROSS JOIN r)
+             |SELECT event_id, round(age_days, 6) AS age_days,
+             |       round(decay * CAST(vc AS DOUBLE), 6) AS score
+             |FROM s ORDER BY score DESC, event_id LIMIT 50""".stripMargin)),
+
+    // T23 — percolate (the ES reverse search: match DOCUMENTS against
+    // STORED QUERIES). The query store is built deterministically from
+    // the corpus: top-20 df terms (freq desc, term tie-break) paired
+    // into 10 two-term AND queries. Matching inverts the usual flow —
+    // the tiny query store broadcasts into the (doc_id, term) postings
+    // stream, a (query_id, doc_id) count implements the AND (HAVING
+    // count = clause count), and only per-query match stats come back.
+    // At 100 TB the corpus never shuffles: postings filter + broadcast
+    // join + partial-aggregated counts.
+    Q("t23_percolate",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term"))
+        // floor() before the cast: Spark truncates double→long where
+        // DuckDB rounds (the a23 fork class), so the pairing index must be
+        // an exact-integer-valued double on both engines. The 20-row
+        // query store is Caches-tracked — it feeds both the broadcast
+        // match and the per-query term summary, and without the cache the
+        // corpus-scale vocab aggregate would run twice.
+        val queries = graft.Caches.track(Tables(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .withColumn("query_id",
+            floor((col("rn") + 1) / lit(2.0D)).cast("long")))
+        val postings = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .distinct()
+        postings.join(broadcast(queries.select(col("query_id"), col("term"))),
+            "term")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("hit"))
+          .filter(col("hit") === 2)
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .join(queries.groupBy(col("query_id"))
+            .agg(min(col("term")).as("term_a"), max(col("term")).as("term_b")),
+            Seq("query_id"), "right")
+          .select(col("query_id"), col("term_a"), col("term_b"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            col("first_doc"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term
+              |              FROM documents),
+              |v AS (SELECT term, count(*) AS freq FROM tokd GROUP BY 1),
+              |r AS (SELECT term, row_number() OVER (
+              |        ORDER BY freq DESC, term) AS rn FROM v),
+              |q AS (SELECT CAST(floor((rn + 1) / 2.0) AS BIGINT) AS query_id,
+              |             term
+              |      FROM r WHERE rn <= 20),
+              |p AS (SELECT DISTINCT doc_id, term FROM tokd),
+              |hits AS (SELECT query_id, doc_id
+              |         FROM p JOIN q USING (term)
+              |         GROUP BY 1, 2 HAVING count(*) = 2),
+              |agg AS (SELECT query_id, count(*) AS n_docs,
+              |               min(doc_id) AS first_doc
+              |        FROM hits GROUP BY 1),
+              |qq AS (SELECT query_id, min(term) AS term_a,
+              |              max(term) AS term_b
+              |       FROM q GROUP BY 1)
+              |SELECT qq.query_id, term_a, term_b,
+              |       COALESCE(n_docs, 0) AS n_docs, first_doc
+              |FROM qq LEFT JOIN agg USING (query_id)
+              |ORDER BY query_id""".stripMargin))
   )
 }
