@@ -1139,7 +1139,351 @@ object AggQueries extends QueryGroup {
              |         AS pct_of_type,
              |       round(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)
              |         / sum(n) OVER (PARTITION BY day), 6) AS pct_of_day
-             |FROM b ORDER BY event_type, day""".stripMargin))
+             |FROM b ORDER BY event_type, day""".stripMargin)),
+
+    // A33 — weighted_avg (the ES agg of the same name): mean of `value`
+    // weighted by a deterministic per-user weight tier (1 + user_id % 5 —
+    // the dataset carries no native weight column, so the tier stands in
+    // for ES's weight field; documented, not hidden). Both numerator and
+    // denominator accumulate as EXACT integers (cents × weight), so the
+    // shuffle-order independence of the hash compare is free; one rounded
+    // divide at the end.
+    Q("a33_weighted_avg",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("vc"),
+          (lit(1L) + col("user_id") % 5).as("w"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("w")).as("sum_w"),
+          sum(col("vc") * col("w")).as("sum_wv"))
+        .select(col("event_type"), col("sum_w"),
+          round(col("sum_wv").cast("double")
+            / col("sum_w") / lit(100.0D), 6).as("weighted_avg"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       CAST(sum(1 + user_id % 5) AS BIGINT) AS sum_w,
+             |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)
+             |                       * (1 + user_id % 5)) AS DOUBLE)
+             |         / CAST(sum(1 + user_id % 5) AS BIGINT)
+             |         / CAST(100.0 AS DOUBLE), 6) AS weighted_avg
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A34 — median_absolute_deviation (ES computes it on a TDigest; this
+    // is the exact analog, and the SCALE path is rank-based, not
+    // collect-based): median via row_number + the (n+1)/2,(n+2)/2 rank
+    // picks — a distributed sort, never a per-group array — then the same
+    // two-rank trick again over integer deviations. Everything stays in
+    // integers (med2 = 2·median of cents, dev2 = |2·vc − med2|, mad4 =
+    // 2·median of dev2) until the final display divides, so the even/odd
+    // interpolation convention can't fork (a23's fork class). The 5-row
+    // median frame broadcasts back into the deviation pass.
+    Q("a34_median_abs_deviation",
+      (s, d) => {
+        def medianByRank(df: org.apache.spark.sql.DataFrame, vcol: String,
+                         out: String) = {
+          val w = Window.partitionBy(col("event_type"))
+            .orderBy(col(vcol), col("event_id"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1))
+              .over(Window.partitionBy(col("event_type"))))
+            .withColumn("lo", floor((col("n") + 1) / lit(2.0D)).cast("long"))
+            .withColumn("hi", floor((col("n") + 2) / lit(2.0D)).cast("long"))
+            .groupBy(col("event_type"))
+            .agg((sum(when(col("rn") === col("lo"), col(vcol)).otherwise(0L))
+              + sum(when(col("rn") === col("hi"), col(vcol)).otherwise(0L)))
+              .as(out), max(col("n")).as("n"))
+        }
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+        val med = medianByRank(ev, "vc", "med2").select(col("event_type"),
+          col("med2"), col("n"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("event_id"),
+            abs(col("vc") * 2 - col("med2")).as("dev2"))
+        medianByRank(dev, "dev2", "mad4").drop("n")
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), col("n"),
+            round(col("med2").cast("double") / lit(200.0D), 6).as("median_value"),
+            round(col("mad4").cast("double") / lit(400.0D), 6).as("mad_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |r1 AS (SELECT event_type, vc,
+             |              row_number() OVER (PARTITION BY event_type
+             |                ORDER BY vc, event_id) AS rn,
+             |              count(*) OVER (PARTITION BY event_type) AS n
+             |       FROM e),
+             |m AS (SELECT event_type, max(n) AS n,
+             |             CAST(sum(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+             |                           THEN vc ELSE 0 END)
+             |                + sum(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+             |                           THEN vc ELSE 0 END) AS BIGINT) AS med2
+             |      FROM r1 GROUP BY event_type),
+             |dv AS (SELECT e.event_type, e.event_id,
+             |              abs(e.vc * 2 - m.med2) AS dev2
+             |       FROM e JOIN m USING (event_type)),
+             |r2 AS (SELECT event_type, dev2,
+             |              row_number() OVER (PARTITION BY event_type
+             |                ORDER BY dev2, event_id) AS rn,
+             |              count(*) OVER (PARTITION BY event_type) AS n
+             |       FROM dv),
+             |md AS (SELECT event_type,
+             |              CAST(sum(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+             |                            THEN dev2 ELSE 0 END)
+             |                 + sum(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+             |                            THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+             |       FROM r2 GROUP BY event_type)
+             |SELECT m.event_type, m.n,
+             |       round(CAST(med2 AS DOUBLE) / CAST(200.0 AS DOUBLE), 6)
+             |         AS median_value,
+             |       round(CAST(mad4 AS DOUBLE) / CAST(400.0 AS DOUBLE), 6)
+             |         AS mad_value
+             |FROM m JOIN md USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // A35 — boxplot agg (ES `boxplot`: min/q1/q2/q3/max + IQR fences +
+    // outlier count). Quartile interpolation is written out EXPLICITLY on
+    // both engines (pos = (n−1)·p/4, v_lo + frac·(v_hi − v_lo)) instead of
+    // trusting percentile()/quantile_cont() conventions; every frac is an
+    // exact binary fraction (k/4) and every v an integer cent, so the
+    // interpolated doubles are exactly representable — no FP fork surface
+    // at all. Scale shape: one rank window (distributed sort), a 25-row
+    // quantile spec broadcast into the ranked stream twice (lo/hi picks),
+    // and one fence-filtered recount; no per-group arrays, no collect.
+    Q("a35_boxplot",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+        val ranked = graft.Caches.track(ev
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("event_type"))
+            .orderBy(col("vc"), col("event_id"))))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("event_type")))))
+        val spec = ranked.groupBy(col("event_type")).agg(max(col("n")).as("sn"))
+          .select(col("event_type").as("s_et"), col("sn"),
+            explode(expr("array(0,1,2,3,4)")).as("p"))
+          .withColumn("pos", (col("sn") - 1).cast("double") * col("p") / lit(4.0D))
+          .withColumn("lo", (floor(col("pos")) + 1).cast("long"))
+          .withColumn("frac", col("pos") - floor(col("pos")))
+        val qv = ranked.select(col("event_type"), col("rn"), col("vc"))
+          .join(broadcast(spec), col("rn") === col("lo") and
+            col("event_type") === col("s_et"))
+          .select(col("s_et").as("event_type"), col("p"), col("frac"), col("lo"),
+            col("vc").as("v_lo"))
+        val ranked2 = ranked.select(col("event_type").as("et2"),
+          col("rn").as("rn2"), col("vc").as("v_hi"))
+        val quart = qv.join(ranked2, col("rn2") === col("lo") + 1 and
+            col("et2") === qv("event_type"), "left")
+          .select(qv("event_type"), col("p"),
+            (col("v_lo") + col("frac")
+              * (coalesce(col("v_hi"), col("v_lo")) - col("v_lo"))).as("q"))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("p") === 0, col("q"))).as("q0"),
+            min(when(col("p") === 1, col("q"))).as("q1"),
+            min(when(col("p") === 2, col("q"))).as("q2"),
+            min(when(col("p") === 3, col("q"))).as("q3"),
+            min(when(col("p") === 4, col("q"))).as("q4"))
+          .withColumn("fence_lo", col("q1") - lit(1.5D) * (col("q3") - col("q1")))
+          .withColumn("fence_hi", col("q3") + lit(1.5D) * (col("q3") - col("q1")))
+        val out = ev.join(broadcast(quart), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("vc") < col("fence_lo") or
+              col("vc") > col("fence_hi")).cast("long")).as("n_outliers"),
+            min(col("q0")).as("q0c"), min(col("q1")).as("q1c"),
+            min(col("q2")).as("q2c"), min(col("q3")).as("q3c"),
+            min(col("q4")).as("q4c"))
+        out.select(col("event_type"), col("n"),
+            round(col("q0c") / lit(100.0D), 6).as("q_min"),
+            round(col("q1c") / lit(100.0D), 6).as("q1"),
+            round(col("q2c") / lit(100.0D), 6).as("q2"),
+            round(col("q3c") / lit(100.0D), 6).as("q3"),
+            round(col("q4c") / lit(100.0D), 6).as("q_max"),
+            round((col("q3c") - col("q1c")) / lit(100.0D), 6).as("iqr"),
+            col("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |r AS (SELECT event_type, vc,
+             |             row_number() OVER (PARTITION BY event_type
+             |               ORDER BY vc, event_id) AS rn,
+             |             count(*) OVER (PARTITION BY event_type) AS n
+             |      FROM e),
+             |spec AS (SELECT event_type, n, p,
+             |                CAST(n - 1 AS DOUBLE) * p / CAST(4.0 AS DOUBLE)
+             |                  AS pos
+             |         FROM (SELECT event_type, max(n) AS n FROM r GROUP BY 1),
+             |              (SELECT unnest([0,1,2,3,4]) AS p)),
+             |sp2 AS (SELECT event_type, n, p,
+             |               CAST(floor(pos) + 1 AS BIGINT) AS lo,
+             |               pos - floor(pos) AS frac
+             |        FROM spec),
+             |qv AS (SELECT s.event_type, s.p, s.frac, s.lo, r.vc AS v_lo
+             |       FROM sp2 s JOIN r ON r.event_type = s.event_type
+             |                        AND r.rn = s.lo),
+             |qq AS (SELECT q.event_type, q.p,
+             |              q.v_lo + q.frac
+             |                * (COALESCE(r2.vc, q.v_lo) - q.v_lo) AS q
+             |       FROM qv q LEFT JOIN r r2
+             |         ON r2.event_type = q.event_type AND r2.rn = q.lo + 1),
+             |quart AS (SELECT event_type,
+             |                 min(CASE WHEN p = 0 THEN q END) AS q0,
+             |                 min(CASE WHEN p = 1 THEN q END) AS q1,
+             |                 min(CASE WHEN p = 2 THEN q END) AS q2,
+             |                 min(CASE WHEN p = 3 THEN q END) AS q3,
+             |                 min(CASE WHEN p = 4 THEN q END) AS q4
+             |          FROM qq GROUP BY event_type),
+             |f AS (SELECT *,
+             |             q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS fence_lo,
+             |             q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS fence_hi
+             |      FROM quart)
+             |SELECT e.event_type, count(*) AS n,
+             |       round(min(q0) / CAST(100.0 AS DOUBLE), 6) AS q_min,
+             |       round(min(q1) / CAST(100.0 AS DOUBLE), 6) AS q1,
+             |       round(min(q2) / CAST(100.0 AS DOUBLE), 6) AS q2,
+             |       round(min(q3) / CAST(100.0 AS DOUBLE), 6) AS q3,
+             |       round(min(q4) / CAST(100.0 AS DOUBLE), 6) AS q_max,
+             |       round((min(q3) - min(q1)) / CAST(100.0 AS DOUBLE), 6)
+             |         AS iqr,
+             |       CAST(sum(CASE WHEN vc < fence_lo OR vc > fence_hi
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM e JOIN f USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // A36 — multi_terms agg (ES `multi_terms`: top-N COMPOUND keys by doc
+    // count). Key = (event_type, weekday); one hash aggregate, TakeOrdered
+    // cut with the full compound key as tie-break — never a global sort.
+    // Spark weekday() is 0=Mon..6=Sun; DuckDB mirrors via isodow − 1.
+    Q("a36_multi_terms",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"), weekday(col("ts")).as("wd"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .orderBy(col("n").desc, col("event_type"), col("wd"))
+        .limit(20),
+      Some("""SELECT event_type,
+             |       CAST(date_part('isodow', ts) - 1 AS BIGINT) AS wd,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_cents
+             |FROM events GROUP BY 1, 2
+             |ORDER BY n DESC, event_type, wd LIMIT 20""".stripMargin)),
+
+    // A37 — change_point detection (ES `change_point`: step-change over a
+    // metric series). Candidate split k maximizes |mean_after − mean_before|
+    // over the daily-count series; both means derive from EXACT integer
+    // prefix sums through one mirrored IEEE divide each, so the argmax
+    // equality filter (a29's technique, min-day tie-break) cannot fork.
+    // The series is the calendar-bounded bucket frame — the windows run
+    // over ~days rows, never corpus rows.
+    Q("a37_change_point",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day"))
+        val scored = daily
+          .withColumn("k", row_number().over(w))
+          .withColumn("cum", sum(col("n"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("n")).over(
+            Window.partitionBy(lit(1))))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .filter(col("k") < col("nd"))
+          .withColumn("mean_before", col("cum").cast("double") / col("k"))
+          .withColumn("mean_after", (col("total") - col("cum")).cast("double")
+            / (col("nd") - col("k")))
+          .withColumn("score", abs(col("mean_after") - col("mean_before")))
+        scored.withColumn("mx", max(col("score")).over(Window.partitionBy(lit(1))))
+          .filter(col("score") === col("mx"))
+          .groupBy(lit(1).as("g"))
+          .agg(min(col("day")).as("split_day"))
+          .join(scored.withColumnRenamed("day", "split_day"), Seq("split_day"))
+          .select(col("split_day"), col("k").as("n_days_before"),
+            round(col("mean_before"), 6).as("mean_before"),
+            round(col("mean_after"), 6).as("mean_after"),
+            round(col("mean_after") - col("mean_before"), 6).as("delta"))
+      },
+      Some("""WITH b AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |           FROM events GROUP BY 1),
+             |c AS (SELECT day, n,
+             |             row_number() OVER (ORDER BY day) AS k,
+             |             sum(n) OVER (ORDER BY day
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |               AS cum,
+             |             sum(n) OVER () AS total,
+             |             count(*) OVER () AS nd
+             |      FROM b),
+             |s AS (SELECT day, k,
+             |             CAST(cum AS DOUBLE) / k AS mean_before,
+             |             CAST(total - cum AS DOUBLE) / (nd - k) AS mean_after
+             |      FROM c WHERE k < nd),
+             |sc AS (SELECT *, abs(mean_after - mean_before) AS score FROM s),
+             |best AS (SELECT min(day) AS split_day FROM sc
+             |         WHERE score = (SELECT max(score) FROM sc))
+             |SELECT split_day, k AS n_days_before,
+             |       round(mean_before, 6) AS mean_before,
+             |       round(mean_after, 6) AS mean_after,
+             |       round(mean_after - mean_before, 6) AS delta
+             |FROM best JOIN sc ON sc.day = best.split_day""".stripMargin)),
+
+    // A38 — frequent_item_sets (ES 8.x market-basket agg), pair depth:
+    // baskets = users, items = the DISTINCT event types a user performed.
+    // Support/confidence/lift from exact integer counts. Scale shape: the
+    // distinct (user, type) stream self-joins ON USER (co-partitioned
+    // shuffle join, per-user item sets are bounded by the type vocabulary),
+    // per-type counts and the basket total broadcast into the 10-row pair
+    // frame; every divide is one mirrored double sequence.
+    Q("a38_frequent_pairs",
+      (s, d) => {
+        val items = graft.Caches.track(Tables(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct())
+        val nUsers = items.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val perType = items.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_t"))
+        val pairs = items.as("a")
+          .join(items.as("b"), col("a.user_id") === col("b.user_id") and
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("item_a"),
+            col("b.event_type").as("item_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(perType.withColumnRenamed("event_type", "item_a")
+            .withColumnRenamed("n_t", "n_a")), "item_a")
+          .join(broadcast(perType.withColumnRenamed("event_type", "item_b")
+            .withColumnRenamed("n_t", "n_b")), "item_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("item_a"), col("item_b"), col("n_ab"),
+            round(col("n_ab").cast("double") / col("n_users"), 6).as("support"),
+            round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+            round(col("n_ab").cast("double") * col("n_users")
+              / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+          .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+             |u AS (SELECT count(DISTINCT user_id) AS n_users FROM items),
+             |t AS (SELECT event_type, count(*) AS n_t FROM items GROUP BY 1),
+             |p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+             |             count(*) AS n_ab
+             |      FROM items a JOIN items b
+             |        ON a.user_id = b.user_id
+             |       AND a.event_type < b.event_type
+             |      GROUP BY 1, 2)
+             |SELECT item_a, item_b, n_ab,
+             |       round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+             |       round(CAST(n_ab AS DOUBLE) / ta.n_t, 6) AS confidence,
+             |       round(CAST(n_ab AS DOUBLE) * n_users
+             |         / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+             |         AS lift
+             |FROM p
+             |JOIN t ta ON ta.event_type = item_a
+             |JOIN t tb ON tb.event_type = item_b
+             |CROSS JOIN u
+             |ORDER BY support DESC, item_a, item_b""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to
