@@ -11,6 +11,7 @@ object Registry {
     TextQueries,
     DedupQueries,
     VectorQueries,
+    GeoQueries,
     MultimodalQueries,
     PipelineQueries,
     StorageQueries,

@@ -961,6 +961,148 @@ object TextQueries extends QueryGroup {
               |SELECT qq.query_id, term_a, term_b,
               |       COALESCE(n_docs, 0) AS n_docs, first_doc
               |FROM qq LEFT JOIN agg USING (query_id)
-              |ORDER BY query_id""".stripMargin))
+              |ORDER BY query_id""".stripMargin)),
+
+    // T24 — match_phrase_prefix (ES: phrase whose LAST term is a prefix).
+    // Phrase "the s*": anchor term at position p, any 's'-prefixed token at
+    // p+1. Both legs are map-side filters on the positional postings (the
+    // prefix LIKE prunes before the join, mirroring ES's term-dictionary
+    // expansion), the join is doc-co-partitioned, and the expansion set
+    // comes back as a sorted joined string (array cells are unhashable in
+    // the driver compare — t21's convention).
+    Q("t24_match_phrase_prefix",
+      (s, d) => {
+        val pos = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+        val a = pos.filter(col("term") === "the")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term").like("s%"))
+          .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+            col("term").as("cont"))
+        a.join(b, col("doc_id") === col("doc_b") &&
+            col("pos_b") === col("pos") + 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("pos")).cast("long").as("first_pos"),
+            array_join(sort_array(collect_set(col("cont"))), ",")
+              .as("expansions"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH z AS (SELECT doc_id, $tok AS toks FROM documents),
+              |     p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+              |           FROM z, unnest(range(1, len(toks) + 1)) AS t(i))
+              |SELECT a.doc_id, count(*) AS n_matches,
+              |       CAST(min(a.pos) AS BIGINT) AS first_pos,
+              |       array_to_string(list_sort(list(DISTINCT b.term)), ',')
+              |         AS expansions
+              |FROM p a JOIN p b ON a.doc_id = b.doc_id
+              |                 AND b.pos = a.pos + 1
+              |WHERE a.term = 'the' AND b.term LIKE 's%'
+              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
+    // T25 — boosting query (ES `boosting`: positive clause scored, docs
+    // matching the negative clause DEMOTED by negative_boost, not
+    // excluded). Positive = tf('merge'), negative = presence of 'slow',
+    // negative_boost = 0.5 — an exact binary fraction, so the demoted
+    // score is exactly representable and the hash compare has no FP
+    // surface. One filtered postings pass computes both clauses.
+    Q("t25_boosting",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("merge", "slow"))
+        .groupBy(col("doc_id"))
+        .agg(sum((col("term") === "merge").cast("long")).as("tf_pos"),
+          max((col("term") === "slow").cast("long")).as("has_neg"))
+        .filter(col("tf_pos") > 0)
+        .select(col("doc_id"), col("tf_pos"), col("has_neg"),
+          (col("tf_pos").cast("double")
+            * when(col("has_neg") === 1, lit(0.5D)).otherwise(lit(1.0D)))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |m AS (SELECT doc_id,
+              |             CAST(sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+              |                  AS BIGINT) AS tf_pos,
+              |             CAST(max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END)
+              |                  AS BIGINT) AS has_neg
+              |      FROM t WHERE term IN ('merge', 'slow')
+              |      GROUP BY doc_id)
+              |SELECT doc_id, tf_pos, has_neg,
+              |       CAST(tf_pos AS DOUBLE)
+              |         * (CASE WHEN has_neg = 1 THEN CAST(0.5 AS DOUBLE)
+              |                 ELSE CAST(1.0 AS DOUBLE) END) AS score
+              |FROM m WHERE tf_pos > 0
+              |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // T26 — dis_max (ES disjunction-max: score = best clause + tie_breaker
+    // × the others). Clauses = tf('join') and tf('sort'), tie_breaker 0.3;
+    // score = max + 0.3·min over exact integer tfs through one mirrored
+    // IEEE product — deterministic on both engines, rounded for display.
+    // Same single-postings-pass shape as t25.
+    Q("t26_dis_max",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("join", "sort"))
+        .groupBy(col("doc_id"))
+        .agg(sum((col("term") === "join").cast("long")).as("s1"),
+          sum((col("term") === "sort").cast("long")).as("s2"))
+        .select(col("doc_id"), col("s1"), col("s2"),
+          round(greatest(col("s1"), col("s2")).cast("double")
+            + lit(0.3D) * least(col("s1"), col("s2")).cast("double"), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |m AS (SELECT doc_id,
+              |             CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END)
+              |                  AS BIGINT) AS s1,
+              |             CAST(sum(CASE WHEN term = 'sort' THEN 1 ELSE 0 END)
+              |                  AS BIGINT) AS s2
+              |      FROM t WHERE term IN ('join', 'sort')
+              |      GROUP BY doc_id)
+              |SELECT doc_id, s1, s2,
+              |       round(CAST(greatest(s1, s2) AS DOUBLE)
+              |         + CAST(0.3 AS DOUBLE)
+              |           * CAST(least(s1, s2) AS DOUBLE), 6) AS score
+              |FROM m ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // T27 — search_after keyset pagination (ES search_after vs from/size):
+    // page 3 of the (n_chars DESC, doc_id ASC) listing, fetched by CURSOR
+    // PREDICATE, not offset. The cursor is the last key of page 2 (the
+    // 40-row TakeOrdered prefix reduced to its minimal key — at serving
+    // time it arrives with the request; recomputing it here keeps the
+    // query self-contained). The page-3 fetch is the point: a pushable
+    // range filter + TakeOrdered(20) — O(page) work per page where
+    // from/size re-sorts the full prefix, the reason ES caps from at 10k.
+    Q("t27_search_after",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val p40 = docs.select(col("n_chars"), col("doc_id"))
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(40)
+        val cur = p40.groupBy(lit(1).as("g"))
+          .agg(min(col("n_chars")).as("c_n"))
+          .join(p40.withColumnRenamed("n_chars", "c_n2"), col("c_n") === col("c_n2"))
+          .groupBy(col("c_n")).agg(max(col("doc_id")).as("c_id"))
+        docs.crossJoin(broadcast(cur))
+          .filter(col("n_chars") < col("c_n") or
+            (col("n_chars") === col("c_n") and col("doc_id") > col("c_id")))
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH p40 AS (SELECT n_chars, doc_id FROM documents
+             |             ORDER BY n_chars DESC, doc_id LIMIT 40),
+             |cn AS (SELECT min(n_chars) AS c_n FROM p40),
+             |cur AS (SELECT c_n, max(doc_id) AS c_id
+             |        FROM p40 JOIN cn ON n_chars = c_n
+             |        GROUP BY c_n)
+             |SELECT doc_id, n_chars, lang
+             |FROM documents CROSS JOIN cur
+             |WHERE n_chars < c_n OR (n_chars = c_n AND doc_id > c_id)
+             |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

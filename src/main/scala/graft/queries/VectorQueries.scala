@@ -966,6 +966,41 @@ object VectorQueries extends QueryGroup {
               |SELECT vec_id, round(pc, 6) AS prefix_cos,
               |       round(${duckCos("embedding", "qv")}, 6) AS cos
               |FROM p
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // V18 — filtered kNN (the ES knn `filter` parameter: metadata
+    // pre-filtering, not post-filtering — the filter restricts the
+    // candidate set BEFORE the similarity cut, so the page is always k
+    // rows, where post-filtering can starve it). vec_id ≡ doc_id (the
+    // v14 linkage); candidates are the lang='en' documents only. Scale
+    // shape: the doc-side filter prunes at the documents scan, the
+    // embeddings join is key-co-partitioned, the 1-row query broadcasts,
+    // and the cut is TakeOrdered with a vec_id tie-break.
+    Q("v18_filtered_knn",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val en = Tables(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .join(en, "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("lang"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+              |           WHERE vec_id = 0),
+              |en AS (SELECT doc_id AS vec_id, lang FROM documents
+              |       WHERE lang = 'en'),
+              |c AS (SELECT e.vec_id, en.lang,
+              |             round(${duckCos("e.embedding", "qv")}, 6) AS cos
+              |      FROM embeddings e
+              |      JOIN en USING (vec_id)
+              |      CROSS JOIN q
+              |      WHERE e.vec_id <> 0)
+              |SELECT vec_id, lang, cos FROM c
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

@@ -303,4 +303,134 @@ class EsSurfaceSpec extends SparkSuite {
       assert(r.getAs[Long]("n_chars") == lens(r.getAs[String]("lang")))
     }
   }
+
+  test("a29: bucket stats bracket, sum closes at the type total, argmax day is real") {
+    val rows = Registry.byName("a29_stats_bucket").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables(spark, sf, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("sum_buckets") == totals(t))
+      assert(r.getAs[Long]("min_bucket") <= r.getAs[Double]("avg_bucket"))
+      assert(r.getAs[Double]("avg_bucket") <= r.getAs[Long]("max_bucket"))
+      // the reported argmax day really holds the maximal bucket count
+      val d = r.getAs[java.sql.Date]("max_bucket_day").toString
+      assert(daily((t, d)) == r.getAs[Long]("max_bucket"))
+    }
+  }
+
+  test("a30: cumulative cardinality is nondecreasing and closes at the distinct total") {
+    val rows = Registry.byName("a30_cumulative_cardinality").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val total = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(cums.last == total)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == total)
+  }
+
+  test("a35/a34: quartiles are monotone, q2 equals the rank-based median, outliers bounded") {
+    val box = Registry.byName("a35_boxplot").run(spark, sf).collect()
+    val mad = Registry.byName("a34_median_abs_deviation").run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(box.nonEmpty)
+    box.foreach { r =>
+      val qs = Seq("q_min", "q1", "q2", "q3", "q_max").map(r.getAs[Double])
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+      // cross-query identity: boxplot's q2 IS a34's rank median
+      val m = mad(r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("q2") == m.getAs[Double]("median_value"))
+      assert(m.getAs[Double]("mad_value") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("a37: the reported split maximizes |mean_after - mean_before| over all splits") {
+    val r = Registry.byName("a37_change_point").run(spark, sf).collect()
+    assert(r.length == 1)
+    val daily = Tables(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy(col("day")).collect()
+      .map(x => (x.getAs[java.sql.Date]("day").toString, x.getAs[Long]("n")))
+    val ns = daily.map(_._2)
+    val best = (1 until ns.length).map { k =>
+      val (l, rr) = ns.splitAt(k)
+      (math.abs(rr.sum.toDouble / rr.length - l.sum.toDouble / l.length), k)
+    }.maxBy(_._1)
+    assert(daily(best._2 - 1)._1 ==
+      r.head.getAs[java.sql.Date]("split_day").toString)
+  }
+
+  test("a38: pair support never exceeds either margin; confidence/lift identities hold") {
+    val rows = Registry.byName("a38_frequent_pairs").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val items = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = items.select(col("user_id")).distinct().count()
+    val margins = items.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      val (na, nb) = (margins(r.getAs[String]("item_a")),
+        margins(r.getAs[String]("item_b")))
+      val nab = r.getAs[Long]("n_ab")
+      assert(nab <= math.min(na, nb))
+      assert(math.abs(r.getAs[Double]("confidence") - nab.toDouble / na) < 1e-6)
+      assert(math.abs(r.getAs[Double]("lift")
+        - nab.toDouble * nUsers / (na.toDouble * nb)) < 1e-6)
+    }
+  }
+
+  test("g1/g2: grid cells stay in the zoom-4 range and rings partition the corpus") {
+    val total = Tables(spark, sf, "events").count()
+    val cells = Registry.byName("g1_geotile_grid").run(spark, sf).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      assert(r.getAs[Long]("cell_x") >= 0 && r.getAs[Long]("cell_x") <= 15)
+      assert(r.getAs[Long]("cell_y") >= 0 && r.getAs[Long]("cell_y") <= 15)
+    }
+    assert(cells.map(_.getAs[Long]("n")).sum == total)
+    val rings = Registry.byName("g2_geo_distance").run(spark, sf).collect()
+    assert(rings.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("t27: keyset page 3 equals offset rows 41-60 of the full listing") {
+    val page = Registry.byName("t27_search_after").run(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val offset = Tables(spark, sf, "documents")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(60)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq.drop(40)
+    assert(page == offset)
+  }
+
+  test("t24: every expansion is an 's'-prefixed continuation of an anchor") {
+    val rows = Registry.byName("t24_match_phrase_prefix").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matches") >= 1)
+      val exps = r.getAs[String]("expansions").split(",")
+      assert(exps.nonEmpty && exps.forall(_.startsWith("s")))
+    }
+  }
+
+  test("v18: pre-filtered knn returns only candidates passing the filter, in order") {
+    val rows = Registry.byName("v18_filtered_knn").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[String]("lang") == "en"))
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val en = Tables(spark, sf, "documents").filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => en(r.getAs[Long]("vec_id"))))
+  }
 }
