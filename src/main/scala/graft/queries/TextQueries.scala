@@ -1103,6 +1103,106 @@ object TextQueries extends QueryGroup {
              |SELECT doc_id, n_chars, lang
              |FROM documents CROSS JOIN cur
              |WHERE n_chars < c_n OR (n_chars = c_n AND doc_id > c_id)
-             |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // T28 — rank_feature query (ES `rank_feature`, saturation function):
+    // relevance = tf × sat(n_chars), sat(x) = x/(x + pivot), pivot 500 —
+    // longer documents get a bounded boost that saturates instead of
+    // growing linearly. The feature rides the SAME scan row as the text
+    // (groupBy keys on (doc_id, n_chars) — functionally dependent, no
+    // second corpus pass or join), and the score is integer tf × one
+    // mirrored integer-derived divide.
+    Q("t28_rank_feature",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") === "data")
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("tf"), col("n_chars"),
+          round(col("tf").cast("double") * col("n_chars").cast("double")
+            / (col("n_chars") + 500).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, unnest($tok) AS term
+              |           FROM documents),
+              |m AS (SELECT doc_id, n_chars, count(*) AS tf
+              |      FROM t WHERE term = 'data' GROUP BY 1, 2)
+              |SELECT doc_id, tf, n_chars,
+              |       round(CAST(tf AS DOUBLE) * CAST(n_chars AS DOUBLE)
+              |         / CAST(n_chars + 500 AS DOUBLE), 6) AS score
+              |FROM m ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // T29 — pinned query (ES `pinned`: promoted ids surface FIRST in
+    // their given order — matching or not — then the organic ranking).
+    // Pin list {7, 3, 11}; organic = tf('spark') desc. The pin rank is a
+    // literal CASE on both engines (no list machinery to diverge), the
+    // organic arm is a left join so unmatched pinned docs survive with
+    // tf 0, and the whole cut is TakeOrdered on the composite
+    // (pin_rank, tf desc, doc_id) key.
+    Q("t29_pinned",
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .filter(col("term") === "spark")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        Tables(s, d, "documents").select(col("doc_id"))
+          .join(tf, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("tf"), lit(0L)).as("tf"),
+            expr("CASE doc_id WHEN 7 THEN 1 WHEN 3 THEN 2 WHEN 11 THEN 3 " +
+              "ELSE 999 END").as("pin_rank"))
+          .filter(col("pin_rank") < 999 or col("tf") > 0)
+          .orderBy(col("pin_rank"), col("tf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term
+              |           FROM documents),
+              |f AS (SELECT doc_id, count(*) AS tf FROM t
+              |      WHERE term = 'spark' GROUP BY 1),
+              |m AS (SELECT d.doc_id, COALESCE(f.tf, 0) AS tf,
+              |             CASE d.doc_id WHEN 7 THEN 1 WHEN 3 THEN 2
+              |                  WHEN 11 THEN 3 ELSE 999 END AS pin_rank
+              |      FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id)
+              |SELECT doc_id, tf, pin_rank FROM m
+              |WHERE pin_rank < 999 OR tf > 0
+              |ORDER BY pin_rank, tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // T30 — multi_match cross_fields (ES `multi_match`): one query string
+    // scored across an ANALYZED field (text, per-term tf) and a KEYWORD
+    // field (source, exact match), with per-field boosts 2× / 5×. The
+    // keyword arm is a map-side flag on the same scan row; only the text
+    // arm explodes — the boost combination is pure integer arithmetic.
+    Q("t30_multi_match",
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .filter(col("term") === "merge")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf_text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            (col("source") === "src3").cast("long").as("kw"))
+          .join(tf, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("tf_text"), lit(0L)).as("tf_text"), col("kw"),
+            (coalesce(col("tf_text"), lit(0L)) * 2 + col("kw") * 5)
+              .as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tok) AS term
+              |           FROM documents),
+              |f AS (SELECT doc_id, count(*) AS tf_text FROM t
+              |      WHERE term = 'merge' GROUP BY 1),
+              |m AS (SELECT d.doc_id, d.source,
+              |             COALESCE(f.tf_text, 0) AS tf_text,
+              |             CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END AS kw
+              |      FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id)
+              |SELECT doc_id, source, tf_text, CAST(kw AS BIGINT) AS kw,
+              |       CAST(tf_text * 2 + kw * 5 AS BIGINT) AS score
+              |FROM m WHERE tf_text * 2 + kw * 5 > 0
+              |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

@@ -279,6 +279,55 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("t23 percolate plan: the query store joins by broadcast, never sort-merge") {
+    val df = graft.queries.Registry.byName("t23_percolate").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"percolate's tiny query store should broadcast:\n$plan")
+  }
+
+  test("v18 filtered-knn plan: broadcast query vector + TakeOrdered cut") {
+    val df = graft.queries.Registry.byName("v18_filtered_knn").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row query vector should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-cut should be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("g1 geotile plan: cell ids computed map-side, unused columns pruned at the scan") {
+    val df = graft.queries.Registry.byName("g1_geotile_grid").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the grid agg needs only (event_id, user_id, value): ts/props/event_type
+    // must not survive into ReadSchema
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"geotile scan reads columns the grid doesn't need:\n$read")
+  }
+
+  test("a34 MAD plan: rank-based — no per-group array collection anywhere") {
+    val df = graft.queries.Registry.byName("a34_median_abs_deviation").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"MAD must stay rank-based, not array-based:\n$plan")
+    assert(plan.contains("Window"), s"expected rank windows in plan:\n$plan")
+  }
+
+  test("t27 search_after plan: both the cursor prefix and the page are TakeOrdered") {
+    val df = graft.queries.Registry.byName("t27_search_after").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"keyset page should be TakeOrdered, not Sort+Limit over a global sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global range sort should appear:\n$plan")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
