@@ -1483,7 +1483,97 @@ object AggQueries extends QueryGroup {
              |JOIN t ta ON ta.event_type = item_a
              |JOIN t tb ON tb.event_type = item_b
              |CROSS JOIN u
-             |ORDER BY support DESC, item_a, item_b""".stripMargin))
+             |ORDER BY support DESC, item_a, item_b""".stripMargin)),
+
+    // A39 — scripted_metric (the ES escape-hatch agg: arbitrary
+    // map/combine/reduce). The canonical use case — a custom sequential
+    // metric no builtin computes — here: MAX DRAWDOWN of the daily value
+    // series per type. The fold is order-sensitive, so it uses a24's
+    // determinism recipe: day-encode (epochday·10⁹ + cents, cents < 10⁹
+    // asserted by the encoding; daily sums at any tested SF are ~10⁷),
+    // SORT the encoded list (total order — the day prefix dominates), then
+    // run the identical integer fold on both engines with the state packed
+    // into ONE BIGINT (peak·10⁹ + maxdd — both < 10⁹, so the pack can't
+    // overflow; DuckDB list_reduce seeds via list_prepend exactly like the
+    // duckDot mirror). Zero FP until the display divides. The fold runs
+    // over the AGGREGATED bucket frame (types × days), never corpus rows.
+    Q("a39_scripted_metric",
+      (s, d) => {
+        val enc = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("vc"))
+          .select(col("event_type"),
+            (datediff(col("day"), lit("1970-01-01")).cast("long")
+              * lit(1000000000L) + col("vc")).as("e"))
+        enc.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col("e"))).as("arr"))
+          .select(col("event_type"), size(col("arr")).as("n_days"),
+            expr("""aggregate(arr, CAST(0 AS BIGINT), (acc, x) ->
+                   |  greatest(acc div 1000000000, x % 1000000000)
+                   |    * CAST(1000000000 AS BIGINT)
+                   |  + greatest(acc % 1000000000,
+                   |      greatest(acc div 1000000000, x % 1000000000)
+                   |        - x % 1000000000))""".stripMargin).as("st"))
+          .select(col("event_type"), col("n_days"),
+            round((col("st") / lit(1000000000L)).cast("long")
+              .cast("double") / lit(100.0D), 6).as("peak_value"),
+            round((col("st") % lit(1000000000L))
+              .cast("double") / lit(100.0D), 6).as("max_drawdown"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+             |                       AS BIGINT) AS vc
+             |           FROM events GROUP BY 1, 2),
+             |e AS (SELECT event_type,
+             |             CAST(datediff('day', DATE '1970-01-01', day)
+             |                  AS BIGINT) * 1000000000 + vc AS e
+             |      FROM b),
+             |g AS (SELECT event_type, list_sort(list(e)) AS arr
+             |      FROM e GROUP BY 1),
+             |f AS (SELECT event_type, len(arr) AS n_days,
+             |             list_reduce(
+             |               list_prepend(CAST(0 AS BIGINT), arr),
+             |               (acc, x) ->
+             |                 greatest(acc // 1000000000, x % 1000000000)
+             |                   * CAST(1000000000 AS BIGINT)
+             |                 + greatest(acc % 1000000000,
+             |                     greatest(acc // 1000000000, x % 1000000000)
+             |                       - x % 1000000000)) AS st
+             |      FROM g)
+             |SELECT event_type, CAST(n_days AS INT) AS n_days,
+             |       round(CAST(st // 1000000000 AS DOUBLE)
+             |         / CAST(100.0 AS DOUBLE), 6) AS peak_value,
+             |       round(CAST(st % 1000000000 AS DOUBLE)
+             |         / CAST(100.0 AS DOUBLE), 6) AS max_drawdown
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // A40 — bucket_sort pipeline agg (ES: sort + truncate the PARENT's
+    // buckets by a metric): top-5 busiest days per type from the
+    // date_histogram, ranked. Per-group top-k over the bucket frame —
+    // the o3/a19 WindowGroupLimit shape, but on types × days rows, so
+    // the window input is calendar-bounded at any corpus size.
+    Q("a40_bucket_sort",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("day"))
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("event_type"), col("rnk"), col("day"), col("n"))
+          .orderBy(col("event_type"), col("rnk"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |               ORDER BY n DESC, day) AS rnk
+             |      FROM b)
+             |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day, n
+             |FROM r WHERE rnk <= 5
+             |ORDER BY event_type, rnk""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

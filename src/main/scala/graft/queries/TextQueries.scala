@@ -1203,6 +1203,44 @@ object TextQueries extends QueryGroup {
               |SELECT doc_id, source, tf_text, CAST(kw AS BIGINT) AS kw,
               |       CAST(tf_text * 2 + kw * 5 AS BIGINT) AS score
               |FROM m WHERE tf_text * 2 + kw * 5 > 0
-              |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
+              |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // T31 — percolate, per-row form (the streaming-safe dual of t23's
+    // postings join): each doc independently tests |q_terms ∩ tokens| =
+    // |q_terms| against the broadcast store — stateless, no shuffle on the
+    // doc side, the shape [[graft.streaming.Percolator]] runs on a live
+    // stream. Emits the raw (query_id, doc_id) hit pairs; same
+    // deterministic store as t23, so the two forms are cross-gated by the
+    // same oracle family (agreement also pinned in StreamingSpec).
+    Q("t31_percolate_row",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term"))
+        val store = graft.streaming.Percolator.compileStore(
+          Tables(s, d, "documents")
+            .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 20)
+            .withColumn("query_id",
+              floor((col("rn") + 1) / lit(2.0D)).cast("long"))
+            .select(col("query_id"), col("term")))
+        graft.streaming.Percolator
+          .matchDocs(Tables(s, d, "documents"), store)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term
+              |              FROM documents),
+              |v AS (SELECT term, count(*) AS freq FROM tokd GROUP BY 1),
+              |r AS (SELECT term, row_number() OVER (
+              |        ORDER BY freq DESC, term) AS rn FROM v),
+              |q AS (SELECT CAST(floor((rn + 1) / 2.0) AS BIGINT) AS query_id,
+              |             term
+              |      FROM r WHERE rn <= 20),
+              |p AS (SELECT DISTINCT doc_id, term FROM tokd)
+              |SELECT query_id, doc_id
+              |FROM p JOIN q USING (term)
+              |GROUP BY 1, 2 HAVING count(*) = 2
+              |ORDER BY query_id, doc_id""".stripMargin))
   )
 }

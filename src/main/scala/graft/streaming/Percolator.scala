@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Streaming percolation — the ES percolator's alerting use case: match each
+  * INCOMING document against a store of registered queries and emit
+  * (query_id, doc_id) hits as the stream flows.
+  *
+  * The matcher is deliberately the PER-ROW form: a document matches a
+  * conjunctive query iff every query term appears in its token set, tested
+  * with `array_intersect` against a broadcast (query_id, terms) store. That
+  * makes the operator STATELESS — no keyed state, no watermark, Append-mode
+  * safe on any micro-batch boundary — and each doc's cost is bounded by the
+  * store size, which is the percolator contract (stores are small; corpora
+  * are not). The batch dual `t23_percolate` keeps the postings-join form
+  * (cost scales with matching pairs, not docs × queries) — the right shape
+  * when the corpus is at rest; both forms' agreement is pinned in
+  * StreamingSpec.
+  *
+  * Scale: the store groups to one array row per query and broadcasts; the
+  * doc stream never shuffles — tokenize, nested-loop against ≤ store-size
+  * rows, filter. At 100 TB of stream the plan is embarrassingly map-side.
+  */
+object Percolator {
+
+  /** Collapse a (query_id, term) store to one row per query with a sorted
+    * term array (sorting only for deterministic display — matching is
+    * set-based).
+    */
+  def compileStore(queries: DataFrame): DataFrame =
+    queries.groupBy(col("query_id"))
+      .agg(sort_array(collect_set(col("term"))).as("q_terms"))
+      .withColumn("n_terms", size(col("q_terms")))
+
+  /** (query_id, doc_id) hits for every document in `docs` (a static OR
+    * streaming frame with doc_id + text) against a compiled store. The
+    * conjunctive test is `|q_terms ∩ tokens| = |q_terms|`.
+    */
+  def matchDocs(docs: DataFrame, store: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(store))
+      .filter(size(array_intersect(col("q_terms"), col("toks")))
+        === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+}

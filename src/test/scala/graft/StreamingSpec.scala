@@ -607,4 +607,42 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming percolate hits equal both batch forms (row-form and postings join)") {
+    implicit val ctx = sqlCtx
+    // store: the same deterministic top-df pair store t23/t31 build
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val store = graft.streaming.Percolator.compileStore(
+      Tables(spark, sf, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .withColumn("query_id", floor((col("rn") + 1) / lit(2.0D)).cast("long"))
+        .select(col("query_id"), col("term")))
+    // stream the corpus through in three chunks; the matcher is stateless,
+    // so hits must be exactly the batch row-form's, independent of chunking
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Percolator.matchDocs(
+        ms.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("perc_out")
+      .outputMode("append").start()
+    chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("perc_out")
+      .as[(Long, Long)].collect().toSet
+    val batchRow = queries.Registry.byName("t31_percolate_row").run(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batchRow)
+    assert(streamed.nonEmpty)
+    // cross-form agreement: the postings-join t23 aggregates the same pairs
+    val t23 = queries.Registry.byName("t23_percolate").run(spark, sf)
+      .select(col("query_id"), col("n_docs")).as[(Long, Long)].collect().toMap
+    val byQuery = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    t23.foreach { case (qid, n) => assert(byQuery.getOrElse(qid, 0L) == n) }
+  }
 }
