@@ -91,7 +91,39 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, blockCols: Seq[Column] = Seq.empty,
       pruneSingletons: Boolean = false,
-      autoPruneDocs: Long = 20000L): DataFrame = {
+      autoPruneDocs: Long = 20000L): DataFrame =
+    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs)
+      .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"), col("jaccard"))
+
+  /** Containment (Broder 1997's asymmetric resemblance): |A∩B| / min(|A|,
+    * |B|) — the sub-document duplication metric. A short doc fully embedded
+    * in a long one scores ~1.0 here while its symmetric Jaccard stays low
+    * (the union is dominated by the long doc), which is exactly the case
+    * training-data dedup misses when it thresholds on Jaccard alone. Same
+    * postings/blocking machinery and scale shape as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      minContainment: Double, blockCols: Seq[Column] = Seq.empty,
+      pruneSingletons: Boolean = false,
+      autoPruneDocs: Long = 20000L): DataFrame =
+    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs)
+      .withColumn("containment",
+        col("i").cast("double") / least(col("sa"), col("sb")))
+      .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("containment") >= minContainment)
+      .select(col("da"), col("db"), col("i"), col("sa"), col("sb"),
+        col("containment"), col("jaccard"))
+
+  /** Shared exact shingle-intersection core of [[jaccardPairs]] /
+    * [[containmentPairs]]: distinct bigram postings (blocked, optionally
+    * singleton-pruned, term-repartitioned — see the r12/r13 pressure notes)
+    * self-joined to (da, db, i, sa, sb) pair rows.
+    */
+  private def pairIntersections(df: DataFrame, id: Column, text: Column,
+      blockCols: Seq[Column], pruneSingletons: Boolean,
+      autoPruneDocs: Long): DataFrame = {
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     // cached via the session-visible registry: reused by the self-join's two
@@ -124,9 +156,6 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
-      .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("da"), col("db"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard pairs by PREFIX FILTERING (Bayardo et al. 2007

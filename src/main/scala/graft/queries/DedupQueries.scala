@@ -716,6 +716,51 @@ object DedupQueries extends QueryGroup {
              |                FALSE) AS burned
              |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
              |LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // D12 — containment near-dup (Broder 1997's asymmetric resemblance,
+    // |A∩B|/min(|A|,|B|)): the SUB-DOCUMENT duplication metric — a short
+    // doc fully embedded in a long one scores ~1 here while its symmetric
+    // Jaccard stays low (union dominated by the long doc). Same exact
+    // bigram-postings machinery, blocking, and scale notes as d2; the
+    // threshold tests the raw double (one mirrored divide over exact
+    // integer counts) and the Jaccard rides along for contrast.
+    Q("d12_containment",
+      (s, d) => graft.dedup.Dedup.containmentPairs(
+          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.6,
+          Seq(col("lang"), col("source")))
+        .select(col("da"), col("db"), col("i"), col("sa"), col("sb"),
+          round(col("containment"), 6).as("containment"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db, i, sa.sz AS sa, sb.sz AS sb,
+             |       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6)
+             |         AS containment,
+             |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = da
+             |JOIN sizes sb ON sb.doc_id = db
+             |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz)
+             |        >= CAST(0.6 AS DOUBLE)
+             |ORDER BY da, db""".stripMargin))
   )
 }

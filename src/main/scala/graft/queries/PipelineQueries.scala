@@ -741,6 +741,69 @@ object PipelineQueries extends QueryGroup {
            |  FROM g)
            |SELECT source, stage, count(*) AS n_docs
            |FROM st GROUP BY 1, 2 ORDER BY source, stage""".stripMargin
-      })
+      }),
+
+    // X25 — context-window truncation accounting: what a max_len=64 token
+    // budget costs per language — docs over budget, tokens lost to
+    // truncation, loss share. The training-data planning query behind
+    // "which languages need longer context or chunking". Pure integer
+    // aggregates off one map-side token count; a single rounded divide.
+    Q("x25_truncation_loss",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_tok") > 64).cast("long")).as("docs_over"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(greatest(lit(0L), col("n_tok") - 64)).as("lost_tok"))
+        .select(col("lang"), col("n_docs"), col("docs_over"),
+          col("sum_tok"), col("lost_tok"),
+          round(col("lost_tok").cast("double") * 100
+            / col("sum_tok"), 6).as("pct_lost"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang,
+             |                  len(list_filter(string_split(text, ' '),
+             |                      x -> x <> '')) AS n_tok
+             |           FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS docs_over,
+             |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |       CAST(sum(greatest(0, n_tok - 64)) AS BIGINT) AS lost_tok,
+             |       round(CAST(sum(greatest(0, n_tok - 64)) AS DOUBLE) * 100
+             |         / sum(n_tok), 6) AS pct_lost
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X26 — packing-efficiency report over x6's greedy chunk assignment:
+    // per (grp, chunk) docs, token mass, and fill ratio vs the 512 budget.
+    // A doc straddling the boundary counts in the chunk where it STARTS
+    // (x6's running-sum rule), so fill can exceed 100% — that overshoot
+    // IS the metric: it quantifies what the greedy packer costs vs ideal
+    // splitting, per group. Derived entirely from the aggregated chunk
+    // frame; integer sums, one divide.
+    Q("x26_pack_efficiency",
+      (s, d) => DataSplit.packChunks(Tables(s, d, "documents"),
+          col("lang"), col("doc_id"), col("text"), budget = 512)
+        .groupBy(col("grp"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tok"))
+        .select(col("grp"), col("chunk"), col("n_docs"), col("sum_tok"),
+          round(col("sum_tok").cast("double") * 100 / lit(512.0D), 6)
+            .as("fill_pct"))
+        .orderBy(col("grp"), col("chunk")),
+      Some("""WITH t AS (
+             |  SELECT lang AS grp, doc_id,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT grp, doc_id, n_tok,
+             |             CAST(floor((sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id)
+             |                         - n_tok) / 512) AS BIGINT) AS chunk
+             |      FROM t)
+             |SELECT grp, chunk, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |       round(CAST(sum(n_tok) AS DOUBLE) * 100
+             |         / CAST(512.0 AS DOUBLE), 6) AS fill_pct
+             |FROM c GROUP BY 1, 2 ORDER BY grp, chunk""".stripMargin))
   )
 }

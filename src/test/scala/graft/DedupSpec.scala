@@ -299,4 +299,22 @@ class SimHashDedupSpec extends SparkSuite {
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(cand))
   }
+
+  test("containment catches a fully-embedded sub-document that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is doc 1's first sentence verbatim inside a much longer doc:
+    // every bigram of 2 appears in 1 → containment 1.0, but the union is
+    // dominated by 1's extra text so Jaccard stays low
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 0.9)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    // the symmetric metric at the same bar finds nothing — the gap d12 closes
+    assert(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5).count() == 0)
+  }
 }
