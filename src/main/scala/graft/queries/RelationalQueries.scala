@@ -351,6 +351,58 @@ object RelationalQueries extends QueryGroup {
              |       us AS valid_from_us,
              |       lead(us) OVER (PARTITION BY user_id
              |                      ORDER BY us, event_id) AS valid_to_us
-             |FROM f ORDER BY user_id, version""".stripMargin))
+             |FROM f ORDER BY user_id, version""".stripMargin)),
+
+    // I6 — EQL sequence with maxspan (ES EQL: `sequence by user_id
+    // [view] [click] [purchase] with maxspan=48h`): a10's funnel chain with
+    // each step REQUIRED within 48 hours of the previous (the fixture's
+    // median first-step gap is ~32 h, so the bound genuinely prunes), emitting the
+    // matched sequences themselves (first-match-per-user semantics: each
+    // stage binds to its earliest qualifying event — deterministic, the
+    // EQL engine's own binding order). Times stay in exact epoch-micros;
+    // the span bound is an integer comparison. Scale shape = a10's:
+    // user-keyed semi-join chain, each stage one filtered min-aggregate.
+    Q("i6_eql_sequence",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val span = 172800000000L
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("us") > col("tv") and col("us") <= col("tv") + span)
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("tc"), min(col("tv")).as("tv"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("us") > col("tc") and col("us") <= col("tc") + span)
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("tp"), min(col("tv")).as("tv"),
+            min(col("tc")).as("tc"))
+        p.select(col("user_id"), col("tv").as("view_us"),
+            col("tc").as("click_us"), col("tp").as("purchase_us"),
+            (col("tp") - col("tv")).as("total_span_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             |           FROM events),
+             |v AS (SELECT user_id, min(us) AS tv FROM e
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(us) AS tc, min(tv) AS tv
+             |      FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click'
+             |        AND us > tv AND us <= tv + 172800000000
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(us) AS tp, min(tv) AS tv,
+             |             min(tc) AS tc
+             |      FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase'
+             |        AND us > tc AND us <= tc + 172800000000
+             |      GROUP BY 1)
+             |SELECT user_id, tv AS view_us, tc AS click_us,
+             |       tp AS purchase_us, tp - tv AS total_span_us
+             |FROM p ORDER BY user_id""".stripMargin))
   )
 }

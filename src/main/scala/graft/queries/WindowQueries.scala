@@ -340,6 +340,57 @@ object WindowQueries extends QueryGroup {
              |                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
              |                         * ((hs - ph) / (nh - ph)) END,
              |             6) AS v_interp
-             |FROM w ORDER BY event_type, h""".stripMargin))
+             |FROM w ORDER BY event_type, h""".stripMargin)),
+
+    // W10 — gaps-and-islands: longest consecutive-active-day streak per
+    // user (the classic island trick: epochday − row_number is constant
+    // within a run, so islands fall out of ONE ranking window + ONE hash
+    // agg — no self-join, no iteration). Tie-break: equal-length streaks
+    // resolve to the earliest start. All integers; the per-user cut is a
+    // second (tiny, user-keyed) window over the island frame.
+    Q("w10_longest_streak",
+      (s, d) => {
+        val days = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01")).cast("long")
+              - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        val pick = Window.partitionBy(col("user_id"))
+          .orderBy(col("len").desc, col("start_day"))
+        islands.withColumn("rk", row_number().over(pick))
+          .filter(col("rk") === 1)
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            min(col("start_day")).as("streak_start"))
+          .join(days.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_active_days")), "user_id")
+          .select(col("user_id"), col("n_active_days"),
+            col("longest_streak"), col("streak_start"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |              FROM events),
+             |g AS (SELECT user_id, day,
+             |             CAST(datediff('day', DATE '1970-01-01', day)
+             |                  AS BIGINT)
+             |               - row_number() OVER (PARTITION BY user_id
+             |                   ORDER BY day) AS grp
+             |      FROM days),
+             |isl AS (SELECT user_id, grp, count(*) AS len,
+             |               min(day) AS start_day
+             |        FROM g GROUP BY 1, 2),
+             |pick AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                ORDER BY len DESC, start_day) AS rk
+             |         FROM isl),
+             |act AS (SELECT user_id, count(*) AS n_active_days
+             |        FROM days GROUP BY 1)
+             |SELECT p.user_id, act.n_active_days,
+             |       p.len AS longest_streak, p.start_day AS streak_start
+             |FROM pick p JOIN act USING (user_id)
+             |WHERE rk = 1 ORDER BY p.user_id""".stripMargin))
   )
 }
