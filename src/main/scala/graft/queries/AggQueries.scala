@@ -1573,7 +1573,173 @@ object AggQueries extends QueryGroup {
              |      FROM b)
              |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day, n
              |FROM r WHERE rnk <= 5
-             |ORDER BY event_type, rnk""".stripMargin))
+             |ORDER BY event_type, rnk""".stripMargin)),
+
+    // A41 — variable_width_histogram (ES's approximate-clustering
+    // histogram), as a DETERMINISTIC 1-D k-means over integer cents —
+    // the v8 recipe in one dimension: init = the five a35-style rank
+    // quantiles (exact ranks, no interpolation needed — just the value AT
+    // the rank), two unrolled Lloyd iterations with the argmin written as
+    // a 5-way ≤-CASE (ties to the LOWER centroid id — pinned), recenter =
+    // integer floor-division sum/count (empty clusters keep their old
+    // centroid via coalesce). Zero FP anywhere. Scale shape: each
+    // assignment pass is MAP-SIDE (1-row centroid pivot broadcast into
+    // the scan — never a ×k row blowup or a per-value window); each
+    // recenter is one hash agg. The INIT's exact global rank is the
+    // oracle-determinism choice — at 100 TB seed from approx_percentile
+    // instead (init quality doesn't need exactness; the iterations do the
+    // work). Buckets report min/max/count/centroid.
+    Q("a41_variable_width_histogram",
+      (s, d) => {
+        val ev = graft.Caches.track(Tables(s, d, "events")
+          .select(col("event_id"), cents(col("value")).as("v")))
+        // init: values at ranks 1, ⌊(n-1)/4⌋+1, ⌊2(n-1)/4⌋+1, ⌊3(n-1)/4⌋+1, n
+        val ranked = ev
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("v"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        val init = ranked
+          .filter(col("rn") === 1 or
+            col("rn") === floor((col("n") - 1) / lit(4.0D)) + 1 or
+            col("rn") === floor((col("n") - 1) * 2 / lit(4.0D)) + 1 or
+            col("rn") === floor((col("n") - 1) * 3 / lit(4.0D)) + 1 or
+            col("rn") === col("n"))
+          .groupBy(lit(1).as("g"))
+          .agg(min(when(col("rn") === 1, col("v"))).as("c0"),
+            min(when(col("rn") === floor((col("n") - 1) / lit(4.0D)) + 1,
+              col("v"))).as("c1"),
+            min(when(col("rn") === floor((col("n") - 1) * 2 / lit(4.0D)) + 1,
+              col("v"))).as("c2"),
+            min(when(col("rn") === floor((col("n") - 1) * 3 / lit(4.0D)) + 1,
+              col("v"))).as("c3"),
+            min(when(col("rn") === col("n"), col("v"))).as("c4"))
+          .drop("g")
+        def assign(cents: org.apache.spark.sql.DataFrame) = ev
+          .crossJoin(broadcast(cents))
+          .withColumn("cid", expr(
+            """CASE
+              |  WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
+              |   AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
+              |  WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
+              |   AND abs(v-c1) <= abs(v-c4) THEN 1
+              |  WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
+              |  WHEN abs(v-c3) <= abs(v-c4) THEN 3
+              |  ELSE 4 END""".stripMargin))
+        def recenter(assigned: org.apache.spark.sql.DataFrame,
+                     prev: org.apache.spark.sql.DataFrame) = {
+          // integer floor-division recenter (sums are nonnegative): `div`
+          // here ≙ `//` in the oracle — NOT a double divide + cast, whose
+          // truncate-vs-round conventions differ across engines (a23 class)
+          val sums = assigned.groupBy(col("cid"))
+            .agg(expr("sum(v) div count(1)").as("c"))
+          val piv = sums.groupBy(lit(1).as("g"))
+            .agg(min(when(col("cid") === 0, col("c"))).as("n0"),
+              min(when(col("cid") === 1, col("c"))).as("n1"),
+              min(when(col("cid") === 2, col("c"))).as("n2"),
+              min(when(col("cid") === 3, col("c"))).as("n3"),
+              min(when(col("cid") === 4, col("c"))).as("n4"))
+            .drop("g")
+          prev.crossJoin(piv).select(
+            coalesce(col("n0"), col("c0")).as("c0"),
+            coalesce(col("n1"), col("c1")).as("c1"),
+            coalesce(col("n2"), col("c2")).as("c2"),
+            coalesce(col("n3"), col("c3")).as("c3"),
+            coalesce(col("n4"), col("c4")).as("c4"))
+        }
+        val c1 = recenter(assign(init), init)
+        val c2 = recenter(assign(c1), c1)
+        assign(c2).groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+          .join(broadcast(c2.select(
+            expr("stack(5, 0, c0, 1, c1, 2, c2, 3, c3, 4, c4) AS (cid, centroid)"))),
+            "cid")
+          .select(col("cid"), col("n"), col("min_cents"), col("max_cents"),
+            col("centroid"))
+          .orderBy(col("cid"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+             |                  CAST(round(value * 100) AS BIGINT) AS v
+             |           FROM events),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+             |             count(*) OVER () AS n
+             |      FROM e),
+             |init AS (SELECT
+             |  min(CASE WHEN rn = 1 THEN v END) AS c0,
+             |  min(CASE WHEN rn = CAST(floor((n-1) / 4.0) AS BIGINT) + 1
+             |           THEN v END) AS c1,
+             |  min(CASE WHEN rn = CAST(floor((n-1) * 2 / 4.0) AS BIGINT) + 1
+             |           THEN v END) AS c2,
+             |  min(CASE WHEN rn = CAST(floor((n-1) * 3 / 4.0) AS BIGINT) + 1
+             |           THEN v END) AS c3,
+             |  min(CASE WHEN rn = n THEN v END) AS c4
+             |  FROM r
+             |  WHERE rn = 1 OR rn = CAST(floor((n-1) / 4.0) AS BIGINT) + 1
+             |     OR rn = CAST(floor((n-1) * 2 / 4.0) AS BIGINT) + 1
+             |     OR rn = CAST(floor((n-1) * 3 / 4.0) AS BIGINT) + 1
+             |     OR rn = n),
+             |a1 AS (SELECT v, CASE
+             |         WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
+             |          AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
+             |         WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
+             |          AND abs(v-c1) <= abs(v-c4) THEN 1
+             |         WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
+             |         WHEN abs(v-c3) <= abs(v-c4) THEN 3
+             |         ELSE 4 END AS cid
+             |       FROM e CROSS JOIN init),
+             |s1 AS (SELECT cid, CAST(sum(v) // count(*) AS BIGINT) AS c
+             |       FROM a1 GROUP BY 1),
+             |p1 AS (SELECT
+             |         min(CASE WHEN cid = 0 THEN c END) AS n0,
+             |         min(CASE WHEN cid = 1 THEN c END) AS n1,
+             |         min(CASE WHEN cid = 2 THEN c END) AS n2,
+             |         min(CASE WHEN cid = 3 THEN c END) AS n3,
+             |         min(CASE WHEN cid = 4 THEN c END) AS n4
+             |       FROM s1),
+             |k1 AS (SELECT COALESCE(n0, c0) AS c0, COALESCE(n1, c1) AS c1,
+             |              COALESCE(n2, c2) AS c2, COALESCE(n3, c3) AS c3,
+             |              COALESCE(n4, c4) AS c4
+             |       FROM init CROSS JOIN p1),
+             |a2 AS (SELECT v, CASE
+             |         WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
+             |          AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
+             |         WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
+             |          AND abs(v-c1) <= abs(v-c4) THEN 1
+             |         WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
+             |         WHEN abs(v-c3) <= abs(v-c4) THEN 3
+             |         ELSE 4 END AS cid
+             |       FROM e CROSS JOIN k1),
+             |s2 AS (SELECT cid, CAST(sum(v) // count(*) AS BIGINT) AS c
+             |       FROM a2 GROUP BY 1),
+             |p2 AS (SELECT
+             |         min(CASE WHEN cid = 0 THEN c END) AS n0,
+             |         min(CASE WHEN cid = 1 THEN c END) AS n1,
+             |         min(CASE WHEN cid = 2 THEN c END) AS n2,
+             |         min(CASE WHEN cid = 3 THEN c END) AS n3,
+             |         min(CASE WHEN cid = 4 THEN c END) AS n4
+             |       FROM s2),
+             |k2 AS (SELECT COALESCE(n0, c0) AS c0, COALESCE(n1, c1) AS c1,
+             |              COALESCE(n2, c2) AS c2, COALESCE(n3, c3) AS c3,
+             |              COALESCE(n4, c4) AS c4
+             |       FROM k1 CROSS JOIN p2),
+             |a3 AS (SELECT v, CASE
+             |         WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
+             |          AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
+             |         WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
+             |          AND abs(v-c1) <= abs(v-c4) THEN 1
+             |         WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
+             |         WHEN abs(v-c3) <= abs(v-c4) THEN 3
+             |         ELSE 4 END AS cid
+             |       FROM e CROSS JOIN k2),
+             |cents AS (SELECT 0 AS cid, c0 AS centroid FROM k2
+             |          UNION ALL SELECT 1, c1 FROM k2
+             |          UNION ALL SELECT 2, c2 FROM k2
+             |          UNION ALL SELECT 3, c3 FROM k2
+             |          UNION ALL SELECT 4, c4 FROM k2)
+             |SELECT a.cid, count(*) AS n, min(v) AS min_cents,
+             |       max(v) AS max_cents, min(centroid) AS centroid
+             |FROM a3 a JOIN cents USING (cid)
+             |GROUP BY a.cid ORDER BY a.cid""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

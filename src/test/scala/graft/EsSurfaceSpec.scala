@@ -423,6 +423,23 @@ class EsSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("a41: histogram buckets partition the corpus into ordered, disjoint ranges") {
+    val rows = Registry.byName("a41_variable_width_histogram").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // 1-D nearest-centroid cells are intervals: consecutive buckets must
+    // not overlap and must be ordered by cid
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents"))
+      case _ =>
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents")))
+  }
+
   test("v18: pre-filtered knn returns only candidates passing the filter, in order") {
     val rows = Registry.byName("v18_filtered_knn").run(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
