@@ -1241,6 +1241,88 @@ object TextQueries extends QueryGroup {
               |SELECT query_id, doc_id
               |FROM p JOIN q USING (term)
               |GROUP BY 1, 2 HAVING count(*) = 2
-              |ORDER BY query_id, doc_id""".stripMargin))
+              |ORDER BY query_id, doc_id""".stripMargin)),
+
+    // A42 — rare_terms (ES's long-tail dual of `terms`: buckets for terms
+    // with doc_count AT OR BELOW a ceiling, which a terms agg's size-N cut
+    // can never surface). Keyed on TRIGRAM shingles — the fixture's ~30
+    // unigram vocabulary has no tail (every token's df is in the hundreds;
+    // a unigram rare_terms is provably empty here), while the trigram
+    // space carries a genuine singleton tail. max_doc_count = 1 (ES's
+    // default): uniquely-occurring shingles only. One term-keyed hash agg
+    // + HAVING — the shuffle carries term partials, never raw postings. ES
+    // implements this on a CuckooFilter and documents false positives;
+    // the relational form is exact — strictly stronger, same surface.
+    Q("a42_rare_terms",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("doc_count"),
+          min(col("doc_id")).as("only_doc"))
+        .filter(col("doc_count") === 1)
+        .orderBy(col("term")),
+      Some(s"""WITH z AS (SELECT doc_id, $tok AS toks FROM documents),
+              |t AS (SELECT DISTINCT doc_id, term
+              |      FROM (SELECT doc_id,
+              |              unnest(CASE WHEN len(toks) >= 3
+              |                THEN list_transform(generate_series(1, len(toks) - 2),
+              |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |                ELSE [] END) AS term
+              |            FROM z))
+              |SELECT term, count(*) AS doc_count, min(doc_id) AS only_doc
+              |FROM t GROUP BY term HAVING count(*) = 1
+              |ORDER BY term""".stripMargin)),
+
+    // T32 — rescore window (ES `rescore`: cheap first-phase ranking over
+    // the corpus, expensive second phase over ONLY the top window): phase
+    // 1 ranks by tf('merge') (the cheap proxy), phase 2 re-scores the
+    // top-100 window with tf + 3×(adjacent "merge sort" phrase count) —
+    // the v17 two-stage shape on text. Both cuts TakeOrdered with doc_id
+    // tie-breaks; the phrase pass joins positional postings ONLY for the
+    // 100 window docs (broadcast semi), never the corpus. All-integer
+    // scores.
+    Q("t32_rescore",
+      (s, d) => {
+        val pos = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+        val phase1 = pos.filter(col("term") === "merge")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("doc_id"))
+          .limit(100)
+        val win = graft.Caches.track(phase1)
+        val a = pos.join(broadcast(win.select(col("doc_id"))), "doc_id")
+          .filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.join(broadcast(win.select(col("doc_id"))), "doc_id")
+          .filter(col("term") === "sort")
+          .select(col("doc_id").as("db"), col("pos").as("pb"))
+        val phrase = a.join(b, col("doc_id") === col("db") &&
+            col("pb") === col("pos") + 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_phrase"))
+        win.join(phrase, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("tf"),
+            coalesce(col("n_phrase"), lit(0L)).as("n_phrase"),
+            (col("tf") + coalesce(col("n_phrase"), lit(0L)) * 3).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH z AS (SELECT doc_id, $tok AS toks FROM documents),
+              |p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+              |      FROM z, unnest(range(1, len(toks) + 1)) AS t(i)),
+              |w AS (SELECT doc_id, count(*) AS tf FROM p
+              |      WHERE term = 'merge' GROUP BY 1
+              |      ORDER BY tf DESC, doc_id LIMIT 100),
+              |ph AS (SELECT a.doc_id, count(*) AS n_phrase
+              |       FROM p a JOIN p b ON a.doc_id = b.doc_id
+              |                        AND b.pos = a.pos + 1
+              |       JOIN w ON w.doc_id = a.doc_id
+              |       WHERE a.term = 'merge' AND b.term = 'sort'
+              |       GROUP BY 1)
+              |SELECT w.doc_id, tf, COALESCE(n_phrase, 0) AS n_phrase,
+              |       tf + COALESCE(n_phrase, 0) * 3 AS score
+              |FROM w LEFT JOIN ph USING (doc_id)
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 }
