@@ -1243,7 +1243,13 @@ object AggQueries extends QueryGroup {
              |ORDER BY event_type""".stripMargin)),
 
     // A35 — boxplot agg (ES `boxplot`: min/q1/q2/q3/max + IQR fences +
-    // outlier count). Quartile interpolation is written out EXPLICITLY on
+    // outlier count). NOTE on the rank windows here and in a34: a
+    // per-group row_number caps parallelism at the group count (5 types →
+    // 5 sort tasks), which is exactly right for the oracle but the wrong
+    // shape for few-groups × 100 TB — production quantiles at that scale
+    // go through approx_percentile (the h6_percentiles_approx path, GK
+    // sketch, map-side mergeable) with THIS exact form as its error
+    // oracle. Quartile interpolation is written out EXPLICITLY on
     // both engines (pos = (n−1)·p/4, v_lo + frac·(v_hi − v_lo)) instead of
     // trusting percentile()/quantile_cont() conventions; every frac is an
     // exact binary fraction (k/4) and every v an integer cent, so the
