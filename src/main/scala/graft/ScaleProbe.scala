@@ -250,7 +250,26 @@ object ScaleProbe {
         graft.similarity.Pq.knnAdcRerank(enc, emb, col("vec_id"),
           col("embedding"), col("codes"), query, cb,
           topK = 10, shortlist = 1000)
-      }))
+      }),
+      // r14 addition: the per-group top-k pair at 10× — the window
+      // composition shuffles ALL 10× rows and sorts each of the 5 groups on
+      // ≤5 cores (per-group parallelism = group count), while the native
+      // heap operator prunes to k per group per input partition map-side
+      // and shuffles only partitions × groups × k candidates. The delta IS
+      // TopKPerGroup's scale claim, measured; the conf-gated rank-limit
+      // rewrite produces the native plan from the window syntax, so its
+      // win equals this delta by construction (plan equality pinned in
+      // TopKNativeSpec).
+      "o3_window_topk_shape" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+        orders.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).drop("rn")
+      }),
+      "o4_native_topk_shape" -> (() => graft.operators.TopK.perGroup(
+        orders, 10, group = Seq(col("o_orderpriority")),
+        order = Seq(cents(col("o_totalprice")).desc, col("o_orderkey")))))
 
     // Optional comma-separated shape filter for local iteration (mirrors
     // Bench's SPARK_GRAFT_BENCH_ONLY). Filtered runs are for attribution
