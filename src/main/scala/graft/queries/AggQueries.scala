@@ -1745,7 +1745,97 @@ object AggQueries extends QueryGroup {
              |SELECT a.cid, count(*) AS n, min(v) AS min_cents,
              |       max(v) AS max_cents, min(centroid) AS centroid
              |FROM a3 a JOIN cents USING (cid)
-             |GROUP BY a.cid ORDER BY a.cid""".stripMargin))
+             |GROUP BY a.cid ORDER BY a.cid""".stripMargin)),
+
+    // A43 — date_range agg (ES `date_range`: NAMED irregular calendar
+    // buckets with half-open [from, to) bounds and open ends — the
+    // calendar sibling h13's uniform histogram can't express). Bucket
+    // edges are derived from the data's min day (one-row broadcast bounds
+    // reduce, a20's technique) so the query is fixture-independent; the
+    // bucket CASE is map-side integer day arithmetic, then one hash agg
+    // over ≤3 buckets.
+    Q("a43_date_range",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), cents(col("value")).as("vc"))
+        val bounds = ev.agg(min(col("day")).as("d0"))
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("off", datediff(col("day"), col("d0")))
+          .withColumn("bucket",
+            when(col("off") < 7, "b0_first_week")
+              .when(col("off") < 21, "b1_weeks_2_3")
+              .otherwise("b2_rest"))
+          .withColumn("from_day",
+            when(col("off") < 7, col("d0"))
+              .when(col("off") < 21, date_add(col("d0"), 7))
+              .otherwise(date_add(col("d0"), 21)))
+          .groupBy(col("bucket"), col("from_day"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_cents"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events),
+             |b AS (SELECT min(day) AS d0 FROM e),
+             |m AS (SELECT day, vc,
+             |             datediff('day', d0, day) AS off, d0
+             |      FROM e CROSS JOIN b),
+             |t AS (SELECT CASE WHEN off < 7 THEN 'b0_first_week'
+             |                  WHEN off < 21 THEN 'b1_weeks_2_3'
+             |                  ELSE 'b2_rest' END AS bucket,
+             |             CASE WHEN off < 7 THEN d0
+             |                  WHEN off < 21 THEN d0 + 7
+             |                  ELSE d0 + 21 END AS from_day,
+             |             vc
+             |      FROM m)
+             |SELECT bucket, from_day, count(*) AS n,
+             |       CAST(sum(vc) AS BIGINT) AS sum_cents
+             |FROM t GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
+
+    // A44 — filters agg with other_bucket (ES `filters`: NAMED arbitrary
+    // predicates as buckets, plus the catch-all). Buckets may OVERLAP
+    // (a doc can match several — unlike a terms agg's partition), so each
+    // is a conditional sum in ONE corpus pass (the a22 posture — never
+    // k scans); the other bucket counts rows matching NO filter.
+    Q("a44_filters_agg",
+      (s, d) => {
+        val f = Tables(s, d, "events").select(
+          (col("event_type") === "error").cast("long").as("f_err"),
+          (cents(col("value")) >= 20000).cast("long").as("f_big"),
+          weekday(col("ts")).isin(5, 6).cast("long").as("f_wkend"))
+        f.agg(
+            sum(col("f_err")).as("n_errors"),
+            sum(col("f_big")).as("n_big_value"),
+            sum(col("f_wkend")).as("n_weekend"),
+            sum(when(col("f_err") + col("f_big") + col("f_wkend") === 0, 1L)
+              .otherwise(0L)).as("n_other"),
+            count(lit(1)).as("n_total"))
+          .select(expr(
+            "stack(4, 'errors', n_errors, 'big_value', n_big_value, " +
+              "'weekend', n_weekend, 'other', n_other) AS (bucket, n)"),
+            col("n_total"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fe,
+             |         CASE WHEN CAST(round(value * 100) AS BIGINT) >= 20000
+             |              THEN 1 ELSE 0 END AS fb,
+             |         CASE WHEN date_part('isodow', ts) IN (6, 7)
+             |              THEN 1 ELSE 0 END AS fw
+             |  FROM events),
+             |a AS (SELECT CAST(sum(fe) AS BIGINT) AS n_errors,
+             |             CAST(sum(fb) AS BIGINT) AS n_big_value,
+             |             CAST(sum(fw) AS BIGINT) AS n_weekend,
+             |             CAST(sum(CASE WHEN fe + fb + fw = 0 THEN 1 ELSE 0 END)
+             |                  AS BIGINT) AS n_other,
+             |             count(*) AS n_total
+             |      FROM f)
+             |SELECT bucket, n, n_total FROM (
+             |  SELECT 'errors' AS bucket, n_errors AS n, n_total FROM a
+             |  UNION ALL SELECT 'big_value', n_big_value, n_total FROM a
+             |  UNION ALL SELECT 'weekend', n_weekend, n_total FROM a
+             |  UNION ALL SELECT 'other', n_other, n_total FROM a)
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to
