@@ -159,4 +159,58 @@ object GraftProps extends Properties("graft") {
           Math.floorDiv(blo, w) <= s && s <= Math.floorDiv(bhi, w)
       }
     }
+
+  // a39's scripted-metric trick: the (peak, maxdd) state machine packed
+  // into ONE BIGINT (peak·10⁹ + maxdd) so DuckDB's list_reduce can mirror
+  // Spark's aggregate(). The fold must equal the plain two-variable spec
+  // for any value sequence under the documented 10⁹ bound.
+  private val drawVals = Gen.listOf(Gen.choose(0L, 999999999L))
+
+  property("a39 packed drawdown fold equals the two-variable reference") =
+    forAll(drawVals) { vs =>
+      val B = 1000000000L
+      val packed = vs.foldLeft(0L) { (acc, v) =>
+        val p = math.max(acc / B, v)
+        p * B + math.max(acc % B, p - v)
+      }
+      var peak = 0L; var mdd = 0L
+      vs.foreach { v => peak = math.max(peak, v); mdd = math.max(mdd, peak - v) }
+      packed / B == peak && packed % B == mdd
+    }
+
+  // w10's gaps-and-islands identity: value − rank is constant exactly on
+  // maximal consecutive runs, so grouping by it recovers run lengths.
+  private val daySets = Gen.listOf(Gen.choose(0, 400)).map(_.distinct.sorted)
+
+  property("w10 value-minus-rank grouping recovers maximal consecutive runs") =
+    forAll(daySets) { days =>
+      val byTrick = days.zipWithIndex
+        .groupBy { case (d, i) => d - i }.values
+        .map(g => (g.map(_._1).min, g.size)).toSet
+      // reference: fold into explicit runs
+      val runs = days.foldLeft(List.empty[(Int, Int)]) {
+        case ((start, len) :: rest, d) if d == start + len => (start, len + 1) :: rest
+        case (acc, d) => (d, 1) :: acc
+      }.toSet
+      byTrick == runs
+    }
+
+  // d12's metric relationship: containment ≥ jaccard always, strictly so
+  // whenever the sets differ and intersect — the gap is exactly what the
+  // sub-document dedup case exploits (proper subset: containment 1, jaccard
+  // min/max < 1). Equality only in the degenerate cases (disjoint or
+  // identical).
+  private val tokSets = Gen.listOf(Gen.choose(0, 30)).map(_.toSet)
+
+  property("containment dominates jaccard; strict unless disjoint/identical") =
+    forAll(tokSets, tokSets) { (a, b) =>
+      (a.isEmpty || b.isEmpty) || {
+        val i = (a & b).size.toDouble
+        val cont = i / math.min(a.size, b.size)
+        val jac = i / (a.size + b.size - i)
+        cont >= jac &&
+          ((cont == jac) == (i == 0 || a == b)) &&
+          (!(a.subsetOf(b) && a != b) || cont == 1.0)
+      }
+    }
 }
