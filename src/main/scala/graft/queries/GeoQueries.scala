@@ -142,6 +142,42 @@ object GeoQueries extends QueryGroup {
              |FROM p
              |WHERE lat100 BETWEEN 9000 AND 13500
              |  AND lon100 BETWEEN 9000 AND 27000
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // G4 — geo_line agg (ES: per-group LineString of points ordered by a
+    // sort field, size-capped). Per user: the first 5 visited points in
+    // event-time order, emitted as a "lon,lat" path string (array cells
+    // are unhashable in the driver compare — t21's convention). The
+    // sort-within-group is done by sorting an ENCODED (sort-key, point)
+    // string list — both engines sort the same strings — and the
+    // fixed-width zero-padded micros prefix makes lexicographic order ≡
+    // numeric order. One user-keyed hash agg; the cap bounds the payload.
+    Q("g4_geo_line",
+      (s, d) => Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          format_string("%020d:%d,%d", expr("unix_micros(ts)"), col("event_id"),
+            expr("(event_id * 73) % 36000")).as("enc_pfx"),
+          expr("(event_id * 37) % 18000").as("lat100"))
+        .select(col("user_id"),
+          concat(col("enc_pfx"), lit(","), col("lat100")).as("enc"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          array_join(
+            transform(slice(sort_array(collect_list(col("enc"))), 1, 5),
+              e => substring_index(e, ":", -1)), ";").as("line"))
+        .orderBy(col("user_id")),
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             |           || ':' || event_id || ','
+             |           || ((event_id * 73) % 36000) || ','
+             |           || ((event_id * 37) % 18000) AS enc
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_points,
+             |       array_to_string(
+             |         list_transform(list_sort(list(enc))[1:5],
+             |                        e -> string_split(e, ':')[2]),
+             |         ';') AS line
+             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -1323,6 +1323,43 @@ object TextQueries extends QueryGroup {
               |SELECT w.doc_id, tf, COALESCE(n_phrase, 0) AS n_phrase,
               |       tf + COALESCE(n_phrase, 0) * 3 AS score
               |FROM w LEFT JOIN ph USING (doc_id)
-              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // T33 — terms_set with a FIELD-DRIVEN threshold (ES `terms_set` +
+    // `minimum_should_match_field`: the required match count varies PER
+    // DOCUMENT, where t20's bool is one static constant). Query terms
+    // {spark, merge, data}; long documents (n_chars > 400) must match all
+    // 3, short ones any 2. The per-doc required count is a map-side CASE
+    // on the same scan row (functionally-dependent groupBy key — no
+    // second pass), matches are distinct-term counts, and the filter is
+    // pure integers.
+    Q("t33_terms_set",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("spark", "merge", "data"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(countDistinct(col("term")).as("n_matched"))
+        .withColumn("required",
+          when(col("n_chars") > 400, 3L).otherwise(2L))
+        .filter(col("n_matched") >= col("required"))
+        .select(col("doc_id"), col("n_chars"), col("required"),
+          col("n_matched"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, unnest($tok) AS term
+              |           FROM documents),
+              |m AS (SELECT doc_id, n_chars,
+              |             count(DISTINCT term) AS n_matched
+              |      FROM t WHERE term IN ('spark', 'merge', 'data')
+              |      GROUP BY 1, 2),
+              |r AS (SELECT doc_id, n_chars,
+              |             CASE WHEN n_chars > 400 THEN 3 ELSE 2 END
+              |               AS required,
+              |             n_matched
+              |      FROM m)
+              |SELECT doc_id, n_chars, CAST(required AS BIGINT) AS required,
+              |       n_matched
+              |FROM r WHERE n_matched >= required
+              |ORDER BY doc_id""".stripMargin))
   )
 }
