@@ -91,8 +91,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, blockCols: Seq[Column] = Seq.empty,
       pruneSingletons: Boolean = false,
-      autoPruneDocs: Long = 20000L): DataFrame =
-    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs)
+      autoPruneDocs: Long = 20000L,
+      sortAgg: Boolean = true): DataFrame =
+    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs,
+        sortAgg)
       .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"), col("jaccard"))
@@ -107,8 +109,10 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column,
       minContainment: Double, blockCols: Seq[Column] = Seq.empty,
       pruneSingletons: Boolean = false,
-      autoPruneDocs: Long = 20000L): DataFrame =
-    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs)
+      autoPruneDocs: Long = 20000L,
+      sortAgg: Boolean = true): DataFrame =
+    pairIntersections(df, id, text, blockCols, pruneSingletons, autoPruneDocs,
+        sortAgg)
       .withColumn("containment",
         col("i").cast("double") / least(col("sa"), col("sb")))
       .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
@@ -120,10 +124,29 @@ object Dedup {
     * [[containmentPairs]]: distinct bigram postings (blocked, optionally
     * singleton-pruned, term-repartitioned — see the r12/r13 pressure notes)
     * self-joined to (da, db, i, sa, sb) pair rows.
+    *
+    * `sortAgg` (default ON — r14 verdict #1, the third consecutive driver
+    * window to flag this family under host contention): counts the pair
+    * stream with an Exchange(da, db) + external Sort + Window pass instead
+    * of a partial/final HashAggregate. The hash form's per-task map over
+    * the (da, db) key space is what cliffs under memory pressure — each
+    * map fill triggers a spill-and-restart cascade whose cost grows
+    * superlinearly as free execution memory shrinks. The sort form's only
+    * memory consumer is UnsafeExternalSorter, which degrades LINEARLY
+    * (more, smaller spilled runs + one merge pass), and the WindowExec on
+    * top buffers one (da, db) group at a time — bounded by a single
+    * pair's intersection size. Cost of the trade: the full unaggregated
+    * pair stream crosses the Exchange (map-side combine is lost), but the
+    * rows are two longs wide and the combine never bought much here —
+    * a pair collapses map-side only when its shared terms land in the
+    * same term-partition. Measured sf0.1 (cpus=4, reps=3): clean-window
+    * parity (d2 1.6 s both forms); 1g-heap canary — where the hash form's
+    * first rep pays 2.7 s — the sort form holds steady. The hash form
+    * stays available (`sortAgg = false`) for the equality spec.
     */
   private def pairIntersections(df: DataFrame, id: Column, text: Column,
       blockCols: Seq[Column], pruneSingletons: Boolean,
-      autoPruneDocs: Long): DataFrame = {
+      autoPruneDocs: Long, sortAgg: Boolean = true): DataFrame = {
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     // cached via the session-visible registry: reused by the self-join's two
@@ -151,9 +174,28 @@ object Dedup {
       col("term").as("tb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
     val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
       .foldLeft(col("term") === col("tb") && col("doc_id") < col("db"))(_ && _)
-    keyed.join(right, joinCond)
-      .groupBy(col("doc_id").as("da"), col("db"))
-      .agg(count(lit(1)).as("i"))
+    val pairRows = keyed.join(right, joinCond)
+      .select(col("doc_id").as("da"), col("db"))
+    val pairCounts =
+      if (!sortAgg)
+        pairRows.groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      else {
+        // Sort-based count (scaladoc above): one Exchange on the pair key,
+        // one spillable external sort, one WindowExec evaluating both the
+        // full-frame count and row_number in a single pass. All rows of a
+        // partition are identical (da, db) after the projection, so the
+        // orderBy — required syntactically by row_number — is a constant
+        // within each partition and the rn=1 survivor is content-identical
+        // to any other row: output is deterministic.
+        val ws = Window.partitionBy(col("da"), col("db")).orderBy(col("da"))
+        pairRows
+          .withColumn("i", count(lit(1)).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("__rn", row_number().over(ws))
+          .filter(col("__rn") === 1)
+          .select(col("da"), col("db"), col("i"))
+      }
+    pairCounts
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
   }

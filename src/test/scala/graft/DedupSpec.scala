@@ -177,6 +177,29 @@ class DedupFacadeSpec extends SparkSuite {
     assert(un == blocked)
   }
 
+  test("Dedup.jaccardPairs: sort-based pair aggregate (default) equals the " +
+      "hash-aggregate form, values included — blocked and unblocked") {
+    val docs = Tables(spark, sf, "documents")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val sorted = toSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5))
+    val hashed = toSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+      sortAgg = false))
+    assert(sorted == hashed && sorted.nonEmpty)
+    val sortedB = toSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+      Seq(col("lang"), col("source"))))
+    val hashedB = toSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+      Seq(col("lang"), col("source")), sortAgg = false))
+    assert(sortedB == hashedB)
+    // containment shares the core: same equality through its extra columns
+    val cs = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 0.8)
+      .collect().map(_.toSeq).toSet
+    val ch = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 0.8,
+      sortAgg = false).collect().map(_.toSeq).toSet
+    assert(cs == ch)
+  }
+
   test("Dedup.jaccardPairsPrefix equals jaccardPairs: pairs AND jaccard values, " +
       "blocked and unblocked, at several thresholds") {
     val docs = Tables(spark, sf, "documents")

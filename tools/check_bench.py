@@ -30,19 +30,33 @@ Exit 1 iff any query is flagged all-reps-slow or errored, or (without
 --allow-missing) any baseline query is absent from the run -- a silently
 dropped query must not pass the gate.
 
-Host-factor adjustment (round-14): when the RUN'S MEDIAN per-query ratio vs
-baseline exceeds 1.5x, the whole run is on a slower host than the baselines
-were recorded on (the r14 re-provisioning measured uniform 1.7-2.6x canary
-inflation -- BASELINE.md round-14 note), and a fixed 2x threshold flags
-noise while masking nothing: a true regression is slow RELATIVE TO THE
-RUN'S OWN INFLATION, not relative to a different machine. In that regime
-the threshold scales by the median ratio (printed as host-factor); below
-1.5x the classic absolute thresholds apply unchanged. Flags that survive
-the adjustment are genuinely out of line with their own run.
+Host-factor adjustment (round-14, re-based round-15): when the run is on a
+slower host than the baselines were recorded on (the r14 re-provisioning
+measured uniform 1.7-2.6x canary inflation -- BASELINE.md round-14 note), a
+fixed 2x threshold flags noise while masking nothing: a true regression is
+slow RELATIVE TO THE RUN'S OWN INFLATION, not relative to a different
+machine. The factor is the median ratio over the FIXED CANARY SET below --
+trivially-stable, plan-frozen queries (byte-identical plans since round 9)
+that no round's code changes touch -- NOT over all queries (round-15 advice:
+an all-queries median is self-referential -- a change that uniformly slows
+most queries re-bases the gate to its own regression, and new queries whose
+baseline came from the same run sit at ratio 1.0 and dilute it). Above 1.5x
+the thresholds scale by the canary factor (printed as host-factor); below,
+the classic absolute thresholds apply unchanged. As a second guard, if the
+NON-canary queries' median inflation materially exceeds the canaries' own
+(>1.5x beyond it), the run is flagged loudly: that pattern is a code-level
+slowdown the host cannot explain, and the gate fails.
 """
 import json
 import os
 import sys
+
+# Plan-frozen trivial queries used to estimate the host factor: simple
+# scan/agg/window shapes untouched since round 9 (the r14 attribution
+# protocol's probe set). If code changes ever touch these, move them out.
+HOST_CANARIES = ["a1_count_per_key", "h1_pricing_summary", "s6_scan_project",
+                 "v1_dot_cosine", "w1_ranking", "u1_union_all",
+                 "j1_broadcast_join", "o1_global_sort"]
 
 
 def load_bench(path):
@@ -80,19 +94,47 @@ def main():
     base = {k: v for k, v in base.items() if not k.startswith("_")}
     queries, detail, total = load_bench(bench_path)
 
-    # Host factor: the run's median per-query ratio vs baseline. A uniformly
-    # slower host inflates every query by ~this factor; scaling the flag
-    # threshold by it (only when inflation is material, >1.5x) makes the
-    # check detect queries out of line WITH THEIR OWN RUN instead of
-    # re-litigating the host delta on every query. See module docstring.
-    ratios = sorted(sec / base[n]["best"] for n, sec in queries.items()
-                    if n in base and sec >= 0 and base[n]["best"] > 0)
-    host = ratios[len(ratios) // 2] if ratios else 1.0
+    # Host factor: median ratio over the FIXED canary set (module docstring).
+    # A uniformly slower host inflates the canaries by ~this factor; scaling
+    # the flag threshold by it (only when inflation is material, >1.5x)
+    # makes the check detect queries out of line WITH THEIR OWN RUN instead
+    # of re-litigating the host delta on every query.
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else 1.0
+
+    def ratios(names):
+        return [queries[n] / base[n]["best"] for n in names
+                if n in base and n in queries and queries[n] >= 0
+                and base[n]["best"] > 0]
+
+    canary_ratios = ratios(HOST_CANARIES)
+    if len(canary_ratios) < 3:
+        # canary set unavailable (filtered run) -- fall back to the
+        # all-queries median, with a note that the estimate is weaker
+        canary_ratios = ratios(list(queries))
+        if canary_ratios:
+            print("host-factor: WARNING canary queries absent from this run; "
+                  "falling back to all-queries median (self-referential -- "
+                  "see docstring)")
+    host = median(canary_ratios)
     factor = host if host > 1.5 else 1.0
     if factor > 1.0:
-        print(f"host-factor: median run/baseline ratio {host:.2f}x > 1.5x -- "
-              f"thresholds scaled by {factor:.2f} (slower-host regime, "
-              "BASELINE.md r14 protocol)")
+        print(f"host-factor: canary median run/baseline ratio {host:.2f}x "
+              f"> 1.5x -- thresholds scaled by {factor:.2f} (slower-host "
+              "regime, BASELINE.md r14 protocol; canaries: "
+              f"{len(canary_ratios)}/{len(HOST_CANARIES)})")
+    # Independent-signal guard (round-15 advice): if the non-canary queries
+    # are inflated well beyond what the canaries say the host costs, that
+    # excess is code, not host -- fail loudly instead of re-basing to it.
+    rest = ratios([n for n in queries if n not in HOST_CANARIES])
+    rest_med = median(rest) if rest else 1.0
+    code_inflation = rest and len(canary_ratios) >= 3 and rest_med > 1.5 * host
+    if code_inflation:
+        print(f"SUSPECT-UNIFORM-REGRESSION: non-canary median ratio "
+              f"{rest_med:.2f}x exceeds 1.5x the canary host-factor "
+              f"{host:.2f}x -- a broad slowdown the host cannot explain; "
+              "gate fails (round-15 advice #1)")
 
     hard, soft, new = [], [], []
     for name, sec in sorted(queries.items()):
@@ -143,13 +185,17 @@ def main():
     for name, sec, best, why in hard:
         print(f"REGRESS  {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
     missing = sorted(set(base) - set(queries))
-    for name in missing:
-        print(f"missing  {name} (in baseline, absent from this run)")
+    # A deliberately-filtered run (--allow-missing) would print hundreds of
+    # missing lines; the count in the summary line suffices there.
+    if not allow_missing:
+        for name in missing:
+            print(f"missing  {name} (in baseline, absent from this run)")
     print(f"== {len(hard)} hard, {len(soft)} soft/outlier, {len(new)} new, "
           f"{len(missing)} missing / {len(queries)} run")
     # A query dropped from SparkEntry.queries (or a filtered BENCH_ONLY run)
     # must fail the gate unless the caller opted in with --allow-missing.
-    sys.exit(1 if hard or (missing and not allow_missing) else 0)
+    sys.exit(1 if hard or code_inflation
+             or (missing and not allow_missing) else 0)
 
 
 if __name__ == "__main__":

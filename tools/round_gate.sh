@@ -36,4 +36,23 @@ if [[ "${1:-}" != "--quick" && -f BENCH_full.json ]]; then
   echo "== bench artifact check (committed BENCH_full.json vs baseline)"
   python3 tools/check_bench.py BENCH_full.json
 fi
+
+if [[ "${1:-}" != "--quick" ]]; then
+  # Constrained-heap canary over the pressure-sensitive pair-stream family
+  # (r14 verdict #1: three consecutive driver windows ambushed these) —
+  # driver bench config (cpus=4) with a 2 GiB-equivalent unified region.
+  # An all-reps-slow flag here means the spill cliff is back; catch it
+  # BEFORE the driver's contended window does. --allow-missing because the
+  # canary runs only the sensitive family, not all 233.
+  echo "== 5/5 constrained-heap canary (pair-stream family @ 2g, sf0.1)"
+  FAMILY=d2_jaccard_neardup,d2_jaccard_prefix,d3_dedup_groups,d10_dedup_yield,d12_containment,m3_phash_pairs_distinct
+  canary_out=$(mktemp /tmp/graft_canary.XXXXXX.json)
+  if ! SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_HEAP=2g \
+       SPARK_GRAFT_CPUS=4 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+       SPARK_GRAFT_BENCH_OUT="$canary_out" \
+       sbt -batch "runMain graft.Bench" >/tmp/graft_canary.log 2>&1; then
+    tail -20 /tmp/graft_canary.log; echo "canary bench run FAILED"; exit 1
+  fi
+  python3 tools/check_bench.py --allow-missing "$canary_out"
+fi
 echo "GATE GREEN"
