@@ -1360,6 +1360,39 @@ object TextQueries extends QueryGroup {
               |SELECT doc_id, n_chars, CAST(required AS BIGINT) AS required,
               |       n_matched
               |FROM r WHERE n_matched >= required
+              |ORDER BY doc_id""".stripMargin)),
+
+    // T34 — ES `query_string` grammar (the reference's `q=` box,
+    // irclogbot.py:50-51): one string parsed and lowered to the composable
+    // predicates of t2/t20/t21/t25 by graft.search.QueryString. The
+    // registered query exercises field terms (keyword equality), a quoted
+    // phrase (token-boundary containment), parens, AND/OR precedence, a
+    // `+`/`-` must/must_not group, and a token wildcard. Lowering:
+    //   lang:en AND ("merge scan" OR +has* -probe) source:web
+    //   ⇒ lang = 'en'
+    //     AND ( phrase OR (∃tok LIKE 'has%' AND ¬ contains-token 'probe')
+    //           OR source = 'web' )      -- adjacency group = should-OR
+    // The whole predicate is one map-side filter on the scan (no shuffle,
+    // no join): query_string compiles to a pushable/codegen'd boolean.
+    Q("t34_query_string",
+      (s, d) => Tables(s, d, "documents")
+        .filter(graft.search.QueryString.predicate(
+          """lang:en AND ("merge scan" OR +has* -probe) source:web""",
+          "text", {
+            case "text" => graft.search.QueryString.TextField
+            case "lang" | "source" => graft.search.QueryString.KeywordField
+            case f => throw graft.search.QueryString.ParseException(
+              s"unknown field '$f'")
+          }))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |WHERE lang = 'en' AND (
+              |  contains(' ' || array_to_string($tok, ' ') || ' ',
+              |           ' merge scan ')
+              |  OR (len(list_filter($tok, t -> t LIKE 'has%')) > 0
+              |      AND NOT list_contains($tok, 'probe'))
+              |  OR source = 'web')
               |ORDER BY doc_id""".stripMargin))
   )
 }

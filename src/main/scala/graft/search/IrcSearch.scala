@@ -84,6 +84,45 @@ object IrcSearch {
       .limit(k)
   }
 
+  /** ES `search_after` as a caller-supplied-cursor API (r14 verdict #7 —
+    * t27 recomputes its cursor in-query to stay oracle-self-contained;
+    * this is the serving call shape, where the cursor arrives WITH the
+    * request as the last row of the previous page).
+    *
+    * Page order is (`sortCol` DESC, `idCol` ASC) — the library's unique-
+    * tie-break determinism rule, so pages are stable and gap/overlap-free.
+    * `cursor = None` fetches page 1; `Some((s, id))` fetches the rows
+    * strictly after that key. The predicate is a pushable range filter +
+    * TakeOrdered(size): O(page) work per page at any corpus size — the
+    * reason ES caps `from` pagination at 10k but search_after is unbounded.
+    */
+  def searchAfter(docs: DataFrame, sortCol: String, idCol: String,
+      cursor: Option[(Long, Long)], size: Int): DataFrame = {
+    val paged = cursor match {
+      case None => docs
+      case Some((s, id)) =>
+        docs.filter(col(sortCol) < s ||
+          (col(sortCol) === s && col(idCol) > id))
+    }
+    paged.orderBy(col(sortCol).desc, col(idCol)).limit(size)
+  }
+
+  /** ES `query_string` over the irclog schema — the reference's `q=`
+    * parameter (irclogbot.py:50-51) as a filter: `remark` is the analyzed
+    * default field; `channel`/`nick`/`id` are keyword fields. Grammar and
+    * semantics in [[QueryString]].
+    *
+    * e.g. `queryString(logs, """nick:foo AND "exact phrase" -spam""")`.
+    */
+  def queryString(logs: DataFrame, q: String): DataFrame = {
+    val types: String => QueryString.FieldType = {
+      case "remark" => QueryString.TextField
+      case "channel" | "nick" | "id" => QueryString.KeywordField
+      case f => throw QueryString.ParseException(s"unknown field '$f'")
+    }
+    logs.filter(QueryString.predicate(q, "remark", types))
+  }
+
   /** Aggregation facets over a filtered log slice — the ES aggs panel
     * (terms / date_histogram / cardinality) in one pass.
     */
