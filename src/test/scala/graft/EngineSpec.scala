@@ -133,11 +133,14 @@ class EngineSpec extends SparkSuite {
   test("multimodal resize + frame sampling produce bounded fixed-shape outputs") {
     import spark.implicits._
     implicit val s = spark
-    val media = graft.multimodal.Multimodal.toMedia(
-      Seq((0L, "x" * 100), (1L, "short")).toDF("doc_id", "text"), "doc_id", "text").toDF()
-    val resized = graft.multimodal.Multimodal.resizeStub(media, 32)
-      .select(octet_length(col("payload_resized"))).as[Int].collect().sorted
-    assert(resized.toSeq == Seq(5, 32)) // truncated to budget; short passes through
+    val mediaDs = graft.multimodal.Multimodal.toMedia(
+      Seq((0L, "x" * 100), (1L, "short")).toDF("doc_id", "text"), "doc_id", "text")
+    val media = mediaDs.toDF()
+    // real resize: every output payload decodes to exactly the target dims
+    val resized = graft.multimodal.Multimodal.resizeImage(mediaDs, 6, 5)
+      .collect().map(r => graft.multimodal.MediaCodec.decode(r.payload))
+    assert(resized.length == 2 &&
+      resized.forall { case (w, h, px) => w == 6 && h == 5 && px.length == 30 })
     val frames = graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16, stride = 32)
     val lens = frames.filter(col("doc_id") === 0)
       .select(octet_length(col("frame"))).as[Int].collect()

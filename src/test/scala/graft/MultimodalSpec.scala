@@ -72,6 +72,34 @@ class MultimodalSpec extends SparkSuite {
     assert(ew == 8 && eh == 8 && epx.forall(_ == 0))
   }
 
+  test("resizeImage: nearest-neighbor resample content, real PNG both ways") {
+    implicit val s = spark
+    // 16×8 left-black/right-white: any downsample keeps the halves exact
+    val src = png(16, 8)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val media = Seq(graft.multimodal.MediaRecord(1L, "image", src)).toDS()
+    val out = Multimodal.resizeImage(media, 4, 2).collect().head
+    assert(MediaCodec.looksLikeImage(out.payload), "re-encode must be a real PNG")
+    val (w, h, px) = MediaCodec.decode(out.payload)
+    assert(w == 4 && h == 2)
+    // columns 0-1 sample x∈{0,4} (black), 2-3 sample x∈{8,12} (white)
+    assert(px.toSeq == Seq(0, 0, 255, 255, 0, 0, 255, 255))
+    // upsample: 1×1 gray → 3×3 constant
+    val one = png(1, 1)((_, _) => 0x7f7f7f)
+    val up = Multimodal.resizeImage(
+      Seq(graft.multimodal.MediaRecord(2L, "image", one)).toDS(), 3, 3)
+      .collect().head
+    val (uw, uh, upx) = MediaCodec.decode(up.payload)
+    assert(uw == 3 && uh == 3 && upx.forall(_ == 0x7f))
+    // non-image payload goes through the stub raster, same resample rule
+    val stub = Multimodal.resizeImage(
+      Seq(graft.multimodal.MediaRecord(3L, "audio",
+        "abcd".getBytes("UTF-8"))).toDS(), 2, 1)
+      .collect().head
+    val (sw2, sh2, spx2) = MediaCodec.decode(stub.payload)
+    // stub raster is 4×1 'a','b','c','d'; NN to 2×1 samples x∈{0,2}
+    assert(sw2 == 2 && sh2 == 1 && spx2.toSeq == Seq('a'.toInt, 'c'.toInt))
+  }
+
   test("phash: single-pixel perturbation flips one bit; inversion flips all 64") {
     val base = phashOf(checker(invert = false))
     val inverted = phashOf(checker(invert = true))
