@@ -128,6 +128,19 @@ object ScaleProbe {
       "d2_prefix_blocked_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8,
         Seq(col("lang"), col("source")))),
+      // r15 addition: the registry d2 shape (blocked exact postings
+      // Jaccard; auto-prune flips ON at this 50k-doc size) under BOTH pair
+      // aggregation strategies — the sort/window form that replaced the
+      // hash aggregate this round vs the retained hash form. Structural
+      // claim under test: the sort form's extra full-width pair-stream
+      // exchange stays ~linear at 10× density (its rows are two longs),
+      // i.e. robustness under pressure was not bought with a scale cliff.
+      "d2_jaccard_sortagg_shape" -> (() => graft.dedup.Dedup.jaccardPairs(
+        docs, col("doc_id"), col("text"), 0.5,
+        Seq(col("lang"), col("source")))),
+      "d2_jaccard_hashagg_shape" -> (() => graft.dedup.Dedup.jaccardPairs(
+        docs, col("doc_id"), col("text"), 0.5,
+        Seq(col("lang"), col("source")), sortAgg = false)),
       // r13 addition: interval-overlap join at 10×. expand() remaps only
       // l_orderkey, so each part keeps its key and sees 10× the lineitems —
       // per-(part, bin) density grows 10× and the TRUE overlap-pair count

@@ -43,6 +43,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * explicit native form (`o4_topk_native`) as separately-measured entries,
   * and a silently-flipped plan would invalidate that comparison — opt in
   * per session/cluster.
+  *
+  * NON-TOTAL-ORDER CAVEAT (on the conf key, r14 advice #5): when the
+  * window's ORDER BY is not a total order within a partition (no unique
+  * tie-break key), `row_number` already picks arbitrarily among ties — but
+  * the heap's arbitrary pick can DIFFER from the window's, so enabling the
+  * rewrite may change WHICH tied rows a non-deterministic user query
+  * returns (both answers are valid draws of the same nondeterminism).
+  * Queries whose order ends in a unique key (the library's own determinism
+  * rule for every registered query) are row-identical under either
+  * setting; only enable globally if your workload follows that rule.
   */
 object RankLimitToTopK extends Rule[LogicalPlan] {
 
@@ -71,10 +81,15 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
               !projList.exists(_.references.contains(rank)) &&
               projList.forall(_.references.subsetOf(wchild.outputSet)) =>
             // if Spark's InferWindowGroupLimit already ran, its pre-filter
-            // node is subsumed by the heap operator — strip it
+            // node is subsumed by the heap operator — strip it. Only when
+            // it is provably weaker-or-equal: same specs, rank function
+            // row_number (a rank()-based limit keeps ties and would pass
+            // MORE rows than the heap), and its limit l >= k (an l < k
+            // node prunes rows the original plan would drop — stripping
+            // it would let TopKPerGroup(k) return them). (r14 advice #2)
             val base = wchild match {
-              case WindowGroupLimit(p2, o2, _, _, gchild)
-                  if p2 == part && o2 == ord => gchild
+              case WindowGroupLimit(p2, o2, _: RowNumber, l, gchild)
+                  if p2 == part && o2 == ord && l >= k => gchild
               case other => other
             }
             Project(projList, TopKPerGroup(part, ord, k, base))

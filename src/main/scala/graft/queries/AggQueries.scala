@@ -1503,11 +1503,19 @@ object AggQueries extends QueryGroup {
     // overflow; DuckDB list_reduce seeds via list_prepend exactly like the
     // duckDot mirror). Zero FP until the display divides. The fold runs
     // over the AGGREGATED bucket frame (types × days), never corpus rows.
+    // The radix precondition (0 ≤ daily cents sum < 10⁹; ~10⁷ at tested
+    // SFs) is ENFORCED, not assumed (r14 advice #4): a violating bucket
+    // raises on both engines instead of silently corrupting the packing.
     Q("a39_scripted_metric",
       (s, d) => {
         val enc = Tables(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(cents(col("value"))).as("vc"))
+          .agg(sum(cents(col("value"))).as("vc0"))
+          .withColumn("vc",
+            when(col("vc0").between(0L, 999999999L), col("vc0"))
+              .otherwise(raise_error(concat(
+                lit("a39_scripted_metric: daily cents sum outside [0, 1e9): "),
+                col("vc0"))).cast("long")))
           .select(col("event_type"),
             (datediff(col("day"), lit("1970-01-01")).cast("long")
               * lit(1000000000L) + col("vc")).as("e"))
@@ -1527,10 +1535,15 @@ object AggQueries extends QueryGroup {
               .cast("double") / lit(100.0D), 6).as("max_drawdown"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
-             |                  CAST(sum(CAST(round(value * 100) AS BIGINT))
-             |                       AS BIGINT) AS vc
-             |           FROM events GROUP BY 1, 2),
+      Some("""WITH b0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+             |                        AS BIGINT) AS vc0
+             |            FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, day,
+             |             CASE WHEN vc0 BETWEEN 0 AND 999999999 THEN vc0
+             |                  ELSE CAST(error('a39: vc overflow') AS BIGINT)
+             |             END AS vc
+             |      FROM b0),
              |e AS (SELECT event_type,
              |             CAST(datediff('day', DATE '1970-01-01', day)
              |                  AS BIGINT) * 1000000000 + vc AS e

@@ -152,14 +152,17 @@ object GeoQueries extends QueryGroup {
     // string list — both engines sort the same strings — and the
     // fixed-width zero-padded micros prefix makes lexicographic order ≡
     // numeric order. One user-keyed hash agg; the cap bounds the payload.
+    // Encoding (r14 advice #3): sort prefix is "micros:event_id:" — the
+    // zero-padded micros makes lexicographic ≡ numeric order and event_id
+    // stays a PREFIX tie-break only; the payload after the LAST ':' is the
+    // documented bare "lon,lat" point, nothing else leaks into the line.
     Q("g4_geo_line",
       (s, d) => Tables(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          format_string("%020d:%d,%d", expr("unix_micros(ts)"), col("event_id"),
-            expr("(event_id * 73) % 36000")).as("enc_pfx"),
-          expr("(event_id * 37) % 18000").as("lat100"))
         .select(col("user_id"),
-          concat(col("enc_pfx"), lit(","), col("lat100")).as("enc"))
+          concat(
+            format_string("%020d:%d:", expr("unix_micros(ts)"), col("event_id")),
+            expr("(event_id * 73) % 36000"), lit(","),
+            expr("(event_id * 37) % 18000")).as("enc"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_points"),
           array_join(
@@ -169,14 +172,14 @@ object GeoQueries extends QueryGroup {
       Some("""WITH p AS (
              |  SELECT user_id,
              |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-             |           || ':' || event_id || ','
+             |           || ':' || event_id || ':'
              |           || ((event_id * 73) % 36000) || ','
              |           || ((event_id * 37) % 18000) AS enc
              |  FROM events)
              |SELECT user_id, count(*) AS n_points,
              |       array_to_string(
              |         list_transform(list_sort(list(enc))[1:5],
-             |                        e -> string_split(e, ':')[2]),
+             |                        e -> string_split(e, ':')[3]),
              |         ';') AS line
              |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
   )

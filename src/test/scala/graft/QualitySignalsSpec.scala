@@ -112,6 +112,30 @@ class QualitySignalsSpec extends SparkSuite {
     }
   }
 
+  test("BPE at rounds=20 stays plannable (checkpoint-bounded lineage) and " +
+      "matches checkpointEvery=1 exactly") {
+    // r14 verdict #8: without lineage truncation the seq plan embeds one
+    // crossJoin+replace per round and per-round analysis cost grows with
+    // depth (quadratic total). checkpointEvery (default 10) caps plan
+    // depth; this pins (a) a wall-clock bound at rounds=20 on a real vocab
+    // slice and (b) value-identity across checkpoint cadences.
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("c"))
+      .limit(200).localCheckpoint()
+    val t0 = System.nanoTime()
+    val r20 = graft.pipeline.Bpe.merges(vocab, rounds = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r20.length == 20)
+    // generous bound: the quadratic-depth failure mode is minutes, not 90 s
+    assert(secs < 90.0, s"rounds=20 took $secs s — lineage growth regressed?")
+    val rEvery1 = graft.pipeline.Bpe.merges(vocab, rounds = 20, checkpointEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(rEvery1.toSeq == r20.toSeq,
+      "checkpoint cadence must never change trained rules")
+  }
+
   test("BPE: equal-count winners break ties by (a, b) ascending") {
     val vocab = Seq(("cd", 1L), ("ba", 1L)).toDF("word", "c")
     val r1 = graft.pipeline.Bpe.merges(vocab, rounds = 1).collect().head

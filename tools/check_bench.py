@@ -51,12 +51,20 @@ import json
 import os
 import sys
 
-# Plan-frozen trivial queries used to estimate the host factor: simple
-# scan/agg/window shapes untouched since round 9 (the r14 attribution
-# protocol's probe set). If code changes ever touch these, move them out.
-HOST_CANARIES = ["a1_count_per_key", "h1_pricing_summary", "s6_scan_project",
-                 "v1_dot_cosine", "w1_ranking", "u1_union_all",
-                 "j1_broadcast_join", "o1_global_sort"]
+# Plan-frozen queries used to estimate the host factor: shapes untouched
+# for many rounds (the r14 attribution protocol's probe set plus stable
+# heavier shapes — contention inflates shuffle/memory-heavy queries more
+# than trivial scans, so the canary mix must include both profiles or the
+# factor underestimates what the host costs the heavy half). If code
+# changes ever touch one of these, move it out.
+HOST_CANARIES = [
+    # trivial scans/aggs/windows
+    "a1_count_per_key", "h1_pricing_summary", "s6_scan_project",
+    "v1_dot_cosine", "w1_ranking", "u1_union_all", "j1_broadcast_join",
+    "o1_global_sort",
+    # stable heavier shapes (shuffle joins, exact percentile, postings aggs)
+    "h6_percentiles", "t4_tfidf", "j2_shuffle_join", "a2_date_histogram",
+    "u2_intersect", "f3_content_hash", "w3_moving_avg"]
 
 
 def load_bench(path):
