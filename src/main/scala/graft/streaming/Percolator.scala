@@ -46,4 +46,33 @@ object Percolator {
       .filter(size(array_intersect(col("q_terms"), col("toks")))
         === col("n_terms"))
       .select(col("query_id"), col("doc_id"))
+
+  /** Percolate FULL `query_string` queries (ES percolator stores real query
+    * DSL, not just term sets — and `query_string` is the form the
+    * reference's users type). Each registered (query_id, queryString) is
+    * parsed and lowered ONCE driver-side ([[graft.search.QueryString]] —
+    * boolean grammar, phrases, fields, wildcards, must/must_not), then all
+    * predicates are evaluated per incoming row inside one map-side
+    * projection: an array of `when(predᵢ, idᵢ)` slots, nulls compacted,
+    * hits exploded. Stateless like [[matchDocs]] — no keyed state, no
+    * watermark, Append-safe on a stream; per-doc cost is bounded by the
+    * store size (the percolator contract). A malformed registered query
+    * fails at REGISTRATION (parse time, driver-side), never per-row.
+    *
+    * @param queries (query_id, query_string) pairs, driver-side — the
+    *                registered-alert store (small by contract)
+    */
+  def matchQueryStrings(docs: DataFrame, queries: Seq[(String, String)],
+      defaultField: String,
+      fieldType: String => graft.search.QueryString.FieldType): DataFrame = {
+    require(queries.nonEmpty, "empty percolation store")
+    val slots = queries.map { case (qid, qs) =>
+      when(graft.search.QueryString.predicate(qs, defaultField, fieldType),
+        lit(qid))
+    }
+    docs
+      .select(col("doc_id"), explode(array_compact(array(slots: _*)))
+        .as("query_id"))
+      .select(col("query_id"), col("doc_id"))
+  }
 }

@@ -129,6 +129,38 @@ class QueryStringSpec extends SparkSuite {
     assert(p3 == full.slice(40, 60))
   }
 
+  test("Percolator.matchQueryStrings: full query_string queries as a " +
+      "percolation store — batch and streaming hits agree") {
+    val store = Seq(
+      "q_phrase" -> "\"merge scan\"",
+      "q_bool" -> "+hash -probe",
+      "q_field" -> "lang:de merge",          // should-group: lang=de OR merge
+      "q_wild" -> "h?sh AND lang:en")
+    val hits = graft.streaming.Percolator
+      .matchQueryStrings(docs, store, "text", types)
+      .as[(String, Long)].collect().toSet
+    assert(hits == Set(
+      ("q_phrase", 1L), ("q_phrase", 4L),
+      ("q_bool", 5L),
+      ("q_field", 1L), ("q_field", 3L), ("q_field", 4L),
+      ("q_wild", 2L), ("q_wild", 5L)))
+    // streaming: stateless matcher ⇒ chunking-independent, equals batch
+    implicit val ctx = classic.sqlContext
+    val rows = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source")).as[(Long, String, String, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.Percolator.matchQueryStrings(
+        ms.toDF().toDF("doc_id", "text", "lang", "source"),
+        store, "text", types)
+      .writeStream.format("memory").queryName("qs_perc_out")
+      .outputMode("append").start()
+    rows.grouped(2).foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("qs_perc_out").as[(String, Long)].collect().toSet
+    assert(streamed == hits)
+  }
+
   test("IrcSearch.queryString: the verdict's day-one example over the log schema") {
     val logs = Seq(
       ("#x", "foo", "an exact phrase here", "id1"),
