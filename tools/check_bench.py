@@ -40,9 +40,11 @@ trivially-stable, plan-frozen queries (byte-identical plans since round 9)
 that no round's code changes touch -- NOT over all queries (round-15 advice:
 an all-queries median is self-referential -- a change that uniformly slows
 most queries re-bases the gate to its own regression, and new queries whose
-baseline came from the same run sit at ratio 1.0 and dilute it). Above 1.5x
-the thresholds scale by the canary factor (printed as host-factor); below,
-the classic absolute thresholds apply unchanged. As a second guard, if the
+baseline came from the same run sit at ratio 1.0 and dilute it). The
+thresholds scale CONTINUOUSLY by the canary factor whenever it exceeds 1.0
+(never below -- a faster host must not relax the bars): the former >1.5x
+step left a gray zone where a persistently ~1.45x host read every
+2.1-2.9x untouched query as a code regression. As a second guard, if the
 NON-canary queries' median inflation materially exceeds the canaries' own
 (>1.5x beyond it), the run is flagged loudly: that pattern is a code-level
 slowdown the host cannot explain, and the gate fails.
@@ -126,11 +128,15 @@ def main():
                   "falling back to all-queries median (self-referential -- "
                   "see docstring)")
     host = median(canary_ratios)
-    factor = host if host > 1.5 else 1.0
-    if factor > 1.0:
+    # Continuous scaling (round-15): the old >1.5x step created a gray zone
+    # where a persistently ~1.45x host read every 2.1-2.9x query as a code
+    # regression. The canary factor now applies whenever the host is slower
+    # at all (never below 1.0 -- a faster host must not relax the bars).
+    factor = max(1.0, host)
+    if factor > 1.1:
         print(f"host-factor: canary median run/baseline ratio {host:.2f}x "
-              f"> 1.5x -- thresholds scaled by {factor:.2f} (slower-host "
-              "regime, BASELINE.md r14 protocol; canaries: "
+              f"-- thresholds scaled by {factor:.2f} (slower-host "
+              "normalization, BASELINE.md r14/r15 protocol; canaries: "
               f"{len(canary_ratios)}/{len(HOST_CANARIES)})")
     # Independent-signal guard (round-15 advice): if the non-canary queries
     # are inflated well beyond what the canaries say the host costs, that
