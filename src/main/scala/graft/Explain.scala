@@ -44,7 +44,23 @@ object Explain {
       ("""Contract note: exact n-gram Jaccard over all same-size-block pairs —
         |block-quadratic by design, the labeled BASELINE for the LSH recall
         |specs. The scale path is d2_minhash_lsh / d2_simhash; this one exists
-        |to define "truth" at oracle scale.""".stripMargin),
+        |to define "truth" at oracle scale. Since r15 the pair count is the
+        |SORT-BASED form: Exchange(da,db) → external Sort → one Window pass
+        |(count + row_number) instead of a pair-keyed HashAggregate — the
+        |window below is that aggregate, not an analytic feature; its memory
+        |degrades linearly under pressure where the hash map cliffed (three
+        |contended driver windows).""".stripMargin),
+    "m4_resize" ->
+      ("""Cost note: each row pays TWO full real-codec round-trips by design
+        |(PNG encode → imageio decode → NN-resample → PNG re-encode → imageio
+        |decode) so the oracle gates the real resize path end-to-end — the
+        |m1_media_features_real cost note, doubled. Map-side only, no
+        |shuffle; production resize pays one decode + one encode per image.""".stripMargin),
+    "a45_percentiles_bucket" ->
+      ("""Shape note: the collect_list buffers the types × days BUCKET frame
+        |(calendar-bounded at any corpus size — a39's posture), never corpus
+        |rows; the corpus-scale work is the partial-before-Exchange count
+        |aggregate underneath.""".stripMargin),
     "j8_bloom_semi" ->
       ("""Literal note: the broadcast bloom filter prints as a ~125 KB hex
         |literal in plan text; lines below are truncated at 400 chars. The

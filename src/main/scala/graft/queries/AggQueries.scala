@@ -1848,7 +1848,64 @@ object AggQueries extends QueryGroup {
              |  UNION ALL SELECT 'big_value', n_big_value, n_total FROM a
              |  UNION ALL SELECT 'weekend', n_weekend, n_total FROM a
              |  UNION ALL SELECT 'other', n_other, n_total FROM a)
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // A45 — percentiles_bucket pipeline agg (ES: percentiles OVER a sibling
+    // agg's bucket values, completing the *_bucket family next to a29
+    // stats_bucket): q1/median/q3 of the per-day event counts, per type.
+    // The percentile input is the AGGREGATED types × days frame (calendar-
+    // bounded at any corpus size — a39's posture), so one bounded
+    // collect_list per type is the honest plan; interpolation positions are
+    // (nb−1)·k/4 — quarter fractions, exactly representable, so the linear
+    // interpolation over integer counts is bit-identical on both engines
+    // (the a35 recipe without its corpus-rank machinery).
+    Q("a45_percentiles_bucket",
+      (s, d) => {
+        def qk(k: Int): Column = {
+          val pos = (col("nb") - 1).cast("double") * lit(k) / lit(4.0D)
+          val lo = (floor(pos) + 1).cast("int")
+          val loV = element_at(col("arr"), lo).cast("double")
+          val frac = pos - floor(pos)
+          // frac > 0 ⇒ pos < nb−1 ⇒ lo+1 ≤ nb: the guard keeps element_at
+          // in bounds under ANSI without a try_ variant
+          val hiV = when(frac > lit(0.0D), element_at(col("arr"), lo + 1))
+            .otherwise(element_at(col("arr"), lo)).cast("double")
+          round(loV + frac * (hiV - loV), 6)
+        }
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col("n"))).as("arr"),
+            count(lit(1)).as("nb"))
+          .select(col("event_type"), col("nb").as("n_buckets"),
+            qk(1).as("p25"), qk(2).as("p50"), qk(3).as("p75"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, list_sort(list(n)) AS arr,
+             |             count(*) AS nb
+             |      FROM b GROUP BY 1),
+             |q AS (SELECT event_type, nb, arr, k,
+             |             CAST(nb - 1 AS DOUBLE) * k / 4 AS pos
+             |      FROM g, unnest([1, 2, 3]) AS t(k)),
+             |i AS (SELECT event_type, nb, k,
+             |             round(CAST(arr[CAST(floor(pos) AS INT) + 1] AS DOUBLE)
+             |               + (pos - floor(pos))
+             |                 * (CAST(CASE WHEN pos > floor(pos)
+             |                         THEN arr[CAST(floor(pos) AS INT) + 2]
+             |                         ELSE arr[CAST(floor(pos) AS INT) + 1]
+             |                    END AS DOUBLE)
+             |                    - CAST(arr[CAST(floor(pos) AS INT) + 1]
+             |                           AS DOUBLE)), 6) AS qv
+             |      FROM q)
+             |SELECT event_type, nb AS n_buckets,
+             |       min(CASE WHEN k = 1 THEN qv END) AS p25,
+             |       min(CASE WHEN k = 2 THEN qv END) AS p50,
+             |       min(CASE WHEN k = 3 THEN qv END) AS p75
+             |FROM i GROUP BY event_type, nb ORDER BY event_type""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

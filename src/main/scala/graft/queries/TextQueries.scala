@@ -1393,6 +1393,56 @@ object TextQueries extends QueryGroup {
               |  OR (len(list_filter($tok, t -> t LIKE 'has%')) > 0
               |      AND NOT list_contains($tok, 'probe'))
               |  OR source = 'web')
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // T36 — field collapsing with inner_hits (ES `collapse` + `inner_hits`:
+    // one result per collapse-field value — the group's best hit — plus the
+    // group's top-N as an attached list). Collapse on lang, best hit + top-3
+    // inner hits by (n_chars desc, doc_id). One window pass prunes every
+    // group to 3 rows (the o3 WindowGroupLimit shape — at corpus scale
+    // Spark's InferWindowGroupLimit caps each group map-side before the
+    // sort), then one lang-keyed agg assembles the winner and the list.
+    // inner_hits are emitted as a ";"-joined "doc_id,n_chars" string (the
+    // g4 convention — array cells are unhashable in the driver compare),
+    // with the rank kept in a sort PREFIX and stripped after the last ':'
+    // so it never leaks into the payload.
+    Q("t36_collapse_inner_hits",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy(col("lang"))
+          .agg(
+            min(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+            min(when(col("rn") === 1, col("n_chars"))).as("top_n_chars"),
+            count(lit(1)).as("n_inner"),
+            array_join(
+              transform(
+                sort_array(collect_list(
+                  format_string("%d:%d,%d", col("rn"), col("doc_id"),
+                    col("n_chars")))),
+                e => substring_index(e, ":", -1)), ";").as("inner_hits"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents),
+             |t AS (SELECT * FROM r WHERE rn <= 3)
+             |SELECT lang,
+             |       min(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+             |       min(CASE WHEN rn = 1 THEN n_chars END) AS top_n_chars,
+             |       count(*) AS n_inner,
+             |       array_to_string(
+             |         list_transform(
+             |           list_sort(list(rn || ':' || doc_id || ',' || n_chars)),
+             |           e -> string_split(e, ':')[2]),
+             |         ';') AS inner_hits
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
