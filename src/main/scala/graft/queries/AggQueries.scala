@@ -1905,7 +1905,179 @@ object AggQueries extends QueryGroup {
              |       min(CASE WHEN k = 1 THEN qv END) AS p25,
              |       min(CASE WHEN k = 2 THEN qv END) AS p50,
              |       min(CASE WHEN k = 3 THEN qv END) AS p75
-             |FROM i GROUP BY event_type, nb ORDER BY event_type""".stripMargin))
+             |FROM i GROUP BY event_type, nb ORDER BY event_type""".stripMargin)),
+
+    // A46 — ES `top_metrics`: per bucket, the metric values of the row
+    // that sorts first/last — a SINGLE hash aggregate (max_by/min_by with
+    // map-side partials), deliberately a different physical shape from
+    // a5_latest_per_key's row_number window (which shuffles whole rows and
+    // sorts each partition). This is exactly how ES computes it shard-side:
+    // each shard keeps one candidate per bucket, the coordinator merges.
+    // At 100 TB the win is material: the agg shuffles one candidate row
+    // per (bucket × partition), never the full table. Sort key is the
+    // exact BIGINT (epoch_seconds · 10⁷ + event_id) — a total order
+    // (event_id < 10⁷ holds through sf100), identical on both engines.
+    Q("a46_top_metrics",
+      (s, d) => {
+        val sortk = unix_timestamp(col("ts")) * lit(10000000L) + col("event_id")
+        Tables(s, d, "events")
+          .select(col("event_type"), col("user_id"),
+            cents(col("value")).as("vc"), sortk.as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            max_by(col("vc"), col("k")).as("last_cents"),
+            max_by(col("user_id"), col("k")).as("last_user"),
+            min_by(col("vc"), col("k")).as("first_cents"),
+            min_by(col("user_id"), col("k")).as("first_user"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, user_id,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc,
+             |                  CAST(floor(epoch(ts)) AS BIGINT) * 10000000
+             |                    + event_id AS k
+             |           FROM events)
+             |SELECT event_type,
+             |       arg_max(vc, k) AS last_cents,
+             |       arg_max(user_id, k) AS last_user,
+             |       arg_min(vc, k) AS first_cents,
+             |       arg_min(user_id, k) AS first_user,
+             |       count(*) AS n
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A47 — ES `categorize_text` analog: cluster documents by token-pattern
+    // skeleton. ES's version drift-categorizes log messages by masking
+    // variable tokens; the deterministic analog masks the closed-class
+    // tokens ('a'/'the' → '_') and keys on the first-3-token skeleton.
+    // One map-side projection (no shuffle until the skeleton hash agg) —
+    // the 100 TB shape is a straight scan → hash agg over a bounded
+    // category space. Top-20 categories by size, doc-count + example.
+    Q("a47_categorize_text",
+      (s, d) => {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val masked = transform(slice(toks, 1, 3),
+          t => when(t === "a" || t === "the", "_").otherwise(t))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), array_join(masked, " ").as("category"))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+          .orderBy(col("n_docs").desc, col("category"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |                  array_to_string(
+             |                    [CASE WHEN x IN ('a','the') THEN '_' ELSE x END
+             |                     for x in list_filter(string_split(text, ' '),
+             |                                          t -> t <> '')[1:3]],
+             |                    ' ') AS category
+             |           FROM documents)
+             |SELECT category, count(*) AS n_docs,
+             |       min(doc_id) AS example_doc
+             |FROM t GROUP BY category
+             |ORDER BY n_docs DESC, category LIMIT 20""".stripMargin)),
+
+    // A48 — ES `moving_percentiles` pipeline agg: the trailing-7-bucket
+    // exact median of the daily count series, per key. Same interpolation
+    // contract as a45 (linear, the ES/NIST R-7 definition), computed from
+    // an explicitly sorted bounded frame on BOTH engines so the hash
+    // compare has a single FP path. The frame is ≤7 values — collect per
+    // row is O(7), and the window shuffles only (key, day, n) triples.
+    Q("a48_moving_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        val arr = sort_array(collect_list(col("n")).over(w))
+        val nb = size(arr)
+        val pos = (nb - 1).cast("double") / lit(2.0D)
+        val lo = (floor(pos) + 1).cast("int")
+        val loV = element_at(arr, lo).cast("double")
+        val frac = pos - floor(pos)
+        val hiV = when(frac > lit(0.0D), element_at(arr, lo + 1))
+          .otherwise(element_at(arr, lo)).cast("double")
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("day"), col("n"),
+            round(loV + frac * (hiV - loV), 6).as("p50_7d"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, n,
+             |             list_sort(list(n) OVER (PARTITION BY event_type
+             |               ORDER BY day
+             |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+             |      FROM b),
+             |q AS (SELECT event_type, day, n, arr,
+             |             CAST(len(arr) - 1 AS DOUBLE) / 2 AS pos
+             |      FROM w)
+             |SELECT event_type, day, n,
+             |       round(CAST(arr[CAST(floor(pos) AS INT) + 1] AS DOUBLE)
+             |         + (pos - floor(pos))
+             |           * (CAST(CASE WHEN pos > floor(pos)
+             |                   THEN arr[CAST(floor(pos) AS INT) + 2]
+             |                   ELSE arr[CAST(floor(pos) AS INT) + 1]
+             |              END AS DOUBLE)
+             |              - CAST(arr[CAST(floor(pos) AS INT) + 1]
+             |                     AS DOUBLE)), 6) AS p50_7d
+             |FROM q ORDER BY event_type, day""".stripMargin)),
+
+    // A49 — ES `bucket_correlation` pipeline agg: Pearson correlation of
+    // the per-bucket doc counts against an indicator vector (here the
+    // weekend flag of the bucket's day — ES's typical "count vs term
+    // indicator" use). Both engines compute the SAME closed form from
+    // exact BIGINT sums (x ∈ {0,1} so Sxx = Sx): one fixed IEEE op
+    // sequence, no accumulation-order surface. Two narrow hash aggs; the
+    // indicator join is a map-side expression, never a shuffle.
+    Q("a49_bucket_correlation",
+      (s, d) => {
+        val wknd = when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L)
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"), wknd.as("x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nb"), sum(col("x")).as("sx"),
+            sum(col("n")).as("sy"), sum(col("x") * col("n")).as("sxy"),
+            sum(col("n") * col("n")).as("syy"))
+          .select(col("event_type"), col("nb"),
+            // zero-variance guard: Spark yields NaN/Inf on double /0 while
+            // DuckDB yields NULL — pin NULL on both engines explicitly
+            when(
+              col("nb") * col("sx") - col("sx") * col("sx") > 0 &&
+                col("nb") * col("syy") - col("sy") * col("sy") > 0,
+              round(
+                (col("nb") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / (sqrt((col("nb") * col("sx") - col("sx") * col("sx"))
+                       .cast("double"))
+                     * sqrt((col("nb") * col("syy") - col("sy") * col("sy"))
+                         .cast("double"))), 6)).as("corr_weekend"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |i AS (SELECT event_type, n,
+             |             CASE WHEN dayofweek(day) IN (0, 6)
+             |                  THEN 1 ELSE 0 END AS x
+             |      FROM b),
+             |g AS (SELECT event_type,
+             |             CAST(count(*) AS BIGINT) AS nb,
+             |             CAST(sum(x) AS BIGINT) AS sx,
+             |             CAST(sum(n) AS BIGINT) AS sy,
+             |             CAST(sum(x * n) AS BIGINT) AS sxy,
+             |             CAST(sum(n * n) AS BIGINT) AS syy
+             |      FROM i GROUP BY 1)
+             |SELECT event_type, nb,
+             |       CASE WHEN nb * sx - sx * sx > 0
+             |             AND nb * syy - sy * sy > 0
+             |       THEN round(CAST(nb * sxy - sx * sy AS DOUBLE)
+             |              / (sqrt(CAST(nb * sx - sx * sx AS DOUBLE))
+             |                 * sqrt(CAST(nb * syy - sy * sy AS DOUBLE))),
+             |              6)
+             |       END AS corr_weekend
+             |FROM g ORDER BY event_type""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

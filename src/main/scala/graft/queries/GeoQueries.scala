@@ -181,6 +181,154 @@ object GeoQueries extends QueryGroup {
              |         list_transform(list_sort(list(enc))[1:5],
              |                        e -> string_split(e, ':')[3]),
              |         ';') AS line
-             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // G5 — geo_bounds agg (ES: the tight bounding box of each bucket's
+    // points: top_left = (max lat, min lon), bottom_right = (min lat,
+    // max lon)). Four integer min/max partials per bucket — the cheapest
+    // possible shuffle payload (4 longs per bucket per partition) — then
+    // one exact /100 − offset conversion to degrees at the end.
+    Q("g5_geo_bounds",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("(event_id * 73) % 36000").as("lon100"),
+          expr("(event_id * 37) % 18000").as("lat100"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lat100")).as("xlat"), min(col("lon100")).as("nlon"),
+          min(col("lat100")).as("nlat"), max(col("lon100")).as("xlon"))
+        .select(col("event_type"), col("n"),
+          round(col("xlat").cast("double") / lit(100.0D) - lit(90.0D), 6)
+            .as("top_lat"),
+          round(col("nlon").cast("double") / lit(100.0D) - lit(180.0D), 6)
+            .as("left_lon"),
+          round(col("nlat").cast("double") / lit(100.0D) - lit(90.0D), 6)
+            .as("bottom_lat"),
+          round(col("xlon").cast("double") / lit(100.0D) - lit(180.0D), 6)
+            .as("right_lon"))
+        .orderBy(col("event_type")),
+      Some("""WITH p AS (SELECT event_type,
+             |                  (event_id * 73) % 36000 AS lon100,
+             |                  (event_id * 37) % 18000 AS lat100
+             |           FROM events)
+             |SELECT event_type, count(*) AS n,
+             |       round(CAST(max(lat100) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+             |         - CAST(90.0 AS DOUBLE), 6) AS top_lat,
+             |       round(CAST(min(lon100) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+             |         - CAST(180.0 AS DOUBLE), 6) AS left_lon,
+             |       round(CAST(min(lat100) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+             |         - CAST(90.0 AS DOUBLE), 6) AS bottom_lat,
+             |       round(CAST(max(lon100) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+             |         - CAST(180.0 AS DOUBLE), 6) AS right_lon
+             |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // G6 — geo_polygon query (ES: points inside an arbitrary polygon).
+    // Convex case via half-plane tests: the point is inside iff the cross
+    // product against every CCW edge is ≥ 0. Polygon = the diamond with
+    // vertices (lon, lat) = (−90°, 0°), (0°, −60°), (90°, 0°), (0°, 60°)
+    // in centered centi-degrees — all four tests are exact BIGINT
+    // arithmetic ON THE SCAN (map-side, prunable, zero FP), the same
+    // shape a real lat/lon column would compile to. Non-convex polygons
+    // decompose into convex fans of these same tests.
+    Q("g6_geo_polygon",
+      (s, d) => {
+        val x = col("lon100") - 18000L
+        val y = col("lat100") - 9000L
+        val inside =
+          (lit(9000L) * y + lit(6000L) * (x + 9000L) >= 0L) &&
+          (lit(9000L) * (y + 6000L) - lit(6000L) * x >= 0L) &&
+          (lit(-9000L) * y - lit(6000L) * (x - 9000L) >= 0L) &&
+          (lit(-9000L) * (y - 6000L) + lit(6000L) * x >= 0L)
+        Tables(s, d, "events")
+          .select(col("event_type"),
+            expr("(event_id * 73) % 36000").as("lon100"),
+            expr("(event_id * 37) % 18000").as("lat100"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(inside, 1L).otherwise(0L)).as("n_inside"))
+          .select(col("event_type"), col("n_total"), col("n_inside"),
+            round(col("n_inside").cast("double")
+              / col("n_total").cast("double"), 6).as("share"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH p AS (SELECT event_type,
+             |                  (event_id * 73) % 36000 - 18000 AS x,
+             |                  (event_id * 37) % 18000 - 9000 AS y
+             |           FROM events),
+             |t AS (SELECT event_type,
+             |             CASE WHEN 9000 * y + 6000 * (x + 9000) >= 0
+             |                   AND 9000 * (y + 6000) - 6000 * x >= 0
+             |                   AND -9000 * y - 6000 * (x - 9000) >= 0
+             |                   AND -9000 * (y - 6000) + 6000 * x >= 0
+             |                  THEN 1 ELSE 0 END AS inside
+             |      FROM p)
+             |SELECT event_type, count(*) AS n_total,
+             |       CAST(sum(inside) AS BIGINT) AS n_inside,
+             |       round(CAST(sum(inside) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE), 6) AS share
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // G7 — geohash_grid at precision 3 — the REAL geohash cell id: 15
+    // bits, alternating lon/lat starting with lon (8 lon + 7 lat bits),
+    // base-32 encoded with the geohash alphabet ('0-9b-z' minus 'ailo').
+    // lonI/latI are exact integer quantizations of the centi-degree
+    // coordinates ((v/range)·2ᵇ via integer division), the interleave is
+    // a fixed 15-term shift/mask sum, and the base-32 chars are substr
+    // lookups — every step is integer/codegen-friendly, map-side, and
+    // bit-identical across engines. The agg is then one hash agg over
+    // ≤ 32³ occupied cells, the exact ES shard-side shape (precision 3
+    // so cells hold multiple points at fixture density; the bit layout
+    // generalizes to any precision by the same generator).
+    Q("g7_geohash_grid",
+      (s, d) => {
+        // 15-term interleave (8 lon bits even positions, 7 lat odd),
+        // generated once for each dialect
+        def interleave(shift: (String, Int) => String): String =
+          ((0 to 7).map { i =>
+            s"(${shift("lonI", 7 - i)} & 1) * ${1L << (14 - 2 * i)}"
+          } ++ (0 to 6).map { i =>
+            s"(${shift("latI", 6 - i)} & 1) * ${1L << (13 - 2 * i)}"
+          }).mkString(" + ")
+        val sparkHash = interleave((c, n) => s"shiftright($c, $n)")
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        def charAt(k: Int): String =
+          s"substr('$alpha', cast((shiftright(gh, ${10 - 5 * k}) & 31) as int) + 1, 1)"
+        Tables(s, d, "events")
+          .select(col("user_id"), cents(col("value")).as("vc"),
+            expr("((event_id * 73) % 36000) * 256 div 36000").as("lonI"),
+            expr("((event_id * 37) % 18000) * 128 div 18000").as("latI"))
+          .withColumn("gh", expr(sparkHash))
+          .select(col("user_id"), col("vc"),
+            expr(s"concat(${(0 to 2).map(charAt).mkString(", ")})")
+              .as("geohash"))
+          .groupBy(col("geohash"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("vc")).as("sum_cents"))
+          .orderBy(col("geohash"))
+      },
+      Some {
+        def interleave: String =
+          ((0 to 7).map { i =>
+            s"((lonI >> ${7 - i}) & 1) * ${1L << (14 - 2 * i)}"
+          } ++ (0 to 6).map { i =>
+            s"((latI >> ${6 - i}) & 1) * ${1L << (13 - 2 * i)}"
+          }).mkString(" + ")
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        def charAt(k: Int): String =
+          s"substr('$alpha', CAST((gh >> ${10 - 5 * k}) & 31 AS INT) + 1, 1)"
+        s"""WITH q AS (SELECT user_id,
+           |                  CAST(round(value * 100) AS BIGINT) AS vc,
+           |                  ((event_id * 73) % 36000) * 256 // 36000 AS lonI,
+           |                  ((event_id * 37) % 18000) * 128 // 18000 AS latI
+           |           FROM events),
+           |h AS (SELECT user_id, vc, $interleave AS gh FROM q),
+           |c AS (SELECT user_id, vc,
+           |             ${(0 to 2).map(charAt).mkString(" || ")} AS geohash
+           |      FROM h)
+           |SELECT geohash, count(*) AS n, count(DISTINCT user_id) AS n_users,
+           |       CAST(sum(vc) AS BIGINT) AS sum_cents
+           |FROM c GROUP BY geohash ORDER BY geohash""".stripMargin
+      })
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1443,6 +1444,144 @@ object TextQueries extends QueryGroup {
              |           list_sort(list(rn || ':' || doc_id || ',' || n_chars)),
              |           e -> string_split(e, ':')[2]),
              |         ';') AS inner_hits
-             |FROM t GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // T37 — function_score (ES): base relevance × composed score
+    // functions. Base = tf('data'); functions = field_value_factor
+    // (ln1p modifier, factor 0.001 on n_chars) and a filter-scoped
+    // constant weight (lang:en → 2), combined with score_mode=sum and
+    // boost_mode=multiply — the canonical ES recipe shapes. Everything
+    // is one filtered postings agg joined back to doc metadata (no
+    // second corpus pass); the ln/multiply run map-side with a single
+    // round(…,6) at the end (t8's log-determinism precedent).
+    Q("t37_function_score",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .filter(col("term") === "data")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .join(tf, "doc_id")
+          .select(col("doc_id"), col("tf"),
+            round(col("tf").cast("double") *
+              (log(lit(1.0D) + lit(0.001D) * col("n_chars").cast("double"))
+                + when(col("lang") === "en", lit(2.0D)).otherwise(lit(1.0D))),
+              6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH p AS (SELECT doc_id, unnest($tok) AS term FROM documents),
+              |     tf AS (SELECT doc_id, count(*) AS tf FROM p
+              |            WHERE term = 'data' GROUP BY doc_id)
+              |SELECT d.doc_id, tf.tf,
+              |       round(CAST(tf.tf AS DOUBLE)
+              |         * (ln(CAST(1.0 AS DOUBLE)
+              |               + CAST(0.001 AS DOUBLE)
+              |                 * CAST(d.n_chars AS DOUBLE))
+              |            + CASE WHEN d.lang = 'en'
+              |                   THEN CAST(2.0 AS DOUBLE)
+              |                   ELSE CAST(1.0 AS DOUBLE) END), 6) AS score
+              |FROM documents d JOIN tf ON d.doc_id = tf.doc_id
+              |ORDER BY score DESC, d.doc_id LIMIT 20""".stripMargin)),
+
+    // T38 — span_first (ES): the term must occur within the first k=10
+    // token positions. The tokens array is SLICED to 10 before the
+    // positional explode, so the corpus contribution is O(10) per doc
+    // regardless of document length — the span window bounds the scan,
+    // not just the filter (the shape that matters at 100 TB).
+    Q("t38_span_first",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(TextFunctions.tokens(col("text")), 1, 10))
+            .as(Seq("pos", "term")))
+        .filter(col("term") === "vector")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH z AS (SELECT doc_id, ($tok)[1:10] AS toks
+              |           FROM documents),
+              |     p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+              |           FROM z, unnest(range(1, len(toks) + 1)) AS t(i))
+              |SELECT doc_id, count(*) AS n_in_window,
+              |       CAST(min(pos) AS BIGINT) AS first_pos
+              |FROM p WHERE term = 'vector'
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // T39 — phrase suggester (ES suggest/phrase): for a 2-term query
+    // whose second term is misspelled, generate candidates from the
+    // corpus vocabulary within edit distance 1 and rank by the bigram
+    // language model (count of "prev candidate" collocations, unigram
+    // frequency as tie-break) — the ES candidate-generator + LM-rerank
+    // pipeline. Query set = the top-20 bigrams with the tail term's last
+    // character dropped (deterministic misspellings). Scale shape: the
+    // vocabulary and query set are both bounded dictionary-side tables —
+    // the edit-distance candidate join is broadcast × broadcast; the
+    // corpus contributes only the two hash-agg count tables.
+    Q("t39_phrase_suggest",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val uni = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val pairs = docs
+          .select(explode(TextFunctions.bigrams(col("text"))).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("pcnt"))
+          .select(substring_index(col("bigram"), " ", 1).as("term_a"),
+            substring_index(col("bigram"), " ", -1).as("term_b"),
+            col("pcnt"))
+        val queries = pairs
+          .filter(length(col("term_b")) >= 4)
+          .orderBy(col("pcnt").desc, col("term_a"), col("term_b"))
+          .limit(20)
+          .select(col("term_a"),
+            expr("substring(term_b, 1, length(term_b) - 1)").as("misspelled"))
+        val cand = queries
+          .join(broadcast(uni.select(col("term").as("cand"), col("cnt"))),
+            levenshtein(col("misspelled"), col("cand")) <= 1)
+          .join(broadcast(pairs.select(col("term_a").as("pa"),
+            col("term_b").as("pb"), col("pcnt"))),
+            col("term_a") === col("pa") && col("cand") === col("pb"),
+            "left")
+          .select(col("term_a"), col("misspelled"), col("cand"), col("cnt"),
+            coalesce(col("pcnt"), lit(0L)).as("bg"))
+        val w = Window.partitionBy(col("term_a"), col("misspelled"))
+          .orderBy(col("bg").desc, col("cnt").desc, col("cand"))
+        cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("term_a"), col("misspelled"),
+            col("cand").as("suggestion"), col("bg").as("bigram_count"))
+          .orderBy(col("term_a"), col("misspelled"))
+      },
+      Some(s"""WITH t AS (SELECT $tok AS toks FROM documents),
+              |u AS (SELECT unnest(toks) AS term FROM t),
+              |uni AS (SELECT term, count(*) AS cnt FROM u GROUP BY 1),
+              |bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+              |                     THEN [toks[i] || ' ' || toks[i+1]
+              |                           for i in range(1, len(toks))]
+              |                     ELSE [] END) AS b
+              |       FROM t),
+              |pairs AS (SELECT string_split(b, ' ')[1] AS term_a,
+              |                 string_split(b, ' ')[2] AS term_b,
+              |                 count(*) AS pcnt
+              |          FROM bg GROUP BY b),
+              |q AS (SELECT term_a,
+              |             substring(term_b, 1, len(term_b) - 1) AS misspelled
+              |      FROM pairs WHERE len(term_b) >= 4
+              |      ORDER BY pcnt DESC, term_a, term_b LIMIT 20),
+              |c AS (SELECT q.term_a, q.misspelled, uni.term AS cand, uni.cnt,
+              |             COALESCE(p.pcnt, 0) AS bg
+              |      FROM q JOIN uni ON levenshtein(q.misspelled, uni.term) <= 1
+              |      LEFT JOIN pairs p ON p.term_a = q.term_a
+              |                       AND p.term_b = uni.term),
+              |r AS (SELECT *, row_number() OVER (
+              |        PARTITION BY term_a, misspelled
+              |        ORDER BY bg DESC, cnt DESC, cand) AS rn
+              |      FROM c)
+              |SELECT term_a, misspelled, cand AS suggestion,
+              |       CAST(bg AS BIGINT) AS bigram_count
+              |FROM r WHERE rn = 1 ORDER BY term_a, misspelled""".stripMargin))
   )
 }

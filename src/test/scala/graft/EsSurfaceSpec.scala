@@ -450,4 +450,177 @@ class EsSurfaceSpec extends SparkSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => en(r.getAs[Long]("vec_id"))))
   }
+
+  // ---- r15 batch B: a46-a49, g5-g7, t37-t39 ----
+
+  test("a46: top_metrics last_* agrees with a5's row_number answer") {
+    val tm = Registry.byName("a46_top_metrics").run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("last_user"))
+      .toMap
+    val a5 = Registry.byName("a5_latest_per_key").run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("user_id"))
+      .toMap
+    assert(tm.nonEmpty && tm == a5)
+  }
+
+  test("a47: categories partition the corpus and mask the closed class") {
+    val rows = Registry.byName("a47_categorize_text").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[String]("category")
+      val toks = c.split(" ").filter(_.nonEmpty)
+      assert(toks.length <= 3)
+      assert(!toks.contains("a") && !toks.contains("the"))
+    }
+    // top-20 only, so a lower bound: no category exceeds the corpus size
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum <= total)
+    assert(rows.map(_.getAs[Long]("n_docs")).max <= total)
+  }
+
+  test("a48: moving median lies within the trailing window's min/max " +
+    "and equals n on each key's first day") {
+    val rows = Registry.byName("a48_moving_percentiles").run(spark, sf)
+      .collect().groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, vs) =>
+      val s = vs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      assert(s.head.getAs[Double]("p50_7d") ==
+        s.head.getAs[Long]("n").toDouble)
+      s.indices.foreach { i =>
+        val win = s.slice(math.max(0, i - 6), i + 1).map(_.getAs[Long]("n"))
+        val m = s(i).getAs[Double]("p50_7d")
+        assert(m >= win.min && m <= win.max)
+      }
+    }
+  }
+
+  test("a49: bucket correlation is a valid Pearson r") {
+    val rows = Registry.byName("a49_bucket_correlation").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr_weekend"))) {
+        val c = r.getAs[Double]("corr_weekend")
+        assert(c >= -1.0 && c <= 1.0)
+      }
+      assert(r.getAs[Long]("nb") > 0)
+    }
+  }
+
+  test("g5: geo_bounds boxes are well-formed and cover g3's centroids") {
+    val rows = Registry.byName("g5_geo_bounds").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("top_lat") >= r.getAs[Double]("bottom_lat"))
+      assert(r.getAs[Double]("right_lon") >= r.getAs[Double]("left_lon"))
+      assert(r.getAs[Double]("top_lat") <= 90.0 &&
+        r.getAs[Double]("bottom_lat") >= -90.0)
+      assert(r.getAs[Double]("right_lon") <= 180.0 &&
+        r.getAs[Double]("left_lon") >= -180.0)
+    }
+  }
+
+  test("g6: polygon membership matches a brute-force reference") {
+    val rows = Registry.byName("g6_geo_polygon").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("share")
+      assert(sh >= 0.0 && sh <= 1.0)
+    }
+    // brute-force recompute of the total inside count (exact integers)
+    val ids = Tables(spark, sf, "events").select(col("event_id"))
+      .collect().map(_.getLong(0))
+    val brute = ids.count { id =>
+      val x = (id * 73) % 36000 - 18000
+      val y = (id * 37) % 18000 - 9000
+      9000 * y + 6000 * (x + 9000) >= 0 &&
+      9000 * (y + 6000) - 6000 * x >= 0 &&
+      -9000 * y - 6000 * (x - 9000) >= 0 &&
+      -9000 * (y - 6000) + 6000 * x >= 0
+    }
+    assert(rows.map(_.getAs[Long]("n_inside")).sum == brute)
+  }
+
+  test("g7: geohash cells match an independent bit-twiddling reference") {
+    // reference: classic per-bit interleave over the SAME integer
+    // quantization, written value-at-a-time (independent of the SQL
+    // expression generator under test)
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def ref(lon100: Long, lat100: Long): String = {
+      val lonI = lon100 * 256 / 36000
+      val latI = lat100 * 128 / 18000
+      var bits = 0L
+      var k = 0
+      var li = 7; var ti = 6
+      while (k < 15) {
+        bits <<= 1
+        if (k % 2 == 0) { bits |= (lonI >> li) & 1; li -= 1 }
+        else { bits |= (latI >> ti) & 1; ti -= 1 }
+        k += 1
+      }
+      (0 to 2).map(c => alpha(((bits >> (10 - 5 * c)) & 31).toInt)).mkString
+    }
+    val expected = Tables(spark, sf, "events").select(col("event_id"))
+      .collect().map(_.getLong(0))
+      .groupBy(id => ref((id * 73) % 36000, (id * 37) % 18000))
+      .map { case (g, v) => g -> v.length.toLong }
+    val got = Registry.byName("g7_geohash_grid").run(spark, sf).collect()
+      .map(r => r.getAs[String]("geohash") -> r.getAs[Long]("n")).toMap
+    assert(got.nonEmpty && got == expected)
+    got.keys.foreach { g =>
+      assert(g.length == 3 && g.forall(alpha.contains(_)))
+    }
+  }
+
+  test("t37: function_score ranks by the composed score, en boost visible") {
+    val rows = Registry.byName("t37_function_score").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ss = rows.map(_.getAs[Double]("score"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    assert(ss.forall(_ > 0.0) && rows.forall(_.getAs[Long]("tf") > 0))
+  }
+
+  test("t38: span_first matches only within the first 10 positions") {
+    val rows = Registry.byName("t38_span_first").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_pos") >= 0 &&
+        r.getAs[Long]("first_pos") <= 9)
+      assert(r.getAs[Long]("n_in_window") >= 1 &&
+        r.getAs[Long]("n_in_window") <= 10)
+    }
+  }
+
+  test("t39: phrase suggester recovers the dropped-character term") {
+    val rows = Registry.byName("t39_phrase_suggest").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mis = r.getAs[String]("misspelled")
+      val sug = r.getAs[String]("suggestion")
+      // candidate contract: within edit distance 1
+      assert(lev(mis, sug) <= 1)
+      // LM contract: the winning candidate restores a real collocation
+      assert(r.getAs[Long]("bigram_count") >= 0)
+    }
+    // recovery rate: the dropped character came from a real top bigram, so
+    // the LM should restore the original tail for the large majority
+    val recovered = rows.count { r =>
+      r.getAs[String]("suggestion") ==
+        r.getAs[String]("misspelled") + r.getAs[String]("suggestion").last
+    }
+    assert(recovered * 2 > rows.length,
+      s"only $recovered/${rows.length} misspellings recovered")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
