@@ -2077,7 +2077,206 @@ object AggQueries extends QueryGroup {
              |                 * sqrt(CAST(nb * syy - sy * sy AS DOUBLE))),
              |              6)
              |       END AS corr_weekend
-             |FROM g ORDER BY event_type""".stripMargin))
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // A50 — ES `random_sampler` agg: sub-aggregates computed on a
+    // probability sample, scaled back by 1/p. ES uses a per-doc random
+    // draw; the deterministic analog draws by content hash (the x5
+    // DataSplit family's md5 fold, mod 8 → p = 1/8 exactly), so the
+    // "sample" is reproducible and the oracle can mirror it. The whole
+    // sample decision is map-side on the scan — at 100 TB the scan cost
+    // is the floor, but every downstream byte (shuffle, agg state) drops
+    // by 8×, which is the point of the ES agg. Estimates are integer
+    // sums × 8; EngineSpec bounds them against the exact twin.
+    Q("a50_random_sampler",
+      (s, d) => {
+        val bucket = pmod(conv(substring(
+          md5(concat(lit("rs:"), col("event_id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(8L))
+        Tables(s, d, "events")
+          .filter(bucket === 0L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(cents(col("value"))).as("sum_sampled"))
+          .select(col("event_type"), col("n_sampled"),
+            (col("n_sampled") * 8L).as("est_n"),
+            (col("sum_sampled") * 8L).as("est_sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events
+             |  WHERE CAST(('0x' || substr(md5('rs:' || CAST(event_id AS VARCHAR)),
+             |                             1, 15)) AS BIGINT) % 8 = 0)
+             |SELECT event_type,
+             |       count(*) AS n_sampled,
+             |       count(*) * 8 AS est_n,
+             |       CAST(sum(vc) * 8 AS BIGINT) AS est_sum_cents
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A51 — ES `bucket_count_ks_test`: two-sample Kolmogorov-Smirnov
+    // between two value distributions (here each event_type's cents
+    // distribution vs the 'view' baseline type). The D statistic is
+    // computed EXACTLY: at every observed point, |ecdf₁ − ecdf₂| =
+    // |c₁·N₂ − c₂·N₁| / (N₁·N₂) — the numerator stays BIGINT, one max,
+    // one rounded divide at the end. The plan is one union scan → one
+    // cumulative window per type-pair over the global value order → max
+    // agg; at 100 TB the window partitions by pair and the sort is the
+    // only heavy op (the same cost ES pays to build the ecdf).
+    Q("a51_ks_test",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("vc"))
+        val base = ev.filter(col("event_type") === "view")
+          .select(col("vc")).withColumn("tag", lit(1L))
+        val pairs = ev.filter(col("event_type") =!= "view")
+          .select(col("event_type"), col("vc"), lit(0L).as("tag"))
+        // replicate the baseline under every compared type: the baseline
+        // frame is one column of longs — the replication is a broadcast
+        // of a bounded dims list, not a corpus re-scan
+        val types = pairs.select(col("event_type")).distinct()
+        val tagged = pairs.unionByName(
+          types.crossJoin(base).select(col("event_type"), col("vc"), col("tag")))
+        // aggregate per DISTINCT value before the window: the ecdf is
+        // evaluated at complete value groups (tie-safe — mid-tie rows
+        // would inflate D and make the max order-dependent), and the
+        // window then runs over the distinct-value stream, not raw rows
+        val perV = tagged.groupBy(col("event_type"), col("vc"))
+          .agg(sum(when(col("tag") === 0L, 1L).otherwise(0L)).as("d1"),
+            sum(when(col("tag") === 1L, 1L).otherwise(0L)).as("d2"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("vc")).rowsBetween(Window.unboundedPreceding, 0)
+        val cum = perV
+          .withColumn("c1", sum(col("d1")).over(w))
+          .withColumn("c2", sum(col("d2")).over(w))
+        val nn = perV.groupBy(col("event_type"))
+          .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+        cum.join(broadcast(nn), "event_type")
+          .groupBy(col("event_type"))
+          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+            max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+              .as("dnum"))
+          .select(col("event_type"), col("n1"), col("n2"),
+            round(col("dnum").cast("double")
+              / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |                   CAST(round(value * 100) AS BIGINT) AS vc
+             |            FROM events),
+             |base AS (SELECT vc FROM ev WHERE event_type = 'view'),
+             |types AS (SELECT DISTINCT event_type FROM ev
+             |          WHERE event_type <> 'view'),
+             |tagged AS (
+             |  SELECT event_type, vc, 0 AS tag FROM ev
+             |  WHERE event_type <> 'view'
+             |  UNION ALL
+             |  SELECT t.event_type, b.vc, 1 AS tag
+             |  FROM types t CROSS JOIN base b),
+             |perv AS (SELECT event_type, vc,
+             |                sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS d1,
+             |                sum(CASE WHEN tag = 1 THEN 1 ELSE 0 END) AS d2
+             |         FROM tagged GROUP BY 1, 2),
+             |cum AS (SELECT event_type,
+             |               sum(d1) OVER (PARTITION BY event_type ORDER BY vc
+             |                       ROWS UNBOUNDED PRECEDING) AS c1,
+             |               sum(d2) OVER (PARTITION BY event_type ORDER BY vc
+             |                       ROWS UNBOUNDED PRECEDING) AS c2
+             |        FROM perv),
+             |nn AS (SELECT event_type,
+             |              CAST(sum(d1) AS BIGINT) AS n1,
+             |              CAST(sum(d2) AS BIGINT) AS n2
+             |       FROM perv GROUP BY 1),
+             |dn AS (SELECT cum.event_type,
+             |              CAST(max(abs(cum.c1 * nn.n2 - cum.c2 * nn.n1))
+             |                   AS BIGINT) AS dnum
+             |       FROM cum JOIN nn ON cum.event_type = nn.event_type
+             |       GROUP BY 1)
+             |SELECT nn.event_type, nn.n1, nn.n2,
+             |       round(CAST(dn.dnum AS DOUBLE)
+             |         / CAST(nn.n1 * nn.n2 AS DOUBLE), 6) AS ks_d
+             |FROM nn JOIN dn ON nn.event_type = dn.event_type
+             |ORDER BY nn.event_type""".stripMargin)),
+
+    // A52 — date_histogram with min_doc_count=0 + extended_bounds (ES
+    // emits EMPTY buckets — the one histogram behavior a plain groupBy
+    // can't produce). The dense day spine is generated from a 1-row
+    // global bounds reduce (sequence + explode — no table scan), cross
+    // joined with the bounded type dictionary, then the sparse counts
+    // left-join in and coalesce to 0. At 100 TB: bounds reduce is a
+    // 1-row broadcast, the spine is days × types (thousands of rows,
+    // generated, never scanned), and the only corpus shuffle is the
+    // same sparse groupBy a2 already pays.
+    Q("a52_dense_histogram",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val sparse = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val bounds = ev.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val types = ev.select(col("event_type")).distinct()
+        types.crossJoin(spine)
+          .join(sparse, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+             |                  max(CAST(ts AS DATE)) AS hi
+             |           FROM events),
+             |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |                   INTERVAL 1 DAY)) AS DATE) AS day
+             |          FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |sparse AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  count(*) AS cnt
+             |           FROM events GROUP BY 1, 2)
+             |SELECT t.event_type, s.day,
+             |       COALESCE(sp.cnt, 0) AS n
+             |FROM types t CROSS JOIN spine s
+             |LEFT JOIN sparse sp ON sp.event_type = t.event_type
+             |                   AND sp.day = s.day
+             |ORDER BY t.event_type, s.day""".stripMargin)),
+
+    // A53 — nested + reverse_nested aggs (the ES parent/child-document
+    // pair). The corpus is first materialized in the NESTED shape — one
+    // parent row per user carrying an array<struct> of its events (how
+    // an ES index with a `nested` mapping physically stores it) — then
+    // the nested agg explodes the array, filters nested docs (vc > 5000),
+    // buckets by a nested field, and reverse_nested climbs back to count
+    // PARENT documents per bucket. collect_list order is nondeterministic
+    // but every downstream agg is order-insensitive, so the result is
+    // exact. At 100 TB the one groupBy building the nested column is the
+    // shape the data would already be stored in (doc-oriented parquet);
+    // everything after is a map-side explode + one partial-agg shuffle,
+    // and the distinct-parent count shuffles (bucket, user) pairs only.
+    Q("a53_nested_reverse",
+      (s, d) => {
+        val nested = Tables(s, d, "events")
+          .select(col("user_id"),
+            struct(col("event_type"), cents(col("value")).as("vc")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(collect_list(col("e")).as("events"))
+        nested
+          .select(col("user_id"), explode(col("events")).as("e"))
+          .filter(col("e.vc") > 5000L)
+          .groupBy(col("e.event_type").as("event_type"))
+          .agg(count(lit(1)).as("nested_count"),
+            countDistinct(col("user_id")).as("parent_count"),
+            sum(col("e.vc")).as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events)
+             |SELECT event_type, count(*) AS nested_count,
+             |       count(DISTINCT user_id) AS parent_count,
+             |       CAST(sum(vc) AS BIGINT) AS sum_cents
+             |FROM v WHERE vc > 5000
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

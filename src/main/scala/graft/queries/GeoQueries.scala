@@ -329,6 +329,42 @@ object GeoQueries extends QueryGroup {
            |SELECT geohash, count(*) AS n, count(DISTINCT user_id) AS n_users,
            |       CAST(sum(vc) AS BIGINT) AS sum_cents
            |FROM c GROUP BY geohash ORDER BY geohash""".stripMargin
-      })
+      }),
+
+    // G8 — geo_centroid agg (ES per-bucket mean point). The centroid is
+    // two integer sums + one count per bucket — 3 longs of shuffle state
+    // per (bucket, partition), the cheapest possible agg shape at 100 TB
+    // (same partial-before-Exchange as g5's bounds). FP appears only in
+    // the final display divide, evaluated in the same literal order on
+    // both engines: sum/n first (both exact doubles: sums < 2^53), then
+    // the /100 − offset degree conversion, then one round(…, 6).
+    Q("g8_geo_centroid",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("(event_id * 73) % 36000").as("lon100"),
+          expr("(event_id * 37) % 18000").as("lat100"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lon100")).as("slon"), sum(col("lat100")).as("slat"))
+        .select(col("event_type"), col("n"),
+          round(col("slon").cast("double") / col("n").cast("double")
+            / lit(100.0D) - lit(180.0D), 6).as("centroid_lon"),
+          round(col("slat").cast("double") / col("n").cast("double")
+            / lit(100.0D) - lit(90.0D), 6).as("centroid_lat"))
+        .orderBy(col("event_type")),
+      Some("""WITH p AS (SELECT event_type,
+             |                  (event_id * 73) % 36000 AS lon100,
+             |                  (event_id * 37) % 18000 AS lat100
+             |           FROM events)
+             |SELECT event_type, count(*) AS n,
+             |       round(CAST(sum(lon100) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE)
+             |             / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE), 6)
+             |         AS centroid_lon,
+             |       round(CAST(sum(lat100) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE)
+             |             / CAST(100.0 AS DOUBLE) - CAST(90.0 AS DOUBLE), 6)
+             |         AS centroid_lat
+             |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

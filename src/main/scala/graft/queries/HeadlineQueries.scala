@@ -85,6 +85,32 @@ object HeadlineQueries extends QueryGroup {
              |       count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // H14 — UNPIVOT (melt): the inverse of h4's pivot, via the native
+    // Dataset.unpivot operator (Spark's UNPIVOT SQL surface). The round
+    // trip pivot → unpivot → drop-zeros must land exactly back on the
+    // long-form groupBy — that identity IS the oracle (DuckDB computes
+    // the long form directly). Unpivot is a zero-shuffle rewrite (each
+    // wide row explodes map-side into ≤5 long rows), so the only
+    // exchanges are h4's own pivot agg.
+    Q("h14_unpivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        wide.unpivot(
+            Array(col("user_id")),
+            types.map(col).toArray,
+            "event_type", "n")
+          .filter(col("n") > 0L)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
     Q("h5_grouping_sets",
       (s, d) => {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -804,6 +805,180 @@ object PipelineQueries extends QueryGroup {
              |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
              |       round(CAST(sum(n_tok) AS DOUBLE) * 100
              |         / CAST(512.0 AS DOUBLE), 6) AS fill_pct
-             |FROM c GROUP BY 1, 2 ORDER BY grp, chunk""".stripMargin))
+             |FROM c GROUP BY 1, 2 ORDER BY grp, chunk""".stripMargin)),
+
+    // x27 — tokenizer fertility per language: tokens-per-word and
+    // chars-per-token, the standard multilingual tokenizer-efficiency
+    // report (high fertility = the tokenizer fragments that language →
+    // budget inflation). Words = whitespace tokens, tokens = the BPE-ish
+    // regex segmentation (x2's), chars = n_chars. All three are exact
+    // integer sums off ONE map-side projection; two rounded divides at
+    // the end. At 100 TB: scan-bound, one tiny per-lang hash agg.
+    Q("x27_tokenizer_fertility",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("words"),
+          size(graft.functions.TextFunctions.tokensRegex(col("text")))
+            .cast("long").as("toks"),
+          col("n_chars").cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("sum_words"),
+          sum(col("toks")).as("sum_tokens"), sum(col("chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_words"),
+          col("sum_tokens"),
+          round(col("sum_tokens").cast("double")
+            / col("sum_words").cast("double"), 6).as("fertility"),
+          round(col("sum_chars").cast("double")
+            / col("sum_tokens").cast("double"), 6).as("chars_per_token"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |         CAST(len(list_filter(string_split(text, ' '),
+             |                              x -> x <> '')) AS BIGINT) AS words,
+             |         CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+             |                              x -> x <> '')) AS BIGINT) AS toks,
+             |         CAST(n_chars AS BIGINT) AS chars
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(words) AS BIGINT) AS sum_words,
+             |       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+             |       round(CAST(sum(toks) AS DOUBLE)
+             |         / CAST(sum(words) AS DOUBLE), 6) AS fertility,
+             |       round(CAST(sum(chars) AS DOUBLE)
+             |         / CAST(sum(toks) AS DOUBLE), 6) AS chars_per_token
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // x28 — graph-centrality quality prior: weighted PageRank over the
+    // behavioral graph (edge u→v when v's event directly follows u's in
+    // the same event_type timeline, weighted by transition count) — the
+    // CommonCrawl-style "centrality as a quality prior" signal, where a
+    // document inherits weight from how often the graph walks into it.
+    // THREE unrolled power iterations in EXACT integer arithmetic: ranks
+    // scaled to 10¹⁵ units, per-edge contribution = (r_u · w_uv) div
+    // out_u, damped = base + (85 · Σ) div 100 — every op BIGINT integer
+    // division, so the oracle's recursive form matches bit-for-bit (no
+    // FP convergence surface). Each iteration is one shuffle-on-u join +
+    // one v-keyed agg — the Pregel superstep shape; at 100 TB the edge
+    // table partitions by source and the rank vector broadcasts or
+    // co-partitions, iterations stay O(edges).
+    Q("x28_pagerank_prior",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = Tables(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            col("user_id").as("u"))
+          .withColumn("v", lead(col("u"), 1).over(w))
+          .filter(col("v").isNotNull && col("v") =!= col("u"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        val out = edges.groupBy(col("u")).agg(sum(col("cnt")).as("outc"))
+        val nodes = Tables(s, d, "events")
+          .select(col("user_id").as("node")).distinct()
+        val nN = nodes.count()  // bounded: the node-id dictionary
+        val r0 = lit(1000000000000000L / nN)
+        val base = lit(150000000000000L / nN)
+        def step(r: DataFrame): DataFrame = {
+          // `div`, not `/`: Column./ on longs is a DOUBLE divide, and
+          // rank·cnt ≈ 2·10¹⁷ exceeds double's exact-integer range
+          val contrib = edges
+            .join(out, "u")
+            .join(r.withColumnRenamed("node", "u"), "u")
+            .select(col("v"),
+              expr("(rank * cnt) div outc").as("c"))
+            .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+          nodes.join(contrib.withColumnRenamed("v", "node"), Seq("node"), "left")
+            .withColumn("sc0", coalesce(col("sc"), lit(0L)))
+            .select(col("node"),
+              (base + expr("(85 * sc0) div 100")).as("rank"))
+        }
+        val r3 = step(step(step(nodes.select(col("node"), r0.as("rank")))))
+        r3.orderBy(col("rank").desc, col("node")).limit(20)
+          .select(col("node").as("user_id"), col("rank"))
+      },
+      Some("""WITH o AS (SELECT event_type, user_id AS u,
+             |                  lead(user_id) OVER (PARTITION BY event_type
+             |                    ORDER BY ts, event_id) AS v
+             |           FROM events),
+             |e AS (SELECT u, v, count(*) AS cnt FROM o
+             |      WHERE v IS NOT NULL AND v <> u GROUP BY 1, 2),
+             |outc AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS outc
+             |         FROM e GROUP BY 1),
+             |n AS (SELECT DISTINCT user_id AS node FROM events),
+             |nn AS (SELECT count(*) AS nn FROM n),
+             |r0 AS (SELECT node, 1000000000000000 // nn AS rank
+             |       FROM n, nn),
+             |c1 AS (SELECT e.v AS node,
+             |              CAST(sum((r0.rank * e.cnt) // outc.outc) AS BIGINT)
+             |                AS sc
+             |       FROM e JOIN outc ON e.u = outc.u
+             |              JOIN r0 ON r0.node = e.u
+             |       GROUP BY 1),
+             |r1 AS (SELECT n.node,
+             |              150000000000000 // nn
+             |                + (85 * COALESCE(c1.sc, 0)) // 100 AS rank
+             |       FROM n CROSS JOIN nn LEFT JOIN c1 ON c1.node = n.node),
+             |c2 AS (SELECT e.v AS node,
+             |              CAST(sum((r1.rank * e.cnt) // outc.outc) AS BIGINT)
+             |                AS sc
+             |       FROM e JOIN outc ON e.u = outc.u
+             |              JOIN r1 ON r1.node = e.u
+             |       GROUP BY 1),
+             |r2 AS (SELECT n.node,
+             |              150000000000000 // nn
+             |                + (85 * COALESCE(c2.sc, 0)) // 100 AS rank
+             |       FROM n CROSS JOIN nn LEFT JOIN c2 ON c2.node = n.node),
+             |c3 AS (SELECT e.v AS node,
+             |              CAST(sum((r2.rank * e.cnt) // outc.outc) AS BIGINT)
+             |                AS sc
+             |       FROM e JOIN outc ON e.u = outc.u
+             |              JOIN r2 ON r2.node = e.u
+             |       GROUP BY 1),
+             |r3 AS (SELECT n.node,
+             |              150000000000000 // nn
+             |                + (85 * COALESCE(c3.sc, 0)) // 100 AS rank
+             |       FROM n CROSS JOIN nn LEFT JOIN c3 ON c3.node = n.node)
+             |SELECT node AS user_id, CAST(rank AS BIGINT) AS rank
+             |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
+
+    // x29 — temperature-scaled language sampling (the multilingual-LM
+    // rebalancing rule, α = 0.5): sampling weight w_l ∝ n_l^α, so
+    // low-resource languages are upsampled relative to their raw share.
+    // α = 1/2 makes the power an IEEE sqrt — correctly rounded in BOTH
+    // engines — and the weight is immediately quantized to an integer
+    // (floor(sqrt·10⁶)), so every downstream op (Σw, ppm shares, the
+    // 10 000-doc budget allocation) is exact BIGINT div arithmetic with
+    // zero FP accumulation surface. Plan: one per-lang count (tiny hash
+    // agg), a 1-row broadcast total, map-side divides — scan-bound at
+    // any scale. n_l must stay < 2^53/10¹² ≈ 9·10³ × 10⁶ for the double
+    // product to stay exact; floor(sqrt(n)·10⁶) with n < 10¹⁶ is safe
+    // because sqrt(n) < 10⁸ and the product < 10¹⁴ < 2^53.
+    Q("x29_temperature_sample",
+      (s, d) => {
+        val perLang = Tables(s, d, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0D))
+              .cast("long"))
+        val tot = perLang.agg(sum(col("n_docs")).as("n_tot"),
+          sum(col("w")).as("w_tot"))
+        perLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            expr("(n_docs * 1000000) div n_tot").as("raw_ppm"),
+            expr("(w * 1000000) div w_tot").as("temp_ppm"),
+            expr("(w * 10000) div w_tot").as("alloc_10k"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (SELECT lang, count(*) AS n_docs,
+             |                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+             |                             * 1000000.0) AS BIGINT) AS w
+             |           FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             |             CAST(sum(w) AS BIGINT) AS w_tot FROM l)
+             |SELECT lang, n_docs,
+             |       (n_docs * 1000000) // n_tot AS raw_ppm,
+             |       (w * 1000000) // w_tot AS temp_ppm,
+             |       (w * 10000) // w_tot AS alloc_10k
+             |FROM l CROSS JOIN t ORDER BY lang""".stripMargin))
   )
 }

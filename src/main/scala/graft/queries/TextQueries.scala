@@ -1583,5 +1583,72 @@ object TextQueries extends QueryGroup {
               |SELECT term_a, misspelled, cand AS suggestion,
               |       CAST(bg AS BIGINT) AS bigram_count
               |FROM r WHERE rn = 1 ORDER BY term_a, misspelled""".stripMargin))
+  ) ++ Seq(
+
+    // T40 — significant_text agg (ES 6.3's free-text sibling of t16's
+    // significant_terms). Three behaviors distinguish it from t16:
+    // (1) `filter_duplicate_text` — exact-duplicate documents are
+    // collapsed FIRST (one representative per md5(text), min doc_id) so
+    // boilerplate can't vote twice; (2) the foreground set is a SEARCH
+    // MATCH (docs whose token set contains 'join'), not a metadata
+    // field; (3) the score is ES's chi_square heuristic rather than JLH.
+    // Plan shape: dedup is a per-hash window keep-first (hash-partitioned,
+    // no join); token rows are deduped per doc MAP-SIDE via
+    // array_distinct (t16 pays a (doc, term) distinct shuffle for the
+    // same guarantee) and carry the foreground flag from the scan, so
+    // the only corpus shuffle is the term-keyed partial agg. The totals
+    // ride a 1-row broadcast. FP only in the final per-term score off
+    // exact integer counts — identical literal order on both engines.
+    Q("t40_significant_text",
+      (s, d) => {
+        val keep = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val uniq = Tables(s, d, "documents")
+          .withColumn("rn", row_number().over(keep))
+          .filter(col("rn") === 1)
+        val toks = uniq.select(
+          array_contains(TextFunctions.tokens(col("text")), "join").as("fg"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        val nn = uniq.agg(count(lit(1)).cast("long").as("n_bg"),
+          sum(when(array_contains(TextFunctions.tokens(col("text")), "join"),
+            1L).otherwise(0L)).as("n_fg"))
+        toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("df_bg"),
+            sum(when(col("fg"), 1L).otherwise(0L)).as("df_fg"))
+          .filter(col("df_fg") >= 5)
+          .crossJoin(broadcast(nn))
+          .withColumn("fr", col("df_fg").cast("double") / col("n_fg").cast("double"))
+          .withColumn("br", col("df_bg").cast("double") / col("n_bg").cast("double"))
+          .withColumn("chi2_raw",
+            (col("fr") - col("br")) * (col("fr") - col("br"))
+              / (col("fr") + col("br")))
+          .orderBy(col("chi2_raw").desc, col("term")).limit(25)
+          .select(col("term"), col("df_fg"), col("df_bg"),
+            round(col("chi2_raw"), 6).as("chi2"))
+      },
+      Some(s"""WITH uniq AS (
+              |  SELECT doc_id, text,
+              |         row_number() OVER (PARTITION BY md5(text)
+              |             ORDER BY doc_id) AS rn
+              |  FROM documents QUALIFY rn = 1),
+              |toks AS (SELECT list_contains($tok, 'join') AS fg,
+              |                unnest(list_distinct($tok)) AS term
+              |         FROM uniq),
+              |nn AS (SELECT count(*) AS n_bg,
+              |              CAST(sum(CASE WHEN list_contains($tok, 'join')
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_fg
+              |       FROM uniq),
+              |st AS (SELECT term, count(*) AS df_bg,
+              |              CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END)
+              |                   AS BIGINT) AS df_fg
+              |       FROM toks GROUP BY 1),
+              |sc AS (SELECT term, df_fg, df_bg,
+              |              (df_fg * 1.0 / n_fg - df_bg * 1.0 / n_bg)
+              |              * (df_fg * 1.0 / n_fg - df_bg * 1.0 / n_bg)
+              |              / (df_fg * 1.0 / n_fg + df_bg * 1.0 / n_bg)
+              |                AS chi2_raw
+              |       FROM st CROSS JOIN nn WHERE df_fg >= 5)
+              |SELECT term, df_fg, df_bg, round(chi2_raw, 6) AS chi2
+              |FROM sc ORDER BY chi2_raw DESC, term LIMIT 25""".stripMargin))
   )
 }

@@ -391,6 +391,34 @@ object WindowQueries extends QueryGroup {
              |SELECT p.user_id, act.n_active_days,
              |       p.len AS longest_streak, p.start_day AS streak_start
              |FROM pick p JOIN act USING (user_id)
-             |WHERE rk = 1 ORDER BY p.user_id""".stripMargin))
+             |WHERE rk = 1 ORDER BY p.user_id""".stripMargin)),
+
+    // W11 — cume_dist / percent_rank: the two distribution window
+    // functions W1's ranking family left out (ES exposes the same pair
+    // as the `percentile_rank` view of a bucket ordering). Both are
+    // tie-stable by definition — every row of a tie group gets the same
+    // value — so ordering by the non-unique vc is deterministic and no
+    // synthetic tie-break can change the payload. One partition-local
+    // sort per event_type, zero joins; at 100 TB this is the same
+    // per-key sorted window every w-query pays, nothing more.
+    Q("w11_cume_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("vc"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .orderBy(col("event_type"), col("vc"), col("event_id"))
+      },
+      Some("""WITH v AS (SELECT event_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS vc
+             |           FROM events)
+             |SELECT event_id, event_type, vc,
+             |       round(percent_rank() OVER (PARTITION BY event_type
+             |               ORDER BY vc), 6) AS pr,
+             |       round(cume_dist() OVER (PARTITION BY event_type
+             |               ORDER BY vc), 6) AS cd
+             |FROM v ORDER BY event_type, vc, event_id""".stripMargin))
   )
 }

@@ -614,6 +614,100 @@ class EsSurfaceSpec extends SparkSuite {
       s"only $recovered/${rows.length} misspellings recovered")
   }
 
+  test("h14: unpivot(pivot(x)) round-trips to the long form exactly") {
+    val got = Registry.byName("h14_unpivot").run(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    val direct = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    assert(got.nonEmpty && got == direct)
+  }
+
+  test("a50: random_sampler estimates track the exact aggregate") {
+    val est = Registry.byName("a50_random_sampler").run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_sampled"), r.getAs[Long]("est_n"))).toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (t, (ns, en)) =>
+      assert(en == ns * 8)
+      // p=1/8 hash sample at fixture scale: estimate within 2x of truth
+      assert(en >= exact(t) / 2 && en <= exact(t) * 2,
+        s"$t: est $en vs exact ${exact(t)}")
+    }
+  }
+
+  test("g8: per-bucket centroid lies strictly inside that bucket's bounds") {
+    val cent = Registry.byName("g8_geo_centroid").run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("centroid_lon"), r.getAs[Double]("centroid_lat"),
+          r.getAs[Long]("n"))).toMap
+    val bounds = Registry.byName("g5_geo_bounds").run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("left_lon"), r.getAs[Double]("right_lon"),
+          r.getAs[Double]("bottom_lat"), r.getAs[Double]("top_lat"))).toMap
+    assert(cent.nonEmpty && cent.keySet == bounds.keySet)
+    cent.foreach { case (t, (lon, lat, _)) =>
+      val (l, r, b, u) = bounds(t)
+      assert(lon >= l && lon <= r && lat >= b && lat <= u,
+        s"$t centroid ($lon,$lat) outside bounds")
+    }
+    assert(cent.values.map(_._3).sum == Tables(spark, sf, "events").count())
+  }
+
+  test("a53: nested explode + reverse_nested equals the flat computation") {
+    val got = Registry.byName("a53_nested_reverse").run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("nested_count"), r.getAs[Long]("parent_count"))).toMap
+    val flat = Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .filter(col("vc") > 5000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nc"), countDistinct(col("user_id")).as("pc"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("nc"), r.getAs[Long]("pc"))).toMap
+    assert(got.nonEmpty && got == flat)
+    // reverse_nested invariant: parents never outnumber nested matches
+    got.values.foreach { case (nc, pc) => assert(pc <= nc && pc >= 1L) }
+  }
+
+  test("t40: significant_text scores are finite; the match term saturates fg") {
+    val rows = Registry.byName("t40_significant_text").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val (fg, bg) = (r.getAs[Long]("df_fg"), r.getAs[Long]("df_bg"))
+      assert(fg >= 5L && bg >= fg)
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+    // the foreground-defining term must appear in every fg doc by
+    // construction: its df_fg is the fg corpus size, the maximum possible
+    val join = rows.find(_.getAs[String]("term") == "join")
+    assert(join.isDefined, "match term absent from significant terms")
+    val maxFg = rows.map(_.getAs[Long]("df_fg")).max
+    assert(join.get.getAs[Long]("df_fg") == maxFg)
+  }
+
+  test("w11: cume_dist dominates percent_rank; both hit the [0,1] ends") {
+    val rows = Registry.byName("w11_cume_dist").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd) = (r.getAs[Double]("pr"), r.getAs[Double]("cd"))
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(cd >= pr, s"cume_dist $cd below percent_rank $pr")
+    }
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { vs =>
+      assert(vs.map(_.getAs[Double]("pr")).min == 0.0)
+      assert(vs.map(_.getAs[Double]("cd")).max == 1.0)
+    }
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

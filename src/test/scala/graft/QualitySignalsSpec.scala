@@ -373,4 +373,55 @@ class QualitySignalsSpec extends SparkSuite {
     val agree = (exact.size - diff.size).toDouble / exact.size
     assert(agree >= 0.9, s"bucket agreement $agree below 0.9 (${diff.size} diffs)")
   }
+
+  test("x27: fertility report partitions the corpus; ratios are sane") {
+    val rows = graft.queries.Registry.byName("x27_tokenizer_fertility")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") > 0.0)
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+      assert(r.getAs[Long]("sum_tokens") > 0L &&
+        r.getAs[Long]("sum_words") > 0L)
+    }
+  }
+
+  test("x28: integer PageRank conserves bounded mass and respects the base") {
+    val rows = graft.queries.Registry.byName("x28_pagerank_prior")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nodes = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    val base = 150000000000000L / nodes
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    // sorted desc with the registered tie-break
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // every node receives at least the teleport base; integer floors only
+    // ever LOSE mass, so no rank exceeds the whole graph's initial mass
+    assert(ranks.forall(r => r >= base && r <= 1000000000000000L))
+    // the top node must strictly beat the teleport floor (it has in-edges)
+    assert(ranks.head > base)
+  }
+
+  test("x29: temperature sampling flattens the distribution, never inverts it") {
+    val rows = graft.queries.Registry.byName("x29_temperature_sample")
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("raw_ppm"), r.getAs[Long]("temp_ppm"),
+        r.getAs[Long]("alloc_10k")))
+    assert(rows.nonEmpty)
+    // integer floors only lose mass: shares stay within one ulp of 1
+    assert(rows.map(_._4).sum <= 1000000L &&
+      rows.map(_._4).sum > 1000000L - rows.length)
+    assert(rows.map(_._5).sum <= 10000L)
+    // α=0.5 compresses: the largest language's share shrinks, the
+    // smallest grows, and the weight order still follows the size order
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.last._4 <= bySize.last._3, "head language not downsampled")
+    assert(bySize.head._4 >= bySize.head._3, "tail language not upsampled")
+    assert(bySize.map(_._4).zip(bySize.tail.map(_._4))
+      .forall { case (a, b) => a <= b }, "temperature inverted the order")
+  }
 }
