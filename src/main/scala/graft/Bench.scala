@@ -83,9 +83,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_SEED to reproduce a specific order.
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
+    // Truth-definition baselines stay out of the benched set unless asked
+    // for explicitly (SparkEntry.benchExcluded scaladoc; r14 verdict #2).
+    // An explicit BENCH_ONLY filter bypasses the exclusion — naming a query
+    // is asking for it.
+    val benchAll = sys.env.contains("SPARK_GRAFT_BENCH_ALL") || only.isDefined
     val selected = new scala.util.Random(seed)
       .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => benchAll || !SparkEntry.benchExcluded(n) }
     val timed = selected.map { case (name, fn) =>
       val runs = (1 to reps).flatMap(_ => once(fn))
       // Sweep query-local garbage (broadcasts, codegen classes) OFF this

@@ -34,4 +34,22 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Truth-definition baselines excluded from the BENCHED set (r14 verdict
+    * #2): each is an intentionally quadratic oracle/recall reference whose
+    * production counterpart (the banded-LSH / prefix-filtered twin, which
+    * STAYS benched) is the plan you would run at 100×. They remain in
+    * [[queries]]/[[oracleSql]] — the correctness gate still runs all of
+    * them — but the bench measures the scale paths, not the truth
+    * definitions: three driver windows in a row (r10/r12/r14) hard-flagged
+    * this family under host contention because the unpruned postings
+    * self-join's pair stream cliffs when execution memory shrinks, and the
+    * 2 GiB canary reproduces 5-90 s swings on an idle host. Benched twins:
+    * d2_minhash_lsh / d2_minhash_md5 / d2_jaccard_prefix (near-dup pairs),
+    * d3_dedup_groups_lsh (clusters), d10_dedup_yield_lsh (yield report).
+    * Bench includes them anyway under SPARK_GRAFT_BENCH_ALL=1 or an
+    * explicit SPARK_GRAFT_BENCH_ONLY filter.
+    */
+  val benchExcluded: Set[String] =
+    Set("d2_jaccard_neardup", "d3_dedup_groups", "d10_dedup_yield")
 }

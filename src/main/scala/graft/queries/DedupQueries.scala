@@ -469,6 +469,76 @@ object DedupQueries extends QueryGroup {
              |       (sz - 1) * n_clusters AS n_removed
              |FROM h ORDER BY sz""".stripMargin)),
 
+    // D10-LSH — the same yield report over the BANDED MinHash pair set:
+    // the benched scale path (r14 verdict #2 — the quadratic-postings d10
+    // above stays the oracle truth definition but leaves the benched set;
+    // this twin is what you'd run at 100×, where candidate pairs come from
+    // 8×8 band buckets instead of the full Σ df² postings pair space).
+    Q("d10_dedup_yield_lsh",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = graft.dedup.Dedup.minhashPairsMd5(
+          docs, col("doc_id"), col("text"))
+        graft.dedup.Dedup.dedupGroups(docs, col("doc_id"), pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"),
+            ((col("sz") - 1) * col("n_clusters")).as("n_removed"))
+          .orderBy(col("sz"))
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |hv AS (
+             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
+             |  FROM sh GROUP BY 1),
+             |sigs AS (
+             |  SELECT t.doc_id,
+             |         list_transform(generate_series(0, 63), i -> coalesce(
+             |           list_min(list_transform(h.hs,
+             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
+             |           2147483647)) AS sig
+             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
+             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
+             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+             |pairs AS (
+             |  SELECT da, db
+             |  FROM cand
+             |  JOIN sigs sa ON sa.doc_id = cand.da
+             |  JOIN sigs sb ON sb.doc_id = cand.db
+             |  WHERE CAST(len(list_filter(generate_series(1, 64),
+             |          k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64 >= 0.5),
+             |edges AS (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(node, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+             |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+             |cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY 1),
+             |h AS (SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1)
+             |SELECT sz AS cluster_size, n_clusters,
+             |       sz * n_clusters AS n_docs,
+             |       (sz - 1) * n_clusters AS n_removed
+             |FROM h ORDER BY sz""".stripMargin)),
+
     // D4 — decontamination: corpus docs sharing ≥5 distinct trigram shingles
     // with the eval/benchmark slice (source src0 stands in for the benchmark
     // set). Exact integer counts — fully oracle-mirrored.

@@ -45,7 +45,11 @@ if [[ "${1:-}" != "--quick" ]]; then
   # BEFORE the driver's contended window does. --allow-missing because the
   # canary runs only the sensitive family, not all 233.
   echo "== 5/5 constrained-heap canary (pair-stream family @ 2g, sf0.1)"
-  FAMILY=d2_jaccard_neardup,d2_jaccard_prefix,d3_dedup_groups,d10_dedup_yield,d12_containment,m3_phash_pairs_distinct
+  # The BENCHED pressure-sensitive family: the banded/prefix scale paths.
+  # The quadratic truth definitions (d2_jaccard_neardup / d3_dedup_groups /
+  # d10_dedup_yield) left the benched set in r15 (SparkEntry.benchExcluded,
+  # r14 verdict #2) — the correctness gate still runs them at stage 1/2.
+  FAMILY=d2_jaccard_prefix,d2_minhash_lsh,d2_minhash_md5,d3_dedup_groups_lsh,d10_dedup_yield_lsh,d12_containment,m3_phash_pairs_distinct
   canary_out=$(mktemp /tmp/graft_canary.XXXXXX.json)
   if ! SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_HEAP=2g \
        SPARK_GRAFT_CPUS=4 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
