@@ -49,7 +49,20 @@ object Explain {
         |(count + row_number) instead of a pair-keyed HashAggregate — the
         |window below is that aggregate, not an analytic feature; its memory
         |degrades linearly under pressure where the hash map cliffed (three
-        |contended driver windows).""".stripMargin),
+        |contended driver windows). Late-r15: excluded from the BENCHED set
+        |(SparkEntry.benchExcluded — BASELINE.md round 15 continued); the
+        |correctness gate still runs it.""".stripMargin),
+    "d3_dedup_groups" ->
+      ("""Contract note: connected components over the exact-Jaccard pair set
+        |— inherits d2_jaccard_neardup's block-quadratic truth-definition
+        |plan. The scale path is d3_dedup_groups_lsh (banded pairs → same
+        |pointer-jumping components). Excluded from the benched set since
+        |late r15 (SparkEntry.benchExcluded).""".stripMargin),
+    "d10_dedup_yield" ->
+      ("""Contract note: yield report over the exact-Jaccard cluster set —
+        |truth definition; the benched scale twin is d10_dedup_yield_lsh
+        |(banded pairs, own recursive oracle). Excluded from the benched set
+        |since late r15 (SparkEntry.benchExcluded).""".stripMargin),
     "m4_resize" ->
       ("""Cost note: each row pays TWO full real-codec round-trips by design
         |(PNG encode → imageio decode → NN-resample → PNG re-encode → imageio

@@ -2276,7 +2276,78 @@ object AggQueries extends QueryGroup {
              |       count(DISTINCT user_id) AS parent_count,
              |       CAST(sum(vc) AS BIGINT) AS sum_cents
              |FROM v WHERE vc > 5000
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A54 — moving_fn holt() (ES's double-exponential-smoothing model —
+    // the last named moving_fn model after a24's ewma and a23/a48's
+    // median/percentiles): per event_type, Holt's linear method over the
+    // daily count series with α = β = 0.5, reporting the final (level,
+    // trend) state and the 3-step forecast l + 3b. The fold is sequential
+    // by definition, so the series is collected PER BUCKET (bounded by
+    // the calendar — ~365 doubles/year per type — never by corpus rows;
+    // the corpus-scale work is the same daily hash agg a2 pays) and
+    // folded with an array<double> (level, trend) accumulator. α = 0.5
+    // makes every multiply exact in binary FP; additions round
+    // identically in both engines because the expression order is
+    // identical — the DuckDB mirror runs the same recurrence as a
+    // recursive CTE over the day index (list_reduce can't carry a
+    // two-state accumulator), with l_t recomputed textually inside b_t
+    // exactly as the Spark lambda does. Init: l₂ = y₂, b₂ = y₂ − y₁
+    // (the standard two-point start); types with <2 days drop on both
+    // sides.
+    Q("a54_holt",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("enc", datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long") * lit(1000000000000L) + col("n"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("enc"))).as("win"),
+          count(lit(1)).as("n_days"))
+        .filter(size(col("win")) >= 2)
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(transform(win, v -> CAST(v % 1000000000000 AS DOUBLE)),
+            |        3, size(win) - 2),
+            |  array(CAST(element_at(win, 2) % 1000000000000 AS DOUBLE),
+            |        CAST(element_at(win, 2) % 1000000000000 AS DOUBLE)
+            |          - CAST(element_at(win, 1) % 1000000000000 AS DOUBLE)),
+            |  (acc, v) -> array(
+            |    0.5D * v + 0.5D * (acc[0] + acc[1]),
+            |    0.5D * ((0.5D * v + 0.5D * (acc[0] + acc[1])) - acc[0])
+            |      + 0.5D * acc[1]))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          round(col("st")(0), 6).as("level"),
+          round(col("st")(1), 6).as("trend"),
+          round(col("st")(0) + lit(3.0D) * col("st")(1), 6).as("forecast_3"))
+        .orderBy(col("event_type")),
+      Some("""WITH RECURSIVE
+             |b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |             CAST(count(*) AS DOUBLE) AS y
+             |      FROM events GROUP BY 1, 2),
+             |i AS (SELECT event_type, y,
+             |             row_number() OVER (PARTITION BY event_type
+             |                                ORDER BY day) AS idx
+             |      FROM b),
+             |nd AS (SELECT event_type, count(*) AS n_days FROM i GROUP BY 1),
+             |st(event_type, idx, l, t) AS (
+             |  SELECT i2.event_type, CAST(2 AS BIGINT), i2.y, i2.y - i1.y
+             |  FROM i i1 JOIN i i2 ON i1.event_type = i2.event_type
+             |   AND i1.idx = 1 AND i2.idx = 2
+             |  UNION ALL
+             |  SELECT st.event_type, st.idx + 1,
+             |         0.5 * i.y + 0.5 * (st.l + st.t),
+             |         0.5 * ((0.5 * i.y + 0.5 * (st.l + st.t)) - st.l)
+             |           + 0.5 * st.t
+             |  FROM st JOIN i ON i.event_type = st.event_type
+             |                AND i.idx = st.idx + 1)
+             |SELECT st.event_type, nd.n_days,
+             |       round(st.l, 6) AS level,
+             |       round(st.t, 6) AS trend,
+             |       round(st.l + 3.0 * st.t, 6) AS forecast_3
+             |FROM st JOIN nd USING (event_type)
+             |WHERE st.idx = nd.n_days
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Shared oracle for both heavy-hitter formulations (they are required to

@@ -645,4 +645,32 @@ class StreamingSpec extends SparkSuite {
     val byQuery = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     t23.foreach { case (qid, n) => assert(byQuery.getOrElse(qid, 0L) == n) }
   }
+
+  test("stream-static enrichment: broadcast dim join inside the micro-batch " +
+      "equals the batch join (left rows without a dim row pass through null)") {
+    implicit val ctx = sqlCtx
+    val ms = MemoryStream[String]
+    ms.addData(
+      ":alice!~a@h PRIVMSG #dev :compile it",
+      ":bob!~b@h PRIVMSG #ops :deploy it",
+      ":carol!~c@h PRIVMSG #random :lunch?")
+    // the static dim: tiny, broadcastable — the 100 TB shape is the stream
+    // shuffling NOTHING for the join (no state store either: stream-static
+    // joins are stateless by construction, every micro-batch re-probes the
+    // broadcast table)
+    val dim = Seq(("#dev", "engineering"), ("#ops", "infra"))
+      .toDF("channel", "team")
+    val q = IrcStream.records(ms.toDF())
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("channel"), "left")
+      .select(col("channel"), col("nick"), col("team"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("#dev", "alice", Some("engineering")),
+      ("#ops", "bob", Some("infra")),
+      ("#random", "carol", None)))
+  }
 }
