@@ -979,6 +979,54 @@ object PipelineQueries extends QueryGroup {
              |       (n_docs * 1000000) // n_tot AS raw_ppm,
              |       (w * 1000000) // w_tot AS temp_ppm,
              |       (w * 10000) // w_tot AS alloc_10k
-             |FROM l CROSS JOIN t ORDER BY lang""".stripMargin))
+             |FROM l CROSS JOIN t ORDER BY lang""".stripMargin)),
+
+    // x30 — mixture-drift report: per-language KL divergence TERM of the
+    // observed corpus mix p against x29's temperature target q — the
+    // pipeline-health metric that says which languages drifted from the
+    // sampling plan and by how much (sign of ln(p/q) says over/under-
+    // represented). Deliberately emitted PER LANGUAGE with no cross-lang
+    // sum: every row's p, q come from exact integer counts via one
+    // division each, so there is no FP accumulation order to disagree on
+    // — the one ln per row is the x12 precedent (both engines' libm agree
+    // at round-6 on this domain). Plan: the same tiny per-lang count agg
+    // as x29 + a 1-row broadcast total; scan-bound at any scale.
+    Q("x30_mixture_kl",
+      (s, d) => {
+        val perLang = Tables(s, d, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0D))
+              .cast("long"))
+        val tot = perLang.agg(sum(col("n_docs")).as("n_tot"),
+          sum(col("w")).as("w_tot"))
+        perLang.crossJoin(broadcast(tot))
+          .withColumn("p", col("n_docs").cast("double")
+            / col("n_tot").cast("double"))
+          .withColumn("q", col("w").cast("double")
+            / col("w_tot").cast("double"))
+          .select(col("lang"), col("n_docs"),
+            round(col("p"), 6).as("p_obs"),
+            round(col("q"), 6).as("q_target"),
+            round(col("p") * log(col("p") / col("q")), 6).as("kl_term"),
+            (col("p") > col("q")).as("overrepresented"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (SELECT lang, count(*) AS n_docs,
+             |                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+             |                             * 1000000.0) AS BIGINT) AS w
+             |           FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             |             CAST(sum(w) AS BIGINT) AS w_tot FROM l),
+             |r AS (SELECT lang, n_docs,
+             |             CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p,
+             |             CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE) AS q
+             |      FROM l CROSS JOIN t)
+             |SELECT lang, n_docs,
+             |       round(p, 6) AS p_obs,
+             |       round(q, 6) AS q_target,
+             |       round(p * ln(p / q), 6) AS kl_term,
+             |       p > q AS overrepresented
+             |FROM r ORDER BY lang""".stripMargin))
   )
 }

@@ -419,6 +419,51 @@ object WindowQueries extends QueryGroup {
              |               ORDER BY vc), 6) AS pr,
              |       round(cume_dist() OVER (PARTITION BY event_type
              |               ORDER BY vc), 6) AS cd
-             |FROM v ORDER BY event_type, vc, event_id""".stripMargin))
+             |FROM v ORDER BY event_type, vc, event_id""".stripMargin)),
+
+    // W12 — last-touch attribution: every purchase is attributed to the
+    // SAME USER's most recent strictly-preceding click (id + exact-µs
+    // gap), null when no click precedes — the standard conversion
+    // attribution shape. One per-user ordered window carrying
+    // last(click, ignoreNulls) over ROWS … AND 1 PRECEDING; no join, no
+    // second scan — at 100 TB this is the same per-key sorted pass every
+    // w-query pays, and the carried state is two longs per row. (The
+    // as-of JOIN family j6/j12 solves the two-table version; this is the
+    // single-timeline version a funnel pipeline runs in place.)
+    Q("w12_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("click_us",
+            last(when(col("event_type") === "click", col("us")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("click_id"), (col("us") - col("click_us")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             |         last_value(CASE WHEN event_type = 'click'
+             |                         THEN event_id END IGNORE NULLS)
+             |           OVER w AS click_id,
+             |         last_value(CASE WHEN event_type = 'click'
+             |                         THEN epoch_us(ts) END IGNORE NULLS)
+             |           OVER w AS click_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY epoch_us(ts), event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, us, click_id,
+             |       us - click_us AS gap_us
+             |FROM t WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin))
   )
 }

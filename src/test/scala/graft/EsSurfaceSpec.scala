@@ -693,6 +693,33 @@ class EsSurfaceSpec extends SparkSuite {
     assert(join.get.getAs[Long]("df_fg") == maxFg)
   }
 
+  test("w12: every attribution is the user's most recent preceding click") {
+    val rows = Registry.byName("w12_attribution").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val clicks = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    var attributed = 0
+    rows.foreach { r =>
+      val (u, us) = (r.getAs[Long]("user_id"), r.getAs[Long]("us"))
+      val preceding = clicks.getOrElse(u, Array.empty[(Long, Long, Long)])
+        .filter { case (_, cid, cus) => cus < us || (cus == us && cid < r.getAs[Long]("event_id")) }
+      if (r.isNullAt(r.fieldIndex("click_id"))) {
+        assert(preceding.isEmpty, s"purchase ${r.getAs[Long]("event_id")}: " +
+          "null attribution despite a preceding click")
+      } else {
+        attributed += 1
+        val best = preceding.maxBy(c => (c._3, c._2))
+        assert(r.getAs[Long]("click_id") == best._2)
+        assert(r.getAs[Long]("gap_us") == us - best._3 &&
+          r.getAs[Long]("gap_us") >= 0L)
+      }
+    }
+    assert(attributed > 0, "no purchase had a preceding click at fixture scale")
+  }
+
   test("w11: cume_dist dominates percent_rank; both hit the [0,1] ends") {
     val rows = Registry.byName("w11_cume_dist").run(spark, sf).collect()
     assert(rows.nonEmpty)

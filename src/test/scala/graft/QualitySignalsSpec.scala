@@ -424,4 +424,21 @@ class QualitySignalsSpec extends SparkSuite {
     assert(bySize.map(_._4).zip(bySize.tail.map(_._4))
       .forall { case (a, b) => a <= b }, "temperature inverted the order")
   }
+
+  test("x30: drift signs are consistent and the head/tail drift directions hold") {
+    val rows = graft.queries.Registry.byName("x30_mixture_kl")
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("kl_term"), r.getAs[Boolean]("overrepresented")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, _, kl, over) =>
+      // p·ln(p/q) shares p>q's sign (p > 0 always here)
+      assert(if (over) kl >= 0.0 else kl <= 0.0, s"$l: kl $kl vs over=$over")
+    }
+    // α=0.5 flattening guarantees the largest language is over its target
+    // and the smallest is under it (strict on non-degenerate fixtures)
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.last._4, "largest language not overrepresented vs target")
+    assert(!bySize.head._4, "smallest language not underrepresented vs target")
+  }
 }
