@@ -350,4 +350,87 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Deterministic REAL-codec WAV fixture generator — the audio sibling of
+    * [[encodeGrayPng]]'s losslessness trick: 64 samples of 16-bit mono PCM
+    * at 8 kHz, sample i = (byte(i mod n) − 128) · 256, written through the
+    * ACTUAL in-JDK `javax.sound.sampled.AudioSystem` WAVE encoder. PCM is
+    * lossless by definition, so features computed through a real
+    * encode→parse round-trip are pure integer arithmetic over the source
+    * bytes — DuckDB-mirrorable, which no compressed audio codec would be.
+    */
+  def encodePcmWav(payload: Array[Byte]): Array[Byte] = {
+    val n = 64
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val b = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      val s = (b - 128) * 256
+      data(2 * i) = (s & 0xff).toByte // little-endian PCM16
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode + feature extraction via the in-JDK
+    * `javax.sound.sampled` WAVE parser (closing the "audio is a stub"
+    * corner the same way m1_media_features_real closed the image one):
+    * the container header — sample rate, channels, bit depth, frame
+    * count — comes from the ACTUAL parser, then the standard audio
+    * features are exact integers over the decoded PCM stream (peak |s|,
+    * energy Σs², strict sign-change zero crossings) plus one mirrored
+    * sqrt for RMS. Rejects anything but 16-bit mono little-endian PCM
+    * loudly rather than mis-reading it.
+    */
+  def wavFeatures(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unsupported audio format: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var i = 0
+    var peak = 0L
+    var sumSq = 0L
+    var zc = 0L
+    var prev = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+      if (math.abs(s) > peak) peak = math.abs(s)
+      sumSq += s.toLong * s.toLong
+      if (i > 0 && prev.toLong * s.toLong < 0L) zc += 1
+      prev = s
+      i += 1
+    }
+    AudioFeatures(id, fmt.getSampleRate.toInt, n.toLong, peak, sumSq, zc,
+      if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n.toDouble))
+  }
+
+  /** Batched audio decode over a payload Dataset — same distributed
+    * mapPartitions shape as [[extractFeatures]].
+    */
+  def extractAudioFeatures(media: Dataset[(Long, Array[Byte])])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, p) => wavFeatures(id, p) })
+  }
 }
+
+case class AudioFeatures(
+    doc_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    peak_abs: Long,
+    sum_sq: Long,
+    zero_crossings: Long,
+    rms: Double)

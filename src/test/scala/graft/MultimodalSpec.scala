@@ -155,4 +155,34 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 1L)))
   }
+
+  test("WAV round-trip: the real AudioSystem parser returns the constructed " +
+      "PCM stream and header exactly") {
+    // payload bytes 0..7 wrap over 64 samples: sample i = (i%8 - 128)*256
+    val wav = Multimodal.encodePcmWav((0 until 8).map(_.toByte).toArray)
+    // a real RIFF/WAVE container, not our bytes echoed back
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.wavFeatures(7L, wav)
+    assert(f.sample_rate == 8000 && f.n_samples == 64L)
+    val samples = (0 until 64).map(i => ((i % 8) - 128) * 256)
+    assert(f.peak_abs == samples.map(s => math.abs(s).toLong).max)
+    assert(f.sum_sq == samples.map(s => s.toLong * s.toLong).sum)
+    // all samples negative -> no strict sign change anywhere
+    assert(f.zero_crossings == 0L)
+  }
+
+  test("WAV features count strict sign-change zero crossings") {
+    // alternate above/below 128 -> every adjacent pair flips sign
+    val wav = Multimodal.encodePcmWav(Array[Byte](100.toByte, 200.toByte))
+    val f = Multimodal.wavFeatures(1L, wav)
+    assert(f.zero_crossings == 63L)
+    assert(f.peak_abs == math.abs((200 - 128) * 256).toLong.max(
+      math.abs((100 - 128) * 256).toLong))
+  }
+
+  test("wavFeatures refuses formats it would mis-read") {
+    val junk = Array.fill[Byte](32)(3)
+    intercept[Exception](Multimodal.wavFeatures(1L, junk))
+  }
 }
