@@ -81,6 +81,13 @@ object ScaleProbe {
         transform(col("embedding"), (x, i) =>
           when(i === col("rep").cast("int"), x + lit(0.01f)).otherwise(x)))
       .drop("rep").repartition(nPart)
+    // events ×10: BOTH keys remapped, so each copy is its own user universe
+    // with the original per-user timeline density — 10× users, not 10×
+    // events-per-user (which would misrepresent the workload's key shape).
+    // Shuffle-first consumers (windows partition immediately), so no
+    // layout repartition.
+    val events = expand(Tables(spark, sfDir, "events"), xf,
+      Seq("event_id", "user_id")).drop("rep")
 
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
@@ -282,7 +289,76 @@ object ScaleProbe {
       }),
       "o4_native_topk_shape" -> (() => graft.operators.TopK.perGroup(
         orders, 10, group = Seq(col("o_orderpriority")),
-        order = Seq(cents(col("o_totalprice")).desc, col("o_orderkey")))))
+        order = Seq(cents(col("o_totalprice")).desc, col("o_orderkey")))),
+
+      // x28's scale concern is explicit: the edge-derivation window
+      // partitions by event_type (5 groups), so at 10× each partition's
+      // sort is 10× — the one low-cardinality window in the registry —
+      // and each power iteration is a join + v-keyed agg over 10× edges.
+      "x28_pagerank_shape" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        val edges = events
+          .select(col("event_type"), col("ts"), col("event_id"),
+            col("user_id").as("u"))
+          .withColumn("v", lead(col("u"), 1).over(w))
+          .filter(col("v").isNotNull && col("v") =!= col("u"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        val out = edges.groupBy(col("u")).agg(sum(col("cnt")).as("outc"))
+        val nodes = events.select(col("user_id").as("node")).distinct()
+        val nN = math.max(1L, nodes.count())
+        def step(r: DataFrame): DataFrame = {
+          val contrib = edges.join(out, "u")
+            .join(r.withColumnRenamed("node", "u"), "u")
+            .select(col("v"), expr("(rank * cnt) div outc").as("c"))
+            .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+          nodes.join(contrib.withColumnRenamed("v", "node"), Seq("node"), "left")
+            .select(col("node"), (lit(150000000000000L / nN)
+              + expr("(85 * coalesce(sc, 0)) div 100")).as("rank"))
+        }
+        step(step(step(nodes.select(col("node"),
+            lit(1000000000000000L / nN).as("rank")))))
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      }),
+
+      // w12's shape is the GOOD scale case (per-user window: 10× keys,
+      // constant per-key size) — probe pins that it scales linearly.
+      "w12_attribution_shape" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        events.select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("click_us",
+            last(when(col("event_type") === "click", col("us")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (col("us") - col("click_us")).as("gap_us"))
+      }),
+
+      // t40: md5-hash dedup window (10× hash groups, all singletons on the
+      // variant-suffixed corpus) + the map-side array_distinct token agg.
+      "t40_sigtext_shape" -> (() => {
+        val keep = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val uniq = docs.withColumn("rn", row_number().over(keep))
+          .filter(col("rn") === 1)
+        val tf = graft.functions.TextFunctions.tokens(col("text"))
+        val toks = uniq.select(array_contains(tf, "join").as("fg"),
+          explode(array_distinct(tf)).as("term"))
+        val nn = uniq.agg(count(lit(1)).cast("long").as("n_bg"),
+          sum(when(array_contains(tf, "join"), 1L).otherwise(0L)).as("n_fg"))
+        toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("df_bg"),
+            sum(when(col("fg"), 1L).otherwise(0L)).as("df_fg"))
+          .filter(col("df_fg") >= 5).crossJoin(broadcast(nn))
+          .withColumn("fr", col("df_fg").cast("double") / col("n_fg").cast("double"))
+          .withColumn("br", col("df_bg").cast("double") / col("n_bg").cast("double"))
+          .withColumn("chi2", (col("fr") - col("br")) * (col("fr") - col("br"))
+            / (col("fr") + col("br")))
+          .orderBy(col("chi2").desc, col("term")).limit(25)
+      }))
 
     // Optional comma-separated shape filter for local iteration (mirrors
     // Bench's SPARK_GRAFT_BENCH_ONLY). Filtered runs are for attribution
