@@ -1649,6 +1649,70 @@ object TextQueries extends QueryGroup {
               |                AS chi2_raw
               |       FROM st CROSS JOIN nn WHERE df_fg >= 5)
               |SELECT term, df_fg, df_bg, round(chi2_raw, 6) AS chi2
-              |FROM sc ORDER BY chi2_raw DESC, term LIMIT 25""".stripMargin))
+              |FROM sc ORDER BY chi2_raw DESC, term LIMIT 25""".stripMargin)),
+
+    // T41 — sampler agg wrapping significant_terms (the ES cost-bounding
+    // combo: `sampler{shard_size:N}` feeds its sub-agg only the TOP-N
+    // scored docs, so significance runs on a bounded sample however large
+    // the result set). Score = per-doc tf of 'join' (tie: doc_id) — the
+    // sample is the 200 best matches, a TakeOrdered; foreground counts
+    // then come from ONLY those 200 docs (the sample id set broadcasts —
+    // at 100 TB the sub-agg's foreground cost is O(sample), by
+    // construction, while the background df is the same corpus term agg
+    // t3 already pays). JLH score like t16, exact integer counts, FP only
+    // in the final per-term arithmetic with identical literal order.
+    Q("t41_sampler_sigterms",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val scored = docs.select(col("doc_id"),
+            size(filter(TextFunctions.tokens(col("text")),
+              t => t === "join")).cast("long").as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id")).limit(200)
+        val td = docs
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.tokens(col("text"))))
+              .as("term"))
+        val stats = td
+          .join(broadcast(scored.select(col("doc_id"),
+            lit(1L).as("in_sample"))), Seq("doc_id"), "left")
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df_bg"),
+            sum(coalesce(col("in_sample"), lit(0L))).as("df_smp"))
+          .filter(col("df_smp") >= 5)
+        val nn = docs.agg(count(lit(1)).cast("long").as("n_bg"))
+          .crossJoin(broadcast(scored.agg(
+            count(lit(1)).cast("long").as("n_smp"))))
+        stats.crossJoin(broadcast(nn))
+          .withColumn("fr", col("df_smp").cast("double") / col("n_smp").cast("double"))
+          .withColumn("br", col("df_bg").cast("double") / col("n_bg").cast("double"))
+          .withColumn("jlh_raw", (col("fr") - col("br")) * (col("fr") / col("br")))
+          .orderBy(col("jlh_raw").desc, col("term")).limit(15)
+          .select(col("term"), col("df_smp"), col("df_bg"),
+            round(col("jlh_raw"), 6).as("jlh"))
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id,
+              |         CAST(len(list_filter($tok, t -> t = 'join'))
+              |              AS BIGINT) AS score
+              |  FROM documents),
+              |smp AS (SELECT doc_id FROM sc WHERE score > 0
+              |        ORDER BY score DESC, doc_id LIMIT 200),
+              |td AS (SELECT doc_id, unnest(list_distinct($tok)) AS term
+              |       FROM documents),
+              |st AS (SELECT term, count(*) AS df_bg,
+              |              CAST(sum(CASE WHEN smp.doc_id IS NOT NULL
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS df_smp
+              |       FROM td LEFT JOIN smp ON td.doc_id = smp.doc_id
+              |       GROUP BY 1),
+              |nn AS (SELECT (SELECT count(*) FROM documents) AS n_bg,
+              |              (SELECT count(*) FROM smp) AS n_smp),
+              |j AS (SELECT term, df_smp, df_bg,
+              |             (df_smp * 1.0 / n_smp - df_bg * 1.0 / n_bg)
+              |             * ((df_smp * 1.0 / n_smp) / (df_bg * 1.0 / n_bg))
+              |               AS jlh_raw
+              |      FROM st CROSS JOIN nn WHERE df_smp >= 5)
+              |SELECT term, df_smp, df_bg, round(jlh_raw, 6) AS jlh
+              |FROM j ORDER BY jlh_raw DESC, term LIMIT 15""".stripMargin))
   )
 }

@@ -693,6 +693,21 @@ class EsSurfaceSpec extends SparkSuite {
     assert(join.get.getAs[Long]("df_fg") == maxFg)
   }
 
+  test("t41: sampler bounds the significance foreground at shard_size") {
+    val rows = Registry.byName("t41_sampler_sigterms").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val (smp, bg) = (r.getAs[Long]("df_smp"), r.getAs[Long]("df_bg"))
+      assert(smp >= 5L && smp <= 200L, s"sample count $smp outside bounds")
+      assert(bg >= smp)
+    }
+    // the scoring term itself must saturate the sample: every sampled doc
+    // contains 'join' by construction of the score
+    val join = rows.find(_.getAs[String]("term") == "join")
+    assert(join.isDefined &&
+      join.get.getAs[Long]("df_smp") == rows.map(_.getAs[Long]("df_smp")).max)
+  }
+
   test("w12: every attribution is the user's most recent preceding click") {
     val rows = Registry.byName("w12_attribution").run(spark, sf).collect()
     assert(rows.nonEmpty)
