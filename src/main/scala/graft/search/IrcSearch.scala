@@ -107,10 +107,11 @@ object IrcSearch {
     paged.orderBy(col(sortCol).desc, col(idCol)).limit(size)
   }
 
-  /** ES `query_string` over the irclog schema — the reference's `q=`
-    * parameter (irclogbot.py:50-51) as a filter: `remark` is the analyzed
-    * default field; `channel`/`nick`/`id` are keyword fields. Grammar and
-    * semantics in [[QueryString]].
+  /** ES `query_string` over the irclog schema: `remark` is the analyzed
+    * default field; `channel`/`nick`/`id` are keyword fields. The reference
+    * bot only INDEXES into ES (irclogbot.py:50-51); this is the default
+    * search surface (`_search?q=`) a consumer of that index queries with.
+    * Grammar and semantics in [[QueryString]].
     *
     * e.g. `queryString(logs, """nick:foo AND "exact phrase" -spam""")`.
     */

@@ -105,6 +105,28 @@ class QueryStringSpec extends SparkSuite {
     assert(ids("+hash -probe") == Set(5L))
   }
 
+  test("modifiers bind to phrases and groups: -\"phrase\" and -(a b) exclude " +
+      "(r15 advice #1 — these lexed as a literal '-' word + SHOULD clause)") {
+    // lexer shape: Minus token, not a '-' term
+    assert(parse("""-"exact phrase" x""") ==
+      Group(Nil, Seq(t("x")), Seq(Term(None, "exact phrase", phrase = true))))
+    assert(parse("-(a b) x") ==
+      Group(Nil, Seq(t("x")), Seq(Group(Nil, Seq(t("a"), t("b")), Nil))))
+    assert(parse("""+"a b"""") == Group(Seq(Term(None, "a b", phrase = true)), Nil, Nil))
+    // semantics: the phrase/group is EXCLUDED, not or'd in
+    assert(ids("""-"merge scan" hash""") == Set(2L, 5L))
+    assert(ids("""-"merge scan"""") == Set(2L, 3L, 5L, 6L))
+    assert(ids("-(probe join) merge") == Set(1L, 3L, 4L))
+    assert(ids("+(hash) -(probe build)") == Set(5L))
+  }
+
+  test("truncated input throws the typed ParseException, not " +
+      "NoSuchElementException (r15 advice #3)") {
+    for (q <- Seq("foo AND", "(a OR", "foo OR", "a AND NOT"))
+      assert(intercept[ParseException](parse(q)).getMessage
+        .contains("unexpected end of query"), s"query: '$q'")
+  }
+
   test("the registered t34 query string lowers to the documented predicate") {
     val q = """lang:en AND ("merge scan" OR +has* -probe) source:web"""
     // lang=en AND (phrase OR (has* AND NOT probe) OR source=web)
