@@ -25,8 +25,21 @@ import org.apache.spark.sql.DataFrame
 object Caches {
   private val live = mutable.ListBuffer.empty[DataFrame]
 
-  def track(df: DataFrame): DataFrame = synchronized {
-    df.cache()
+  def track(df: DataFrame): DataFrame =
+    track(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[track]] with an explicit storage level. The pair-stream dedup
+    * operators pass MEMORY_AND_DISK_SER (r15 verdict #1c: under the 2 GiB
+    * canary the deserialized postings cache competes with execution memory
+    * for the unified region, and its eviction/unroll churn is what made
+    * `d2_jaccard_prefix` reps swing >3× — serialized batches are several
+    * times smaller, so the cache either fits or spills ONCE to disk
+    * instead of thrashing; steady-state cost is one deserialization per
+    * consumer, measured in the noise at clean-window scale).
+    */
+  def track(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = synchronized {
+    df.persist(level)
     live += df
     df
   }

@@ -41,15 +41,19 @@ object SparkEntry {
     * STAYS benched) is the plan you would run at 100×. They remain in
     * [[queries]]/[[oracleSql]] — the correctness gate still runs all of
     * them — but the bench measures the scale paths, not the truth
-    * definitions: three driver windows in a row (r10/r12/r14) hard-flagged
-    * this family under host contention because the unpruned postings
-    * self-join's pair stream cliffs when execution memory shrinks, and the
-    * 2 GiB canary reproduces 5-90 s swings on an idle host. Benched twins:
+    * definitions: FOUR driver windows in a row (r10/r12/r14/r15)
+    * hard-flagged this family under host contention because the unpruned
+    * postings self-join's pair stream cliffs when execution memory shrinks,
+    * and the 2 GiB canary reproduces 5-90 s swings on an idle host.
+    * d12_containment joined the excluded set in r16 (r15 verdict #1: it
+    * ran the same unpruned pairIntersections core and was the last benched
+    * member — median 7.6× in the driver's r15 window). Benched twins:
     * d2_minhash_lsh / d2_minhash_md5 / d2_jaccard_prefix (near-dup pairs),
-    * d3_dedup_groups_lsh (clusters), d10_dedup_yield_lsh (yield report).
-    * Bench includes them anyway under SPARK_GRAFT_BENCH_ALL=1 or an
-    * explicit SPARK_GRAFT_BENCH_ONLY filter.
+    * d12_containment_prefix (containment), d3_dedup_groups_lsh (clusters),
+    * d10_dedup_yield_lsh (yield report). Bench includes them anyway under
+    * SPARK_GRAFT_BENCH_ALL=1 or an explicit SPARK_GRAFT_BENCH_ONLY filter.
     */
   val benchExcluded: Set[String] =
-    Set("d2_jaccard_neardup", "d3_dedup_groups", "d10_dedup_yield")
+    Set("d2_jaccard_neardup", "d3_dedup_groups", "d10_dedup_yield",
+      "d12_containment")
 }

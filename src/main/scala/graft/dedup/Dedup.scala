@@ -154,7 +154,10 @@ object Dedup {
     val toks = graft.Caches.track(
       df.select((id.as("doc_id") +: block) :+
         explode(TextFunctions.bigrams(text)).as("term"): _*)
-      .distinct())
+      .distinct(),
+      // serialized: the postings cache must not thrash the unified region
+      // under memory pressure (Caches.track scaladoc; r15 verdict #1c)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bnames = toks.columns.filter(_.startsWith("__b"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val prune = pruneSingletons ||
@@ -252,7 +255,10 @@ object Dedup {
     val toks = graft.Caches.track(
       df.select((id.as("doc_id") +: block) :+
         explode(TextFunctions.bigrams(text)).as("term"): _*)
-      .distinct())
+      .distinct(),
+      // serialized: the postings cache must not thrash the unified region
+      // under memory pressure (Caches.track scaladoc; r15 verdict #1c)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bnames = toks.columns.filter(_.startsWith("__b")).toSeq
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy(col("term") +: bnames.map(col): _*)
@@ -289,6 +295,95 @@ object Dedup {
         col("i").cast("double") / (col("sa") + col("sb") - col("i")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Exact containment pairs by PREFIX FILTERING — the scale twin of
+    * [[containmentPairs]] (r15 verdict #1: containment was the ONE benched
+    * pair-family entry still running the full unpruned Σ df² postings pair
+    * stream; jaccard had prefix/LSH twins, containment had none).
+    *
+    * The bound, from the overlap-join form of Bayardo et al. 2007 (the
+    * AllPairs family; also Chaudhuri et al. 2006's SSJoin prefix lemma):
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ t requires |A∩B| ≥ ⌈t·|S|⌉ where S is
+    * the SMALLER of the two sets. Under any consistent total token order,
+    * if the intersection avoided all of S's first |S| − ⌈t·|S|⌉ + 1 tokens,
+    * at most ⌈t·|S|⌉ − 1 tokens of S remain — too few. So S must collide
+    * with the OTHER side inside S's rare-first prefix. Unlike the Jaccard
+    * case there is NO usable prefix on the larger side (the required
+    * overlap ⌈t·|S|⌉ depends on the pair's smaller size, unknown at index
+    * time) and no length filter (a 10-token doc can be fully contained in
+    * a 10k-token one): the candidate join is prefix(S) ⋈ FULL postings,
+    * constrained to szPrefixSide ≤ szFullSide so the prefix side is always
+    * the smaller set. Candidates are then verified with the exact
+    * map-side array intersect (same re-tokenized projection as
+    * [[jaccardPairsPrefix]] — no corpus shuffle in verify) and the precise
+    * containment recomputed, so the result EQUALS [[containmentPairs]]
+    * row-for-row (asserted in DedupFacadeSpec; `d12_containment_prefix`
+    * runs under the SAME DuckDB oracle as `d12_containment`).
+    *
+    * Scale shape vs the baseline: the baseline's pair stream is Σ_term df²
+    * over ALL postings; here one join side shrinks to each doc's
+    * (1 − t)·|d| + 1 RAREST tokens (df-ascending order), so hot terms are
+    * pruned from the prefix side quadratically-in-df — on a Zipf corpus the
+    * candidate stream collapses toward the rare-term collisions that can
+    * actually certify containment. Equal-size pairs generate their
+    * candidate from both sides; the `.distinct()` on (da, db) collapses
+    * them before the verify join.
+    */
+  def containmentPairsPrefix(df: DataFrame, id: Column, text: Column,
+      minContainment: Double, blockCols: Seq[Column] = Seq.empty): DataFrame = {
+    val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
+      blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
+    val toks = graft.Caches.track(
+      df.select((id.as("doc_id") +: block) :+
+        explode(TextFunctions.bigrams(text)).as("term"): _*)
+      .distinct(),
+      // serialized: the postings cache must not thrash the unified region
+      // under memory pressure (Caches.track scaladoc; r15 verdict #1c)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bnames = toks.columns.filter(_.startsWith("__b")).toSeq
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy(col("term") +: bnames.map(col): _*)
+      .agg(count(lit(1)).as("__tdf"))
+    // rare-first prefix of the would-be SMALLER side: the first
+    // sz − ⌈t·sz⌉ + 1 tokens in (df asc, term) order (ε only relaxes)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__tdf"), col("term"))
+    val alpha = ceil(col("sz") * lit(minContainment) - lit(1e-9))
+    val pre = toks
+      .join(dfreq, "term" +: bnames)
+      .join(sizes, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("sz") - alpha + 1)
+      .select(col("doc_id") +: col("term") +: col("sz") +: bnames.map(col): _*)
+    // full postings on the container side (with sizes, for the sz guard)
+    val full = toks.join(sizes, "doc_id")
+      .select(col("doc_id").as("db") +: col("term").as("tb") +:
+        col("sz").as("szb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
+    val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
+      .foldLeft(col("term") === col("tb") && col("doc_id") =!= col("db") &&
+        col("sz") <= col("szb"))(_ && _)
+    val cands = pre.join(full, joinCond)
+      .select(least(col("doc_id"), col("db")).as("da"),
+        greatest(col("doc_id"), col("db")).as("db"))
+      .distinct()
+    // exact verify: token arrays derived map-side from the source rows
+    val arrays = df.select(id.as("doc_id"),
+      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+    cands
+      .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
+      .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("i"),
+        size(col("ta")).cast("long").as("sa"),
+        size(col("tb")).cast("long").as("sb"))
+      .withColumn("containment",
+        col("i").cast("double") / least(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+      .filter(col("containment") >= minContainment)
+      .select(col("da"), col("db"), col("i"), col("sa"), col("sb"),
+        col("containment"), col("jaccard"))
   }
 
   /** Embedding-cosine near-dup pairs (exact baseline; LSH/IVF pruned

@@ -21,6 +21,44 @@ import graft.functions.HashFunctions
   */
 object DedupQueries extends QueryGroup {
 
+  /** Dense near-dup fixture (r15 verdict #3: the containment/prefix oracles
+    * verified on 1 pair at sf0.01 — a 1-row hash match can't catch tie-break
+    * or boundary regressions): `documents` UNION'd with deterministic
+    * 90%-token-prefix copies of every 31st doc (copy id = doc_id + 1_000_000,
+    * same lang/source so the copy pairs with its original inside the
+    * blocking). Truncation at a token boundary makes the copy's bigram set
+    * an exact SUBSET of the original's, so each copy contributes a pair with
+    * containment 1.0 and Jaccard ≈ 0.9 — ~17 crafted pairs at 500 docs on
+    * top of whatever natural pairs exist, at every SF. Both engines derive
+    * the copies from the same parquet rows with the same integer arithmetic
+    * (keep n − ⌊n/10⌋ tokens), so the augmented input is oracle-safe.
+    */
+  private[graft] def denseDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val copies = docs.filter(col("doc_id") % 31 === 1)
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t != '')"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"),
+        array_join(expr("slice(__toks, 1, size(__toks) - " +
+          "cast(floor(size(__toks) / 10.0) as int))"), " ").as("text"))
+    docs.unionByName(copies)
+  }
+
+  /** DuckDB mirror of [[denseDocs]] as a CTE body (binds `dense`). */
+  private val denseSql: String =
+    """dense AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |         array_to_string(
+      |           toks[1 : len(toks) - CAST(floor(len(toks) / 10.0) AS INT)],
+      |           ' ') AS text
+      |  FROM (SELECT doc_id, lang, source,
+      |               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |        FROM documents WHERE doc_id % 31 = 1))""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // D1 — exact dedup by content key: one surviving representative (min
@@ -86,16 +124,21 @@ object DedupQueries extends QueryGroup {
     // is the exact J≥0.8 pair set — no recall loss. Equality with the
     // postings baseline is ALSO pinned in DedupFacadeSpec (at t=0.5, the
     // weaker point); here the hash gate pins t=0.8 against DuckDB directly.
+    // Input is [[denseDocs]] (r15 verdict #3): the natural corpus has ONE
+    // J≥0.8 pair at sf0.01, too thin a gate for tie-break/boundary
+    // regressions; the crafted 90%-prefix copies raise it to ~18 pairs
+    // while keeping t=0.8 — the design point where prefix pruning bites.
     Q("d2_jaccard_prefix",
       (s, d) => graft.dedup.Dedup.jaccardPairsPrefix(
-          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.8,
+          denseDocs(s, d), col("doc_id"), col("text"), 0.8,
           Seq(col("lang"), col("source")))
         .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db")),
-      Some("""WITH tk AS (
+      Some(s"""WITH $denseSql,
+             |tk AS (
              |  SELECT doc_id, lang, source,
              |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
+             |  FROM dense),
              |tokd AS (
              |  SELECT DISTINCT doc_id, lang, source, term
              |  FROM (SELECT doc_id, lang, source,
@@ -795,18 +838,76 @@ object DedupQueries extends QueryGroup {
     // bigram-postings machinery, blocking, and scale notes as d2; the
     // threshold tests the raw double (one mirrored divide over exact
     // integer counts) and the Jaccard rides along for contrast.
+    //
+    // This unpruned postings form is the TRUTH DEFINITION: it runs the full
+    // Σ df² pair stream and is benchExcluded with its d2/d3/d10 siblings
+    // (r15 verdict #1 — it hard-flagged four consecutive driver windows
+    // under host contention). The benched scale path is
+    // d12_containment_prefix below, same oracle. Input is [[denseDocs]]
+    // (verdict #3): each 90%-prefix copy's bigrams are a subset of its
+    // original's → containment 1.0, so the gate verifies ~18 pairs instead
+    // of 1.
     Q("d12_containment",
       (s, d) => graft.dedup.Dedup.containmentPairs(
-          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.6,
+          denseDocs(s, d), col("doc_id"), col("text"), 0.6,
           Seq(col("lang"), col("source")))
         .select(col("da"), col("db"), col("i"), col("sa"), col("sb"),
           round(col("containment"), 6).as("containment"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db")),
-      Some("""WITH tk AS (
+      Some(s"""WITH $denseSql,
+             |tk AS (
              |  SELECT doc_id, lang, source,
              |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
+             |  FROM dense),
+             |tokd AS (
+             |  SELECT DISTINCT doc_id, lang, source, term
+             |  FROM (SELECT doc_id, lang, source,
+             |               unnest(CASE WHEN len(toks) >= 2
+             |                 THEN list_transform(generate_series(1, len(toks) - 1),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])
+             |                 ELSE [] END) AS term
+             |        FROM tk)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM tokd a JOIN tokd b
+             |    ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db, i, sa.sz AS sa, sb.sz AS sb,
+             |       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6)
+             |         AS containment,
+             |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = da
+             |JOIN sizes sb ON sb.doc_id = db
+             |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz)
+             |        >= CAST(0.6 AS DOUBLE)
+             |ORDER BY da, db""".stripMargin)),
+
+    // D12 prefix-filtered twin — the BENCHED scale path for containment
+    // (r15 verdict #1): Dedup.containmentPairsPrefix indexes only each
+    // doc's (sz − ⌈t·sz⌉ + 1) RAREST bigrams as the would-be contained
+    // side and joins them against the full postings of larger-or-equal
+    // docs (the overlap-join prefix lemma — see the operator scaladoc for
+    // why the container side cannot carry a prefix), then verifies
+    // candidates with the exact map-side array intersect. Result is
+    // row-identical to d12_containment: SAME DuckDB oracle text, so the
+    // gate proves equivalence, and DedupFacadeSpec pins it engine-side.
+    Q("d12_containment_prefix",
+      (s, d) => graft.dedup.Dedup.containmentPairsPrefix(
+          denseDocs(s, d), col("doc_id"), col("text"), 0.6,
+          Seq(col("lang"), col("source")))
+        .select(col("da"), col("db"), col("i"), col("sa"), col("sb"),
+          round(col("containment"), 6).as("containment"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db")),
+      Some(s"""WITH $denseSql,
+             |tk AS (
+             |  SELECT doc_id, lang, source,
+             |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM dense),
              |tokd AS (
              |  SELECT DISTINCT doc_id, lang, source, term
              |  FROM (SELECT doc_id, lang, source,

@@ -225,6 +225,33 @@ class DedupFacadeSpec extends SparkSuite {
     }
   }
 
+  test("Dedup.containmentPairsPrefix equals containmentPairs: pairs AND all " +
+      "columns, blocked and unblocked, at several thresholds — incl. the " +
+      "d12 registry point (t=0.6, dense fixture)") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        math.round(r.getAs[Double]("containment") * 1e9),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    val docs = Tables(spark, sf, "documents")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val base = key(Dedup.containmentPairs(docs, col("doc_id"), col("text"), t))
+      val pref = key(Dedup.containmentPairsPrefix(docs, col("doc_id"), col("text"), t))
+      assert(pref == base, s"threshold $t")
+    }
+    // the registry point: dense fixture (subset copies → containment 1.0),
+    // blocked — must be non-trivially populated, not a 1-pair gate
+    val dense = graft.queries.DedupQueries.denseDocs(spark, sf)
+    val baseB = key(Dedup.containmentPairs(dense, col("doc_id"), col("text"), 0.6,
+      Seq(col("lang"), col("source"))))
+    val prefB = key(Dedup.containmentPairsPrefix(dense, col("doc_id"), col("text"), 0.6,
+      Seq(col("lang"), col("source"))))
+    assert(prefB == baseB)
+    assert(baseB.size >= 10, s"dense fixture too thin: ${baseB.size} pairs")
+    // the crafted copies really are exact-subset pairs: containment == 1.0
+    assert(baseB.count(_._6 == 1000000000L) >= 10)
+  }
+
   test("Dedup.evalOverlap: fraction bounds, and the <n-token null contract") {
     val train = Seq(
       (1L, "a b c d e"),          // shares shingle "a b c" with eval 10
