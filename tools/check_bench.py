@@ -18,7 +18,13 @@ flag is classified:
                    uniformly slower host -- compare the run's total first)
 
 Usage: python3 tools/check_bench.py [--allow-missing] [--prior PRIOR.json]
-       [BENCH_full.json] [tools/bench_baseline.json]
+       [--host-factor F] [BENCH_full.json] [tools/bench_baseline.json]
+
+When the fixed canary set is absent (any filtered run, incl. the stage-5
+constrained-heap canary) the factor is PINNED to 1.0 -- never inferred from
+the run's own queries (r15 advice #2: self-referential normalization lets a
+uniform family regression re-base the gate to itself). --host-factor F
+overrides that pin when the caller has measured the host independently.
 
 Also prints the comparable-subset ratio (round-9 advice #8): the sum of this
 run's medians over queries that HAVE a baseline entry vs the sum of those
@@ -93,6 +99,11 @@ def main():
         i = argv.index("--prior")
         prior_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    host_factor_override = None
+    if "--host-factor" in argv:
+        i = argv.index("--host-factor")
+        host_factor_override = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--allow-missing"]
     allow_missing = "--allow-missing" in argv
     bench_path = args[0] if len(args) > 0 else \
@@ -120,13 +131,24 @@ def main():
 
     canary_ratios = ratios(HOST_CANARIES)
     if len(canary_ratios) < 3:
-        # canary set unavailable (filtered run) -- fall back to the
-        # all-queries median, with a note that the estimate is weaker
-        canary_ratios = ratios(list(queries))
-        if canary_ratios:
-            print("host-factor: WARNING canary queries absent from this run; "
-                  "falling back to all-queries median (self-referential -- "
-                  "see docstring)")
+        # Canary set unavailable (filtered run, incl. the round_gate stage-5
+        # constrained-heap canary). r15 advice #2: do NOT fall back to the
+        # run's own all-queries median -- a uniform regression of the whole
+        # filtered family (the exact spill cliff the stage-5 gate exists to
+        # catch) would re-base the threshold to its own inflation and pass.
+        # Pin factor=1.0 unless the caller asserts a factor explicitly
+        # (--host-factor), and say so.
+        if host_factor_override is not None:
+            canary_ratios = [host_factor_override]
+            print(f"host-factor: canaries absent; using explicit "
+                  f"--host-factor {host_factor_override:.2f}")
+        else:
+            canary_ratios = [1.0]
+            print("host-factor: canary queries absent from this run; "
+                  "pinned to 1.0 (no self-referential normalization -- "
+                  "r15 advice #2). Pass --host-factor to override, and "
+                  "compare filtered canary runs against like-for-like "
+                  "baselines (e.g. tools/bench_baseline_2g.json).")
     host = median(canary_ratios)
     # Continuous scaling (round-15): the old >1.5x step created a gray zone
     # where a persistently ~1.45x host read every 2.1-2.9x query as a code

@@ -47,9 +47,10 @@ if [[ "${1:-}" != "--quick" ]]; then
   echo "== 5/5 constrained-heap canary (pair-stream family @ 2g, sf0.1)"
   # The BENCHED pressure-sensitive family: the banded/prefix scale paths.
   # The quadratic truth definitions (d2_jaccard_neardup / d3_dedup_groups /
-  # d10_dedup_yield) left the benched set in r15 (SparkEntry.benchExcluded,
-  # r14 verdict #2) — the correctness gate still runs them at stage 1/2.
-  FAMILY=d2_jaccard_prefix,d2_minhash_lsh,d2_minhash_md5,d3_dedup_groups_lsh,d10_dedup_yield_lsh,d12_containment,m3_phash_pairs_distinct
+  # d10_dedup_yield, and d12_containment since r16) left the benched set
+  # (SparkEntry.benchExcluded, r14 verdict #2 / r15 verdict #1) — the
+  # correctness gate still runs them at stage 1/2.
+  FAMILY=d2_jaccard_prefix,d2_minhash_lsh,d2_minhash_md5,d3_dedup_groups_lsh,d10_dedup_yield_lsh,d12_containment_prefix,m3_phash_pairs_distinct
   canary_out=$(mktemp /tmp/graft_canary.XXXXXX.json)
   if ! SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_HEAP=2g \
        SPARK_GRAFT_CPUS=4 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -57,6 +58,10 @@ if [[ "${1:-}" != "--quick" ]]; then
        sbt -batch "runMain graft.Bench" >/tmp/graft_canary.log 2>&1; then
     tail -20 /tmp/graft_canary.log; echo "canary bench run FAILED"; exit 1
   fi
-  python3 tools/check_bench.py --allow-missing "$canary_out"
+  # Compare against CONSTRAINED-HEAP baselines (r15 advice #2): the host
+  # canaries are absent from a filtered run, and check_bench now pins
+  # factor=1.0 rather than self-normalizing — so the bests here must be
+  # 2g-canary bests, not clean-window bests.
+  python3 tools/check_bench.py --allow-missing "$canary_out" tools/bench_baseline_2g.json
 fi
 echo "GATE GREEN"
