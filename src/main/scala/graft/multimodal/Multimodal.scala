@@ -208,6 +208,49 @@ object Multimodal {
     }
   }
 
+  /** Fused resize + feature extraction (r15 verdict #7 — m4_resize was the
+    * most expensive non-pair benched query at 4.4 s): ONE decode →
+    * nearest-neighbor resample → real PNG re-encode, with the features
+    * computed DIRECTLY from the resampled luma raster instead of decoding
+    * the re-encoded PNG again. Output-identical to
+    * `extractFeatures(resizeImage(m))` because the gray PNG round-trip is
+    * lossless (r=g=b, BT.601 luma of (v,v,v) = v — the [[encodeGrayPng]]
+    * invariant, asserted in MultimodalSpec), so the skipped decode could
+    * only ever re-read the same raster. The re-encode itself is KEPT — the
+    * resized payload is the operator's real product and `n_bytes` reports
+    * its actual PNG size; one `javax.imageio` write per row is the honest
+    * remaining codec cost. Same mapPartitions shape, map-side only.
+    */
+  def resizeFeatures(media: Dataset[MediaRecord], tw: Int, th: Int)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { rec =>
+        val (w, h, px) = MediaCodec.decode(rec.payload)
+        val out = new Array[Int](tw * th)
+        var y = 0
+        var i = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            out(i) =
+              if (px.isEmpty) 0
+              else px(((y * h) / th) * w + (x * w) / tw)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val png = encodeGrayPngPixels(tw, th, out)
+        val hist = new Array[Long](8)
+        var sum = 0L
+        out.foreach { p => hist(p >> 5) += 1; sum += p }
+        MediaFeatures(rec.doc_id, rec.kind, png.length.toLong, tw, th,
+          sum.toDouble / out.length, hist)
+      }
+    }
+  }
+
   /** 64-bit perceptual average-hash (aHash) of a decoded luma raster:
     * nearest-neighbor 8×8 downsample, bit j set iff sample j is above the
     * grid mean (compared as s(j)*64 > total — exact integers, no divide).

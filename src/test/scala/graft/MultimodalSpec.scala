@@ -100,6 +100,25 @@ class MultimodalSpec extends SparkSuite {
     assert(sw2 == 2 && sh2 == 1 && spx2.toSeq == Seq('a'.toInt, 'c'.toInt))
   }
 
+  test("resizeFeatures equals extractFeatures∘resizeImage (the r15 #7 fusion " +
+      "skips only the provably-lossless second decode)") {
+    implicit val s = spark
+    val media = Seq(
+      graft.multimodal.MediaRecord(1L, "image",
+        png(16, 8)((x, _) => if (x < 8) 0x000000 else 0xffffff)),
+      graft.multimodal.MediaRecord(2L, "image",
+        Multimodal.encodeGrayPng("some document text".getBytes("UTF-8"))),
+      graft.multimodal.MediaRecord(3L, "audio", "abcd".getBytes("UTF-8")),
+      graft.multimodal.MediaRecord(4L, "image", Array.empty[Byte])).toDS()
+    def canon(fs: Seq[graft.multimodal.MediaFeatures]) =
+      fs.sortBy(_.doc_id).map(f => (f.doc_id, f.kind, f.n_bytes, f.width,
+        f.height, f.mean_intensity, f.histogram.toSeq))
+    val fused = canon(Multimodal.resizeFeatures(media, 4, 4).collect().toSeq)
+    val chained = canon(Multimodal.extractFeatures(
+      Multimodal.resizeImage(media, 4, 4)).collect().toSeq)
+    assert(fused == chained)
+  }
+
   test("phash: single-pixel perturbation flips one bit; inversion flips all 64") {
     val base = phashOf(checker(invert = false))
     val inverted = phashOf(checker(invert = true))
