@@ -215,6 +215,32 @@ object StorageQueries extends QueryGroup {
              |       md5(concat_ws('|', channel, nick, posted, remark)) AS id
              |FROM r ORDER BY id, channel, nick, posted""".stripMargin)),
 
+    // S14 — Avro round-trip (r15 verdict "missing" #2: the one common
+    // corpus-interchange format the s9-s11 family didn't cover — the
+    // row-oriented container Kafka/streaming pipelines hand off in). The
+    // Avro source classes ship inside this distro's spark-sql jar but are
+    // NOT listed in its DataSourceRegister service file, so the short name
+    // `avro` doesn't resolve; the documented fallback — the fully
+    // qualified provider class — does (same public API, zero extra deps).
+    // Write the documents table as Avro, read it back, and prove content
+    // identity against the parquet original — Spark maps long/string
+    // losslessly onto Avro long/string, and any encode/decode defect
+    // (unicode, nulls, numeric width) breaks the hash, exactly like
+    // s9/s10/s11 for jsonl/csv/orc. Avro reads carry the writer schema
+    // per file, so the explicit-read-schema caveat of the text formats
+    // doesn't apply.
+    Q("s14_avro_roundtrip",
+      (s, d) => {
+        val t = tag(d)
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_$t"
+        Tables(s, d, "documents")
+          .write.mode("overwrite").format(avro).save(out)
+        s.read.format(avro).load(out).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // S12 — Z-order layout clustering: events range-partitioned + sorted on
     // the Morton interleave of (user_id, epoch-seconds), written, read
     // back. The identity oracle recomputes the z-value in DuckDB bit for

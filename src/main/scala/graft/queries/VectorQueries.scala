@@ -1001,6 +1001,68 @@ object VectorQueries extends QueryGroup {
               |      CROSS JOIN q
               |      WHERE e.vec_id <> 0)
               |SELECT vec_id, lang, cos FROM c
-              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // V19 — multi-vector late-interaction retrieval (ColBERT MaxSim,
+    // Khattab & Zaharia 2020; r15 verdict "missing" #3). Multi-vector
+    // structure is derived from the fixture: doc_mv = vec_id div 4 groups
+    // every 4 embeddings into one 4-token document; doc 0 (vec_ids 0-3)
+    // is the 4-token QUERY. score(q,d) = Σ_{t∈q} max_{u∈d} cos(t,u): each
+    // per-query-token max is a conditional aggregate column and the sum is
+    // a FIXED-ORDER m0+m1+m2+m3 in both engines (a bare SUM would leave
+    // the double addition order engine-defined), over the mirrored-IEEE
+    // cosine — so ranking on the raw score is bit-deterministic. Scale
+    // shape: 4-row query broadcast, doc tokens scored map-side, per-(doc,
+    // qt) max collapses in the partial aggregate, TakeOrdered(10) — one
+    // keyed shuffle, never a token cross-product. The generic-k operator
+    // (Ann.maxsimTopK) adds the mean-pool shortlist path; EngineSpec pins
+    // its recall + its exact path's agreement with this definition.
+    Q("v19_maxsim",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(expr("vec_id div 4").as("doc_mv"),
+            pmod(col("vec_id"), lit(4)).as("tok"), col("embedding"))
+        val q = e.filter(col("doc_mv") === 0)
+          .select(col("tok").as("qt"), col("embedding").as("qv"))
+        val m = e.filter(col("doc_mv") > 0)
+          .crossJoin(broadcast(q))
+          .select(col("doc_mv"), col("qt"),
+            cosine(col("embedding"), col("qv")).as("c"))
+          .groupBy(col("doc_mv"))
+          .agg(
+            max(when(col("qt") === 0, col("c"))).as("m0"),
+            max(when(col("qt") === 1, col("c"))).as("m1"),
+            max(when(col("qt") === 2, col("c"))).as("m2"),
+            max(when(col("qt") === 3, col("c"))).as("m3"))
+          .withColumn("raw",
+            col("m0") + col("m1") + col("m2") + col("m3"))
+        m.orderBy(col("raw").desc, col("doc_mv"))
+          .limit(10)
+          .select(col("doc_mv"),
+            round(col("m0"), 6).as("tok0_max"),
+            round(col("m1"), 6).as("tok1_max"),
+            round(col("m2"), 6).as("tok2_max"),
+            round(col("m3"), 6).as("tok3_max"),
+            round(col("raw"), 6).as("maxsim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id // 4 AS doc_mv, vec_id % 4 AS tok,
+              |                 embedding
+              |           FROM embeddings),
+              |q AS (SELECT tok AS qt, embedding AS qv FROM e WHERE doc_mv = 0),
+              |c AS (SELECT e.doc_mv, q.qt,
+              |             ${duckCos("e.embedding", "qv")} AS c
+              |      FROM e CROSS JOIN q WHERE e.doc_mv > 0),
+              |m AS (SELECT doc_mv,
+              |             max(CASE WHEN qt = 0 THEN c END) AS m0,
+              |             max(CASE WHEN qt = 1 THEN c END) AS m1,
+              |             max(CASE WHEN qt = 2 THEN c END) AS m2,
+              |             max(CASE WHEN qt = 3 THEN c END) AS m3
+              |      FROM c GROUP BY doc_mv)
+              |SELECT doc_mv,
+              |       round(m0, 6) AS tok0_max, round(m1, 6) AS tok1_max,
+              |       round(m2, 6) AS tok2_max, round(m3, 6) AS tok3_max,
+              |       round(m0 + m1 + m2 + m3, 6) AS maxsim
+              |FROM m
+              |ORDER BY (m0 + m1 + m2 + m3) DESC, doc_mv LIMIT 10""".stripMargin))
   )
 }

@@ -116,6 +116,75 @@ object Ann {
       .select(col("va"), col("vb"), cos.as("cos"))
   }
 
+  /** Multi-vector late-interaction retrieval (the ColBERT MaxSim operator,
+    * Khattab & Zaharia 2020 — r15 verdict "missing" #3, the one published
+    * retrieval shape absent from the V family): a document is a BAG of
+    * token vectors, a query likewise, and
+    * `score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u)` — each query token picks
+    * its best-matching document token, so exact-term matches aren't washed
+    * out by pooling (the reason late interaction beats single-vector
+    * retrieval on out-of-domain corpora).
+    *
+    * Scale shape (exact path): the query side is a handful of vectors —
+    * broadcast; each doc token row is scored against the broadcast query
+    * tokens MAP-SIDE, the per-(doc, query-token) max is a partial
+    * aggregate (map-side combine — the fan-out collapses before the
+    * exchange), and the per-doc sum + TakeOrdered(k) finish it. One keyed
+    * shuffle of (doc, qt, max) rows, never the token cross-product.
+    *
+    * `shortlist > 0` is the 100 TB path: stage 1 scores MEAN-POOLED doc
+    * vectors against the mean-pooled query (the standard single-vector
+    * approximation) and keeps the top `shortlist` docs via TakeOrdered;
+    * stage 2 runs exact MaxSim on that slice only — the ColBERT
+    * retrieve-then-rerank split, recall-bounded in EngineSpec against the
+    * exact path. In production stage 1 would itself ride an ANN index
+    * ([[knnIvf]]/[[knnLsh]] — same contract, drop-in).
+    *
+    * @param docToks   one row per document token: (docId, tokVec)
+    * @param queryToks one row per query token: (queryTokId, queryVec)
+    * @return (doc_id, maxsim) — top k by score desc, doc_id tie-break
+    */
+  def maxsimTopK(docToks: DataFrame, docId: Column, tokVec: Column,
+      queryToks: DataFrame, queryTokId: Column, queryVec: Column,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val d = docToks.select(docId.as("doc_id"), tokVec.as("dv"))
+    val q = queryToks.select(queryTokId.as("qt"), queryVec.as("qv"))
+    val target =
+      if (shortlist <= 0) d
+      else {
+        // mean-pool per doc: posexplode + (pos-keyed) avg + re-assemble —
+        // all keyed aggregates, no driver state
+        def pooled(df: DataFrame, key: String, vcol: String): DataFrame =
+          df.select(col(key), posexplode(col(vcol)).as(Seq("pos", "x")))
+            .groupBy(col(key), col("pos"))
+            .agg(avg(col("x")).as("m"))
+            .groupBy(col(key))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              _.getField("m")).as("pv"))
+        val dp = pooled(d, "doc_id", "dv")
+        val qp = pooled(q.select(lit(0L).as("qk"), col("qv")), "qk", "qv")
+          .select(col("pv").as("qpv"))
+        val keep = dp.crossJoin(broadcast(qp))
+          .select(col("doc_id"),
+            VectorFunctions.cosineNative(
+              col("pv").cast("array<float>"),
+              col("qpv").cast("array<float>")).as("ac"))
+          .orderBy(col("ac").desc, col("doc_id"))
+          .limit(shortlist)
+          .select(col("doc_id"))
+        d.join(broadcast(keep), "doc_id")
+      }
+    target.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("qt"),
+        VectorFunctions.cosineNative(col("dv"), col("qv")).as("c"))
+      .groupBy(col("doc_id"), col("qt"))
+      .agg(max(col("c")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** (vec_id, v, nrm) with the L2 norm precomputed once per vector — the
     * same `sqrt(dot(v,v))` the pairwise cosine would otherwise recompute
     * per PAIR (2/3 of the FLOPs in an all-pairs scan).

@@ -130,6 +130,42 @@ class EngineSpec extends SparkSuite {
     assert(partial.count() == 10) // still fills k from the probed lists
   }
 
+  test("maxsimTopK: exact path matches the v19 fixed-order definition; " +
+      "shortlist path is recall-bounded vs exact") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(expr("vec_id div 4").as("doc_mv"),
+        pmod(col("vec_id"), lit(4)).as("tok"), col("embedding"))
+    val docs = e.filter(col("doc_mv") > 0)
+    val q = e.filter(col("doc_mv") === 0)
+      .select(col("tok").as("qt"), col("embedding").as("qv"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val exact = graft.similarity.Ann.maxsimTopK(
+      docs, col("doc_mv"), col("embedding"), q, col("qt"), col("qv"), 10)
+    // same ranking as the oracle-gated v19 registry query (which computes
+    // the sum in fixed order — only the addition order differs)
+    val v19 = graft.queries.VectorQueries.all.find(_.name == "v19_maxsim").get
+      .run(spark, sf).select(col("doc_mv").as("doc_id"))
+    assert(ids(exact) == v19.collect().map(_.getLong(0)).toSeq)
+    // scores are the maxsim sum (sanity: within fp noise of recompute)
+    val top = exact.collect().head
+    assert(top.getDouble(1) > 0.0 && top.getDouble(1) <= 4.0 + 1e-9)
+    // shortlist path: with the full corpus as shortlist it IS exact; with a
+    // 32-doc shortlist the mean-pool approximation must keep most of the
+    // true top-10 (recall floor calibrated on the fixture)
+    val allDocs = docs.select(col("doc_mv")).distinct().count().toInt
+    val slFull = graft.similarity.Ann.maxsimTopK(
+      docs, col("doc_mv"), col("embedding"), q, col("qt"), col("qv"), 10,
+      shortlist = allDocs)
+    assert(ids(slFull) == ids(exact))
+    val sl32 = graft.similarity.Ann.maxsimTopK(
+      docs, col("doc_mv"), col("embedding"), q, col("qt"), col("qv"), 10,
+      shortlist = 32)
+    val recall = ids(sl32).toSet.intersect(ids(exact).toSet).size
+    assert(recall >= 5,
+      s"mean-pool shortlist recall $recall/10 below the fixture floor")
+  }
+
   test("multimodal resize + frame sampling produce bounded fixed-shape outputs") {
     import spark.implicits._
     implicit val s = spark
