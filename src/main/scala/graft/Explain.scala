@@ -144,6 +144,24 @@ object Explain {
         |oracle adds the scan; production pays only the write half, once,
         |to make BOTH user-sliced and time-sliced scans prune files.""".stripMargin))
 
+  /** Stabilize plan text for round-over-round diffing (r15 verdict #9:
+    * 40.9 k regenerated lines per round dominated the diff). Expression
+    * ids (`name#123`, `[id=#45]`) are allocated from a SESSION-global
+    * counter, so inserting one new query used to shift every id in every
+    * plan dumped after it — pure churn. Renumbering ids per plan in order
+    * of first appearance makes each dump a function of the plan alone:
+    * regeneration now touches only queries whose plan actually changed.
+    * JVM object addresses (`@1a2b3c4d`) get the same treatment.
+    */
+  private[graft] def normalizeIds(txt: String): String = {
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val idRe = "#(\\d+)".r
+    val t1 = idRe.replaceAllIn(txt, m =>
+      "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
+    val addrRe = "@[0-9a-fA-F]{6,}".r
+    addrRe.replaceAllIn(t1, "@ADDR")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -157,10 +175,8 @@ object Explain {
     val all = args.isEmpty
     val names = if (all) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
 
-    val sb = new StringBuilder
-    names.foreach { n =>
+    val sections = names.map { n =>
       val section = new StringBuilder
-      section.append(s"\n========== $n ==========\n")
       notes.get(n).foreach(t => section.append("\n").append(t).append("\n"))
       try {
         val df = SparkEntry.queries(n)(spark, dir)
@@ -168,8 +184,8 @@ object Explain {
         // AdaptiveSparkPlanExec inside it finalizes (a noop .write would
         // execute a sibling plan and leave this one tentative).
         df.queryExecution.toRdd.foreachPartition(_ => ())
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val txt = normalizeIds(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         // md5 hyperplane arrays / bloom literals print as multi-KB lines;
         // truncate so the dump stays readable.
         txt.linesIterator.foreach { l =>
@@ -180,12 +196,29 @@ object Explain {
         case e: Throwable =>
           section.append(s"EXPLAIN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\n")
       } finally Caches.unpersistAll()
-      print(section)
-      sb.append(section)
+      print(s"\n========== $n ==========\n" + section)
+      n -> section.toString
     }
 
     if (all) {
       val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
+      val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans")
+      // one file per query (r15 verdict #9): a round's plan diff touches
+      // only the queries whose normalized plan text changed
+      val pd = new java.io.File(planDir)
+      pd.mkdirs()
+      val keep = names.map(n => s"$n.txt").toSet
+      Option(pd.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".txt") && !keep(f.getName))
+        .foreach { f => f.delete(); () }
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val index = sections.map { case (n, txt) =>
+        val w = new java.io.PrintWriter(s"$planDir/$n.txt", "UTF-8")
+        try w.print(txt) finally w.close()
+        val h = digest.digest(txt.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        f"- `$n%-32s` $h  [$planDir/$n.txt]"
+      }
       val header =
         s"""# PLANS — physical-plan audit (generated by `sbt "runMain graft.Explain"`)
           |
@@ -193,6 +226,13 @@ object Explain {
           |plan was dumped, so `AdaptiveSparkPlan` sections show
           |`isFinalPlan=true` — the strategy AQE actually ran at bench scale,
           |not the pre-runtime guess.
+          |
+          |Plan bodies live in ONE FILE PER QUERY under `$planDir/` with
+          |expression ids renumbered per plan (session-global ids churned
+          |every dump below an insertion — r15 verdict #9); this file is the
+          |index: name, sha256-16 of the normalized plan text, path. A
+          |round's plan diff therefore touches exactly the queries whose
+          |plan changed.
           |
           |What to look for (the 100 TB checklist from the build notes):
           |
@@ -218,8 +258,8 @@ object Explain {
           |(oracle baselines with a documented production twin).
           |""".stripMargin
       val w = new java.io.PrintWriter(out, "UTF-8")
-      try { w.println(header); w.print(sb) } finally w.close()
-      println(s"\n[explain] wrote ${names.size} plans to $out")
+      try { w.println(header); w.println(index.mkString("\n")) } finally w.close()
+      println(s"\n[explain] wrote ${names.size} plans to $planDir/ + index $out")
     }
     spark.stop()
   }
