@@ -63,12 +63,38 @@ object Explain {
         |truth definition; the benched scale twin is d10_dedup_yield_lsh
         |(banded pairs, own recursive oracle). Excluded from the benched set
         |since late r15 (SparkEntry.benchExcluded).""".stripMargin),
+    "d12_containment" ->
+      ("""Contract note: unpruned containment truth definition — runs the full
+        |Σ df² postings pair stream (sort-based count since r15). Excluded
+        |from the benched set since r16 (SparkEntry.benchExcluded; it was the
+        |last benched member of the family and hard-flagged four consecutive
+        |driver windows). The benched scale twin is d12_containment_prefix —
+        |same DuckDB oracle, row-identical output. Input is the DENSE derived
+        |fixture (FIXTURES.md) so the gate verifies 18 pairs, not 1.""".stripMargin),
+    "d12_containment_prefix" ->
+      ("""Shape note: the containment scale path (r15 verdict #1) — rare-first
+        |prefix of the would-be smaller side (lowest-df bigrams, window below)
+        |joined against FULL postings of larger-or-equal docs, then an exact
+        |map-side array-intersect verify over candidate pairs only. No
+        |container-side prefix or length filter exists for containment (the
+        |required overlap depends on the pair's smaller size), so the full
+        |postings on ONE side is the published optimum; the candidate stream
+        |is ~4× smaller than the unpruned pair stream even on this
+        |low-entropy fixture and prunes quadratically-in-df on Zipf corpora.""".stripMargin),
+    "d2_jaccard_prefix" ->
+      ("""Fixture note: runs on the DENSE derived input since r16 (documents +
+        |90%-prefix copies of every 31st doc, FIXTURES.md) so the oracle
+        |verifies 18 pairs instead of 1; pre-r16 bench history measures a
+        |different query. Plan shape unchanged: rare-first df-rank prefix
+        |index, candidate distinct, map-side re-tokenized verify — no corpus
+        |shuffle in verify. Postings caches are MEMORY_AND_DISK_SER since r16
+        |(Caches.track scaladoc).""".stripMargin),
     "m4_resize" ->
-      ("""Cost note: each row pays TWO full real-codec round-trips by design
-        |(PNG encode → imageio decode → NN-resample → PNG re-encode → imageio
-        |decode) so the oracle gates the real resize path end-to-end — the
-        |m1_media_features_real cost note, doubled. Map-side only, no
-        |shuffle; production resize pays one decode + one encode per image.""".stripMargin),
+      ("""Cost note: one real imageio decode + one real PNG re-encode per row
+        |(plus the fixture's own encode) — the r15 #7 fusion computes features
+        |straight off the resampled raster, dropping the provably-lossless
+        |second decode (Multimodal.resizeFeatures). Map-side only, no
+        |shuffle; this IS production resize cost plus the fixture encode.""".stripMargin),
     "a45_percentiles_bucket" ->
       ("""Shape note: the collect_list buffers the types × days BUCKET frame
         |(calendar-bounded at any corpus size — a39's posture), never corpus
