@@ -51,7 +51,10 @@ object Explain {
         |degrades linearly under pressure where the hash map cliffed (three
         |contended driver windows). Late-r15: excluded from the BENCHED set
         |(SparkEntry.benchExcluded — BASELINE.md round 15 continued); the
-        |correctness gate still runs it.""".stripMargin),
+        |correctness gate still runs it. Since r17 it runs on the DENSE
+        |fixture at t=0.8 under the SAME oracle text as d2_jaccard_prefix
+        |(r16 verdict #6: last thin oracle) — truth-vs-prefix equality is
+        |now DuckDB-gated on 18 pairs end to end.""".stripMargin),
     "d3_dedup_groups" ->
       ("""Contract note: connected components over the exact-Jaccard pair set
         |— inherits d2_jaccard_neardup's block-quadratic truth-definition
@@ -80,7 +83,13 @@ object Explain {
         |required overlap depends on the pair's smaller size), so the full
         |postings on ONE side is the published optimum; the candidate stream
         |is ~4× smaller than the unpruned pair stream even on this
-        |low-entropy fixture and prunes quadratically-in-df on Zipf corpora.""".stripMargin),
+        |low-entropy fixture and prunes quadratically-in-df on Zipf corpora.
+        |Since r17 the full-postings probe side is additionally semi-joined
+        |on the distinct term set of ALL prefixes before the candidate join
+        |(r16 verdict #3): a postings row whose term appears in no prefix
+        |can never certify a pair, and on Zipf corpora those are exactly
+        |the hot-term rows that dominate postings. Row-identical (same
+        |oracle, 18 dense-fixture pairs).""".stripMargin),
     "d2_jaccard_prefix" ->
       ("""Fixture note: runs on the DENSE derived input since r16 (documents +
         |90%-prefix copies of every 31st doc, FIXTURES.md) so the oracle
@@ -181,7 +190,12 @@ object Explain {
     */
   private[graft] def normalizeIds(txt: String): String = {
     val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val idRe = "#(\\d+)".r
+    // Anchored to the expression-id shape (r16 ADVICE #3): `name#123` /
+    // `name#123L` (after a word char, closing paren or bracket) and
+    // `[id=#45]` (after `=`). A bare `#\d+` would also renumber digits
+    // inside literal VALUES in plan text — e.g. a pushed-filter string
+    // literal containing '#5' — silently altering audited predicates.
+    val idRe = "(?<=[\\w=)\\]])#(\\d+)".r
     val t1 = idRe.replaceAllIn(txt, m =>
       "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
     val addrRe = "@[0-9a-fA-F]{6,}".r

@@ -27,6 +27,17 @@ case class MediaFeatures(
     histogram: Array[Long])
 
 object MediaCodec {
+
+  // ImageIO's stream factories default to a DISK-backed cache: every
+  // ImageIO.read(InputStream) / write(..., OutputStream) creates, fills and
+  // deletes a temp FILE under java.io.tmpdir (FileCacheImageInput/
+  // OutputStream). That is 1-2 hidden tmpdir round-trips PER IMAGE PER ROW
+  // in the m1/m3/m4/m5 hot paths — the same host-I/O exposure that ambushed
+  // the k1 spool in two consecutive driver windows (r16 verdict #2/#8).
+  // Our payloads are in-memory byte arrays of bounded size, so the
+  // memory-backed streams are strictly better and bit-identical. JVM-global
+  // flag; runs once when an executor first loads this object.
+  javax.imageio.ImageIO.setUseCache(false)
   /** Deterministic fake for payloads no in-JDK codec handles (audio/video
     * containers, synthetic text payloads): derives "pixels" from the raw
     * bytes so the downstream plumbing (batching, schema, aggregation) is
@@ -86,6 +97,10 @@ object MediaCodec {
 }
 
 object Multimodal {
+
+  // Same JVM-global ImageIO disk-cache disable as MediaCodec — encode paths
+  // (encodeGrayPngPixels) can be hit before any decode loads MediaCodec.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Wrap a text/binary source into MediaRecords (binary column + metadata).
     * `kind` is derived deterministically so all downstream group-bys have

@@ -24,9 +24,13 @@ object DedupQueries extends QueryGroup {
   /** Dense near-dup fixture (r15 verdict #3: the containment/prefix oracles
     * verified on 1 pair at sf0.01 — a 1-row hash match can't catch tie-break
     * or boundary regressions): `documents` UNION'd with deterministic
-    * 90%-token-prefix copies of every 31st doc (copy id = doc_id + 1_000_000,
-    * same lang/source so the copy pairs with its original inside the
-    * blocking). Truncation at a token boundary makes the copy's bigram set
+    * 90%-token-prefix copies of every 31st doc (copy id = doc_id + max(doc_id)
+    * + 1 — derived from the corpus, r16 ADVICE: a fixed 1e6 offset would
+    * collide with real doc_ids at SFs where doc_id ≥ 1e6, and both engines
+    * would compute the collision identically, so the oracle gate would stay
+    * green while the pair semantics silently broke; same lang/source so the
+    * copy pairs with its original inside the blocking). Truncation at a
+    * token boundary makes the copy's bigram set
     * an exact SUBSET of the original's, so each copy contributes a pair with
     * containment 1.0 and Jaccard ≈ 0.9 — ~17 crafted pairs at 500 docs on
     * top of whatever natural pairs exist, at every SF. Both engines derive
@@ -37,9 +41,13 @@ object DedupQueries extends QueryGroup {
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // exact integer arithmetic in both engines; the DuckDB mirror uses the
+    // equivalent scalar subquery (max over one pruned parquet column —
+    // footer-stat cheap next to any pair join downstream)
+    val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val copies = docs.filter(col("doc_id") % 31 === 1)
       .withColumn("__toks", expr("filter(split(text, ' '), t -> t != '')"))
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+      .select((col("doc_id") + offset).as("doc_id"), col("lang"),
         col("source"),
         array_join(expr("slice(__toks, 1, size(__toks) - " +
           "cast(floor(size(__toks) / 10.0) as int))"), " ").as("text"))
@@ -51,7 +59,8 @@ object DedupQueries extends QueryGroup {
     """dense AS (
       |  SELECT doc_id, lang, source, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+      |         lang, source,
       |         array_to_string(
       |           toks[1 : len(toks) - CAST(floor(len(toks) / 10.0) AS INT)],
       |           ' ') AS text
@@ -77,19 +86,28 @@ object DedupQueries extends QueryGroup {
 
     // D2 — n-gram (bigram-shingle) Jaccard near-dup pairs, blocked by
     // (lang, source). jaccard = |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
-    // sets — a ratio of exact integers, so the 0.5 threshold is
+    // sets — a ratio of exact integers, so the threshold is
     // engine-independent. Shingles (vs unigrams) both sharpen the dup signal
     // and keep posting lists sparse, bounding the candidate join.
+    // This is the TRUTH DEFINITION of the pair family (full Σ df² postings
+    // pair stream — benchExcluded; d2_jaccard_prefix is the benched scale
+    // twin). Since r17 it runs on the SAME dense fixture at the SAME t=0.8
+    // under the SAME oracle text as the prefix twin (r16 verdict #6: it was
+    // the last thin oracle, 1 verified pair at sf0.01) — so baseline-vs-
+    // prefix family equality is gated on 18 pairs END TO END by DuckDB, not
+    // just by DedupFacadeSpec's in-engine set equality (which still pins
+    // t=0.5, the weaker pruning point, on the natural corpus).
     Q("d2_jaccard_neardup",
       (s, d) => graft.dedup.Dedup.jaccardPairs(
-          Tables(s, d, "documents"), col("doc_id"), col("text"), 0.5,
+          denseDocs(s, d), col("doc_id"), col("text"), 0.8,
           Seq(col("lang"), col("source")))
         .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db")),
-      Some("""WITH tk AS (
+      Some(s"""WITH $denseSql,
+             |tk AS (
              |  SELECT doc_id, lang, source,
              |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
+             |  FROM dense),
              |tokd AS (
              |  SELECT DISTINCT doc_id, lang, source, term
              |  FROM (SELECT doc_id, lang, source,
@@ -110,7 +128,7 @@ object DedupQueries extends QueryGroup {
              |FROM inter
              |JOIN sizes sa ON sa.doc_id = da
              |JOIN sizes sb ON sb.doc_id = db
-             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
              |ORDER BY da, db""".stripMargin)),
 
     // D2 prefix-filtered twin — same oracle SHAPE as d2_jaccard_neardup at

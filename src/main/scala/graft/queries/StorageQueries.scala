@@ -180,7 +180,9 @@ object StorageQueries extends QueryGroup {
     Q("k1_es_upsert_roundtrip",
       (s, d) => {
         val t = tag(d)
-        val spool = s"${System.getProperty("java.io.tmpdir")}/graft_esspool_$t"
+        // memory-backed when available (EsShapedSink.scratchRoot): the gate
+        // checks wire content + upsert semantics, not tmpdir disk latency
+        val spool = s"${graft.sinks.EsShapedSink.scratchRoot}/graft_esspool_$t"
         // reruns (bench reps) must not accumulate spool files
         val dir = new java.io.File(spool)
         if (dir.exists) dir.listFiles.foreach(f => { f.delete(); () })

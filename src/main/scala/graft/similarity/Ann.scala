@@ -180,7 +180,15 @@ object Ann {
       .groupBy(col("doc_id"), col("qt"))
       .agg(max(col("c")).as("m"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("maxsim"))
+      // fixed qt-ascending addition order (r16 ADVICE #2): a bare sum()
+      // adds in engine order, so a near-tie between two docs could flip
+      // rank under fp addition-order noise vs v19_maxsim's m0+m1+m2+m3 —
+      // EngineSpec asserts exact rank equality between the two paths. The
+      // per-doc list is query-token-bounded (a handful of rows).
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("qt"), col("m")))),
+          _.getField("m")),
+        lit(0.0), (acc, x) => acc + x).as("maxsim"))
       .orderBy(col("maxsim").desc, col("doc_id"))
       .limit(k)
   }

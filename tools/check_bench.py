@@ -131,17 +131,28 @@ def main():
 
     canary_ratios = ratios(HOST_CANARIES)
     if len(canary_ratios) < 3:
-        # Canary set unavailable (filtered run, incl. the round_gate stage-5
-        # constrained-heap canary). r15 advice #2: do NOT fall back to the
-        # run's own all-queries median -- a uniform regression of the whole
-        # filtered family (the exact spill cliff the stage-5 gate exists to
-        # catch) would re-base the threshold to its own inflation and pass.
-        # Pin factor=1.0 unless the caller asserts a factor explicitly
-        # (--host-factor), and say so.
+        # Canary set unavailable or only partially present (filtered run,
+        # incl. the round_gate stage-5 constrained-heap canary). r15 advice
+        # #2: do NOT fall back to the run's own all-queries median -- a
+        # uniform regression of the whole filtered family (the exact spill
+        # cliff the stage-5 gate exists to catch) would re-base the
+        # threshold to its own inflation and pass. An explicit
+        # --host-factor always wins; otherwise (r16 ADVICE #4) USE the 1-2
+        # canary ratios that ARE measured rather than discarding them and
+        # pinning 1.0 -- a genuinely slow host with partial canary coverage
+        # would otherwise hard-flag its queries as code regressions. The
+        # canaries are still an independent signal (they're not members of
+        # the filtered family under test), just a weaker estimate; say so.
         if host_factor_override is not None:
             canary_ratios = [host_factor_override]
-            print(f"host-factor: canaries absent; using explicit "
+            print(f"host-factor: canaries absent/partial; using explicit "
                   f"--host-factor {host_factor_override:.2f}")
+        elif canary_ratios:
+            print(f"host-factor: only {len(canary_ratios)}/"
+                  f"{len(HOST_CANARIES)} canaries present -- using their "
+                  f"median {median(canary_ratios):.2f}x as a WEAKER "
+                  "host estimate (r16 advice #4). Prefer full-canary "
+                  "windows or --host-factor for filtered runs.")
         else:
             canary_ratios = [1.0]
             print("host-factor: canary queries absent from this run; "
