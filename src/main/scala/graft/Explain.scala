@@ -199,7 +199,30 @@ object Explain {
     val t1 = idRe.replaceAllIn(txt, m =>
       "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
     val addrRe = "@[0-9a-fA-F]{6,}".r
-    addrRe.replaceAllIn(t1, "@ADDR")
+    val t2 = addrRe.replaceAllIn(t1, "@ADDR")
+    // `[plan_id=NNN]` is allocated from the same session-global counter
+    // disease as expression ids, and `codegen id : N` is assigned in AQE
+    // stage-completion order — nondeterministic run to run even for an
+    // identical plan. Renumber both per plan in order of first appearance
+    // (same original id → same new id, so codegen-span grouping is
+    // preserved); without this a regeneration touched all 264 files on
+    // pure counter drift (r17).
+    val planIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val planRe = "\\[plan_id=(\\d+)\\]".r
+    val t3 = planRe.replaceAllIn(t2, m =>
+      "[plan_id=" + planIds.getOrElseUpdate(m.group(1), planIds.size + 1) + "]")
+    val cgIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val cgRe = "codegen id : (\\d+)".r
+    val t4 = cgRe.replaceAllIn(t3, m =>
+      "codegen id : " + cgIds.getOrElseUpdate(m.group(1), cgIds.size + 1))
+    // AQE stage ids print as a bare-integer `Arguments: N` detail line on
+    // *QueryStage nodes only (verified across all dumps) and are assigned
+    // in stage MATERIALIZATION order — racy under parallel stage execution,
+    // so two runs of an identical plan differ. Same per-plan renumbering.
+    val stIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val stRe = "(?m)^Arguments: (\\d+)$".r
+    stRe.replaceAllIn(t4, m =>
+      "Arguments: " + stIds.getOrElseUpdate(m.group(1), stIds.size + 1))
   }
 
   def main(args: Array[String]): Unit = {
