@@ -272,14 +272,23 @@ object Dedup {
       .join(sizes, "doc_id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("sz") - alpha + 1)
-      .select(col("doc_id") +: col("term") +: col("sz") +: bnames.map(col): _*)
-    val right = pre.select(col("doc_id").as("db") +: col("term").as("tb") +:
+      // Candidate-join key is xxhash64(term), not the bigram string: the
+      // shuffled prefix row shrinks to (doc_id, 8-byte key, sz) and the
+      // exchange hashes/compares longs instead of strings. Row-identical
+      // by construction — equal terms always hash equal (no candidate is
+      // ever LOST), and a cross-term collision only adds a candidate the
+      // exact array-intersect verify below kills. Prefix SELECTION (df
+      // order, sz) stays on the true strings above, so collision odds
+      // never touch which tokens form a prefix.
+      .select(col("doc_id") +: xxhash64(col("term")).as("__th") +:
+        col("sz") +: bnames.map(col): _*)
+    val right = pre.select(col("doc_id").as("db") +: col("__th").as("__thb") +:
       col("sz").as("szb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
     val lengthOk = // J ≥ t ⟹ t·max ≤ min (ε only relaxes)
       col("szb") >= col("sz") * lit(minJaccard) - lit(1e-9) &&
         col("sz") >= col("szb") * lit(minJaccard) - lit(1e-9)
     val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
-      .foldLeft(col("term") === col("tb") && col("doc_id") < col("db") && lengthOk)(_ && _)
+      .foldLeft(col("__th") === col("__thb") && col("doc_id") < col("db") && lengthOk)(_ && _)
     val cands = pre.join(right, joinCond)
       .select(col("doc_id").as("da"), col("db")).distinct()
     // exact verify: token arrays derived map-side from the source rows
@@ -355,24 +364,32 @@ object Dedup {
       .join(sizes, "doc_id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("sz") - alpha + 1)
-      .select(col("doc_id") +: col("term") +: col("sz") +: bnames.map(col): _*)
+      // Candidate-join key is xxhash64(term) — see [[jaccardPairsPrefix]]:
+      // equal terms always hash equal so no candidate is lost, a cross-term
+      // collision only adds one the exact verify kills, and the shuffled
+      // row shrinks to (doc_id, 8-byte key, sz). Prefix selection stays on
+      // the true strings above.
+      .select(col("doc_id") +: xxhash64(col("term")).as("__th") +:
+        col("sz") +: bnames.map(col): _*)
     // full postings on the container side (with sizes, for the sz guard),
-    // semi-joined on the distinct term set of ALL prefixes first (r16
+    // semi-joined on the distinct term-key set of ALL prefixes first (r16
     // verdict #3): a full-postings row whose term appears in no prefix can
-    // never meet the candidate join's term-equality, so pruning it up front
+    // never meet the candidate join's key-equality, so pruning it up front
     // shrinks the big join's probe side — on a Zipf corpus the hot terms
     // that dominate postings are exactly the ones rare-first prefixes
-    // exclude. The distinct prefix-term set is vocabulary-bounded (and far
+    // exclude. The distinct prefix-key set is vocabulary-bounded (and far
     // smaller than postings), so AQE turns the semi-join into a broadcast
     // map-side filter at runtime. Row-identical by construction — the same
     // DuckDB oracle and the 18-pair dense fixture gate it.
-    val preTerms = pre.select(col("term") +: bnames.map(col): _*).distinct()
+    val preTerms = pre.select(col("__th") +: bnames.map(col): _*).distinct()
     val full = toks.join(sizes, "doc_id")
-      .join(preTerms, "term" +: bnames, "left_semi")
-      .select(col("doc_id").as("db") +: col("term").as("tb") +:
+      .select(col("doc_id") +: xxhash64(col("term")).as("__th") +:
+        col("sz") +: bnames.map(col): _*)
+      .join(preTerms, "__th" +: bnames, "left_semi")
+      .select(col("doc_id").as("db") +: col("__th").as("__thb") +:
         col("sz").as("szb") +: bnames.map(b => col(b).as(s"${b}_r")): _*)
     val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
-      .foldLeft(col("term") === col("tb") && col("doc_id") =!= col("db") &&
+      .foldLeft(col("__th") === col("__thb") && col("doc_id") =!= col("db") &&
         col("sz") <= col("szb"))(_ && _)
     val cands = pre.join(full, joinCond)
       .select(least(col("doc_id"), col("db")).as("da"),
