@@ -135,6 +135,18 @@ object ScaleProbe {
       "d2_prefix_blocked_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8,
         Seq(col("lang"), col("source")))),
+      // r17 addition: the containment twin (r16's new scale path) under the
+      // same production blocking. Structural claim under test: the
+      // asymmetric prefix(S) ⋈ full-postings join — the part the jaccard
+      // twin doesn't have — stays bounded by the prefix-term semi-join
+      // prune + per-block df at 10× density; a super-linear result means
+      // the probe-side prune or the sz guard regressed. (Unblocked, the
+      // full-postings side inherits the same low-entropy boundary as
+      // d2_prefix_shape — blocking or LSH is the documented rule there.)
+      "d12_containment_prefix_blocked_shape" -> (() =>
+        graft.dedup.Dedup.containmentPairsPrefix(
+          docs, col("doc_id"), col("text"), 0.8,
+          Seq(col("lang"), col("source")))),
       // r15 addition: the registry d2 shape (blocked exact postings
       // Jaccard; auto-prune flips ON at this 50k-doc size) under BOTH pair
       // aggregation strategies — the sort/window form that replaced the
@@ -270,6 +282,22 @@ object ScaleProbe {
         graft.similarity.Pq.knnAdcRerank(enc, emb, col("vec_id"),
           col("embedding"), col("codes"), query, cb,
           topK = 10, shortlist = 1000)
+      }),
+      // r17 addition: ColBERT MaxSim late interaction at 10× via the
+      // shortlist (retrieve-then-rerank) path — the 100 TB posture of
+      // v19_maxsim. Doc "bags" are 8 consecutive embedding rows; the query
+      // is 4 broadcast token vectors. Structural claim under test: stage 1
+      // is one mean-pool aggregate + broadcast cosine + TakeOrdered over
+      // 10× docs (linear), and stage 2's exact MaxSim fan-out is bounded by
+      // shortlist × |q| regardless of corpus size — wall time must track
+      // the pooled scan, not the token cross-product.
+      "v19_maxsim_shape" -> (() => {
+        val docToks = emb.select((col("vec_id") / 8).cast("long").as("doc"),
+          col("embedding"))
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qt"), col("embedding").as("qv"))
+        graft.similarity.Ann.maxsimTopK(docToks, col("doc"), col("embedding"),
+          q, col("qt"), col("qv"), k = 50, shortlist = 200)
       }),
       // r14 addition: the per-group top-k pair at 10× — the window
       // composition shuffles ALL 10× rows and sorts each of the 5 groups on
