@@ -263,24 +263,38 @@ object Explain {
       n -> section.toString
     }
 
-    if (all) {
+    {
       val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
       val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans")
       // one file per query (r15 verdict #9): a round's plan diff touches
-      // only the queries whose normalized plan text changed
+      // only the queries whose normalized plan text changed. A TARGETED run
+      // (names as args) rewrites just those queries' files and rebuilds the
+      // index from the on-disk dumps, so iterating on one operator doesn't
+      // force a 267-query full regen to keep PLANS.md consistent; only the
+      // full run prunes stale files.
       val pd = new java.io.File(planDir)
       pd.mkdirs()
-      val keep = names.map(n => s"$n.txt").toSet
-      Option(pd.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".txt") && !keep(f.getName))
-        .foreach { f => f.delete(); () }
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      val index = sections.map { case (n, txt) =>
+      if (all) {
+        val keep = names.map(n => s"$n.txt").toSet
+        Option(pd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".txt") && !keep(f.getName))
+          .foreach { f => f.delete(); () }
+      }
+      sections.foreach { case (n, txt) =>
         val w = new java.io.PrintWriter(s"$planDir/$n.txt", "UTF-8")
         try w.print(txt) finally w.close()
-        val h = digest.digest(txt.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
-        f"- `$n%-32s` $h  [$planDir/$n.txt]"
+      }
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val index = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+        val f = new java.io.File(s"$planDir/$n.txt")
+        if (!f.isFile) None
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val h = digest.digest(txt.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16)
+          Some(f"- `$n%-32s` $h  [$planDir/$n.txt]")
+        }
       }
       val header =
         s"""# PLANS — physical-plan audit (generated by `sbt "runMain graft.Explain"`)
