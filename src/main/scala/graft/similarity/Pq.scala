@@ -27,51 +27,80 @@ object Pq {
     * ranking centroid ids (ids are the init vectors' ids — deterministic).
     *
     * All m subspaces train JOINTLY in one plan per Lloyd round: vectors
-    * explode to (sid, sub, svec) rows once, assignment is a single
-    * broadcast-join + per-(sid, sub) argmin window, recentering one
-    * aggregation keyed (sub, cid) — so the job count is per ITERATION, not
-    * per iteration × subspace (the serial per-subspace form ran m× the
-    * jobs for the same math). Assignment distance is L2², matching what ADC
-    * serves at query time. The m×k codebook is driver-materialized each
-    * round (same lineage-reset rationale as [[Ann.kmeansCentroids]]).
+    * explode to (sid, sub, svec) rows once, assignment is MAP-SIDE (the
+    * driver-materialized codebook rides into codegen as array literals and
+    * each row takes the first-minimum cid, exactly the [[encode]] shape —
+    * no broadcast join, no per-(sid, sub) argmin window), recentering one
+    * aggregation keyed (sub, cid) — so each Lloyd round is ONE job, not
+    * per-subspace jobs and not an n·k-row sort. Assignment distance is L2²
+    * with the same float→double element casts the old join form used, so
+    * winners are bit-identical. The m×k codebook is driver-materialized
+    * each round (same lineage-reset rationale as [[Ann.kmeansCentroids]]).
     */
   def train(embeddings: DataFrame, id: Column, vec: Column,
       m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
-    val spark = embeddings.sparkSession
-    val d = dim(embeddings, vec)
+    // ONE init job (TakeOrdered of k full vectors) supplies the dimension
+    // AND the k init centroids — the old dim-head / initIds-collect /
+    // init-cents-collect trio was three driver round-trips for data this
+    // call materializes anyway.
+    val initRows = embeddings
+      .select(id.cast("long").as("sid"), vec.cast("array<float>").as("v"))
+      .orderBy(col("sid")).limit(k).collect()
+    require(initRows.nonEmpty, "PQ: empty codebook — empty training corpus?")
+    val d = initRows.head.getSeq[Float](1).length
     require(d % m == 0, s"PQ: dim $d not divisible by m=$m")
     val dsub = d / m
     val subs = embeddings.select(id.cast("long").as("sid"),
       posexplode(array((0 until m).map(s =>
         slice(vec, s * dsub + 1, dsub)): _*)).as(Seq("sub", "svec")))
-    val initIds = embeddings.select(id.cast("long").as("sid"))
-      .orderBy(col("sid")).limit(k).collect().map(_.getLong(0)).toSeq
-    def materialize(df: DataFrame): DataFrame = {
-      val rows = df.collect()
+    // Driver-side codebook state: per sub, (cid, float centroid) sorted by
+    // cid ascending. The codebook is collected to the driver every round
+    // ANYWAY (k×m×dsub doubles, bounded by construction) — so assignment
+    // needs no broadcast join and no per-(sid, sub) argmin WINDOW at all:
+    // the centroids ride into codegen as array literals (the same shape
+    // [[encode]] uses) and each row picks its nearest cid map-side. The
+    // first minimum of the cid-ascending literal array is exactly the old
+    // window's (dist ASC, cid ASC) winner, and the distance math is the
+    // same float→double element casts, so winners are bit-identical; each
+    // Lloyd round is now ONE aggregation job (recentering) instead of a
+    // broadcast join + n·k-row sort-window + aggregation.
+    def collectCents(rows: Array[org.apache.spark.sql.Row])
+        : Array[Array[(Long, Array[Float])]] = {
       require(rows.nonEmpty, "PQ: empty codebook — empty training corpus?")
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      val g = rows.map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).toArray)).groupBy(_._1)
+      Array.tabulate(m)(s =>
+        g.getOrElse(s, Array.empty).sortBy(_._2).map(t => (t._2, t._3)))
     }
-    var cents = materialize(subs.filter(col("sid").isInCollection(initIds))
-      .select(col("sub"), col("sid").as("cid"), col("svec").as("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sid"), col("sub")).orderBy(col("dist"), col("cid"))
+    var cents: Array[Array[(Long, Array[Float])]] = Array.tabulate(m) { s =>
+      initRows.map { r =>
+        (r.getLong(0), r.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub).toArray)
+      }.sortBy(_._1)
+    }
     var i = 0
     while (i < iters) {
-      cents = materialize(subs.join(broadcast(cents), "sub")
-        .withColumn("dist", l2sqCols(col("svec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val svecD = transform(col("svec"), _.cast("double"))
+      // lazily-evaluated CaseWhen: only the matching sub's k distances are
+      // computed per row
+      val cidCol = (0 until m).foldLeft(lit(-1L)) { (acc, s) =>
+        if (cents(s).isEmpty) acc
+        else {
+          val dists = array(cents(s).map(c =>
+            l2sqLit(svecD, c._2.map(_.toDouble))): _*)
+          val cids = array(cents(s).map(c => lit(c._1)): _*)
+          when(col("sub") === s, element_at(cids,
+            array_position(dists, array_min(dists)).cast("int")))
+            .otherwise(acc)
+        }
+      }
+      cents = collectCents(subs.withColumn("cid", cidCol)
         .groupBy(col("sub"), col("cid"))
         .agg(graft.functions.CentroidAgg.centroid(col("svec")).as("cvec_d"))
-        .select(col("sub"), col("cid"), col("cvec_d").cast("array<float>").as("cvec")))
+        .select(col("sub"), col("cid"),
+          col("cvec_d").cast("array<float>").as("cvec")).collect())
       i += 1
     }
-    val byShape = cents.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray.map(_.toDouble)))
-      .groupBy(_._1)
-    Array.tabulate(m) { s =>
-      byShape(s).sortBy(_._2).map(_._3)
-    }
+    Array.tabulate(m)(s => cents(s).map(_._2.map(_.toDouble)))
   }
 
   /** Encode each vector as m argmin codes (0-based, first-minimum tie rule).
@@ -156,9 +185,6 @@ object Pq {
     }
     encoded.select(id.as("vec_id"), concat(parts: _*).as("rvec"))
   }
-
-  private def dim(embeddings: DataFrame, vec: Column): Int =
-    embeddings.select(size(vec).as("d")).head().getInt(0)
 
   private def l2sqLit(sv: Column, centroid: Array[Double]): Column =
     aggregate(
