@@ -1027,6 +1027,72 @@ object PipelineQueries extends QueryGroup {
              |       round(q, 6) AS q_target,
              |       round(p * ln(p / q), 6) AS kl_term,
              |       p > q AS overrepresented
-             |FROM r ORDER BY lang""".stripMargin))
+             |FROM r ORDER BY lang""".stripMargin)),
+
+    // x31 — classifier-based quality filtering (the DCLM / FineWeb-Edu
+    // shape): train a tiny logistic-regression probe IN-ENGINE on
+    // rule-derived labels, then score every doc. Full-batch GD with the
+    // gradient sum quantized to integer micros map-side (the x12/x16
+    // technique) so the update is addition-order-free; 3 fixed rounds,
+    // η = 4 (exact power-of-two scaling), weights in integer micros; the
+    // oracle unrolls the identical three rounds as CTEs. Each GD round is
+    // one partial-aggregable 5-column aggregate — no shuffle of doc rows,
+    // no window; scoring is map-side with broadcast-literal weights. See
+    // [[graft.pipeline.QualityClassifier]] for the determinism protocol.
+    Q("x31_quality_classifier",
+      (s, d) => graft.pipeline.QualityClassifier.trainAndScore(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      Some {
+        // σ(w·x) with the pinned parenthesization, w in micros from CTE `w`
+        def sig(w: String) =
+          s"1.0 / (1.0 + exp(-((CAST($w.w0 AS DOUBLE) + " +
+            s"CAST($w.w1 AS DOUBLE) * x1 + CAST($w.w2 AS DOUBLE) * x2 + " +
+            s"CAST($w.w3 AS DOUBLE) * x3) / 1000000.0)))"
+        def grad(x: String) =
+          s"CAST(sum(CAST(floor(((y - p) * $x) * 1000000.0 + 0.5) " +
+            "AS BIGINT)) AS BIGINT)"
+        def round(k: Int): String =
+          s"""g$k AS (
+             |  SELECT count(*) AS n,
+             |         ${grad("1.0")} AS g0, ${grad("x1")} AS g1,
+             |         ${grad("x2")} AS g2, ${grad("x3")} AS g3
+             |  FROM (SELECT f.*, ${sig(s"w${k - 1}")} AS p
+             |        FROM f CROSS JOIN w${k - 1})),
+             |w$k AS (
+             |  SELECT
+             |    w0 + CAST(floor(4.0 * (CAST(g0 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w0,
+             |    w1 + CAST(floor(4.0 * (CAST(g1 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w1,
+             |    w2 + CAST(floor(4.0 * (CAST(g2 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w2,
+             |    w3 + CAST(floor(4.0 * (CAST(g3 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w3
+             |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, text,
+           |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, len(toks) AS nw, length(text) AS nc,
+           |         len(list_filter(toks, x -> x IN
+           |           ('the','be','to','of','and','that','have','with'))) AS ns
+           |  FROM t),
+           |f AS (
+           |  SELECT doc_id,
+           |         round(CAST(ns AS DOUBLE) / nw, 6) AS x1,
+           |         round(CAST(nc AS DOUBLE) / nw, 6) AS x2,
+           |         round(CAST(nw AS DOUBLE) / 100.0, 6) AS x3,
+           |         CASE WHEN nw >= 40 AND CAST(ns AS DOUBLE) / nw >= 0.02
+           |              THEN 1.0 ELSE 0.0 END AS y
+           |  FROM c WHERE nw > 0),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT doc_id, label, score, score >= 0.5 AS keep
+           |FROM (SELECT doc_id, CAST(y AS INT) AS label,
+           |             round(${sig("w3")}, 6) AS score
+           |      FROM f CROSS JOIN w3)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

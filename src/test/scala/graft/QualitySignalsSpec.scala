@@ -441,4 +441,31 @@ class QualitySignalsSpec extends SparkSuite {
     assert(bySize.last._4, "largest language not overrepresented vs target")
     assert(!bySize.head._4, "smallest language not underrepresented vs target")
   }
+
+  test("x31 LR probe: gradient is addition-order-free, weights move, " +
+    "classes separate") {
+    import graft.pipeline.QualityClassifier
+    // clear two-class fixture: even ids are long + stopword-rich (label 1),
+    // odd ids short (label 0)
+    val docs = (1L to 120L).map { i =>
+      if (i % 2 == 0)
+        i -> ("the be to of and that have with " +
+          Seq.fill(40)("w").mkString(" "))
+      else i -> "just a few odd tokens here"
+    }.toDF("doc_id", "text")
+    val f = QualityClassifier.features(docs, col("doc_id"), col("text"))
+    val w1 = QualityClassifier.train(f)
+    // the integer-micros gradient sum must not depend on row order or
+    // partitioning — retrain on a reshuffled frame and compare exactly
+    val w2 = QualityClassifier.train(f.repartition(7, col("doc_id")))
+    assert(w1.toSeq == w2.toSeq, s"order-dependent weights: $w1 vs $w2")
+    assert(w1.exists(_ != 0L), "3 GD rounds left every weight at zero")
+    val m = QualityClassifier
+      .trainAndScore(docs, col("doc_id"), col("text"))
+      .groupBy("label").agg(avg("score").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m(1) > m(0),
+      s"probe failed to separate its own teacher labels: $m")
+    Caches.unpersistAll()
+  }
 }
