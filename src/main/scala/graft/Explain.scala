@@ -221,8 +221,19 @@ object Explain {
     // so two runs of an identical plan differ. Same per-plan renumbering.
     val stIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val stRe = "(?m)^Arguments: (\\d+)$".r
-    stRe.replaceAllIn(t4, m =>
+    val t5 = stRe.replaceAllIn(t4, m =>
       "Arguments: " + stIds.getOrElseUpdate(m.group(1), stIds.size + 1))
+    // Lambda variables (`lambda x_573#…`) draw their suffix from yet
+    // another session-global counter (Catalyst's UnresolvedNamedLambda
+    // freshener), so any query planned EARLIER in the dump session shifts
+    // every later plan's lambda names — the last remaining cross-plan
+    // churn source (r17). Same per-plan renumbering; the `#id` part is
+    // already handled by idRe above.
+    val lamIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val lamRe = "\\b([A-Za-z]\\w*?)_(\\d+)#".r
+    lamRe.replaceAllIn(t5, m =>
+      m.group(1) + "_" +
+        lamIds.getOrElseUpdate(m.group(2), lamIds.size + 1) + "#")
   }
 
   def main(args: Array[String]): Unit = {
