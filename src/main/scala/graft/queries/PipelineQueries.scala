@@ -1093,6 +1093,152 @@ object PipelineQueries extends QueryGroup {
            |             round(${sig("w3")}, 6) AS score
            |      FROM f CROSS JOIN w3)
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // x32 — weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    // 2006, "Weighted random sampling with a reservoir"): draw k docs with
+    // inclusion probability proportional to weight (here n_chars — the
+    // byte-budget-proportional draw data-mixing recipes use), exactly and
+    // deterministically. Each row gets the E-S key ln(u)/w with u ∈ (0, 1]
+    // derived from md5(doc_id) (never rand() — reruns and engines agree);
+    // the k LARGEST keys are the sample (ln is monotone, so ordering by
+    // ln(u)/w equals the paper's u^(1/w)). Scale shape: the key is
+    // map-side, the only cut is TakeOrdered(k) — one k-row reduction,
+    // no shuffle of the corpus at any size; the distributed reservoir
+    // equivalent at 100 TB is per-partition top-k merged on the driver,
+    // which is exactly what TakeOrdered compiles to. u's 60-bit hash is
+    // +1'd in INTEGER space before the double divide (u = 0 would send
+    // ln to -inf; 2^60 is an exact power-of-two divide), and ordering
+    // tests the RAW key — round(…, 9) is display only.
+    Q("x32_weighted_sample",
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        val u = (h + lit(1L)).cast("double") / lit(1.152921504606846976e18)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (log(u) / col("n_chars")).as("k"))
+          .orderBy(col("k").desc, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("n_chars"),
+            round(col("k") * lit(1000000.0), 3).as("es_key_e6"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |         ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |                      AS BIGINT) + 1 AS DOUBLE)
+             |            / 1152921504606846976.0) / n_chars AS k
+             |  FROM documents)
+             |SELECT doc_id, n_chars, round(k * 1000000.0, 3) AS es_key_e6
+             |FROM k
+             |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // x33 — DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    // "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    // Pretraining"): exponentiated-gradient updates on per-domain excess
+    // loss — domains whose minibatch loss exceeds their reference gain
+    // mixture weight multiplicatively. Stood in for the proxy-model loss
+    // (no model in-engine) is a deterministic per-doc difficulty proxy
+    // (mean token length); "minibatches" are 3 md5-hash shards, so the
+    // rounds see different data and the weights move. Determinism is the
+    // x31 protocol: per-doc values quantized to integer micros map-side
+    // (the shard/ref means become exact-integer sums — addition-order-
+    // free), weights held as integer micros through every exp() round,
+    // normalization a single rounded divide at the end. Scale shape: ONE
+    // corpus pass builds the (domain × shard) micro-sum summary (partial-
+    // aggregable, k×3 rows); the EG recurrence then runs entirely on that
+    // tiny table — at 100 TB the corpus is touched once, the dynamics
+    // cost nothing. An absent (domain, shard) cell contributes its
+    // domain's reference loss (excess 0 — no update), so small corpora
+    // can't null-poison the chain.
+    Q("x33_domain_reweight",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(filter(split(col("text"), " "), t => t =!= lit("")))
+              .as("nw"))
+          .filter(col("nw") > 0)
+        val b = docs.select(col("source").as("domain"),
+          (conv(substring(md5(concat(lit("shard:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 3).as("sh"),
+          floor(col("n_chars").cast("double") / col("nw") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("xm"))
+        // one corpus aggregate; the per-shard means AND the domain
+        // reference mean both derive from the same exact integer sums
+        // (associative), so the second corpus scan a separate ref
+        // aggregate would cost is free
+        val cells = b.groupBy(col("domain"), col("sh"))
+          .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+          .withColumn("m",
+            round(col("sm").cast("double") / lit(1000000.0) / col("n"), 6))
+        val piv = cells.groupBy(col("domain")).agg(
+          max(when(col("sh") === 0, col("m"))).as("m1"),
+          max(when(col("sh") === 1, col("m"))).as("m2"),
+          max(when(col("sh") === 2, col("m"))).as("m3"),
+          round(sum(col("sm")).cast("double") / lit(1000000.0)
+            / sum(col("n")), 6).as("ref_loss"))
+        def a(prev: org.apache.spark.sql.Column, m: String) =
+          floor(prev.cast("double") *
+            exp(greatest(col(m) - col("ref_loss"), lit(0.0))) + lit(0.5))
+            .cast("long")
+        val chain = piv
+          .withColumn("m1", coalesce(col("m1"), col("ref_loss")))
+          .withColumn("m2", coalesce(col("m2"), col("ref_loss")))
+          .withColumn("m3", coalesce(col("m3"), col("ref_loss")))
+          .withColumn("a1", a(lit(1000000L), "m1"))
+          .withColumn("a2", a(col("a1"), "m2"))
+          .withColumn("a3", a(col("a2"), "m3"))
+        val tot = chain.agg(sum(col("a3")).as("tot"))
+        chain.crossJoin(broadcast(tot))
+          .select(col("domain"), col("ref_loss"),
+            col("m1"), col("m2"), col("m3"), col("a3").as("wt_raw"),
+            round(col("a3").cast("double") / col("tot").cast("double"), 6)
+              .as("weight"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH dws AS (
+             |  SELECT doc_id, source AS domain, n_chars,
+             |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw
+             |  FROM documents),
+             |b AS (
+             |  SELECT domain,
+             |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |              AS BIGINT) % 3 AS sh,
+             |         CAST(floor(CAST(n_chars AS DOUBLE) / nw * 1000000.0 + 0.5)
+             |              AS BIGINT) AS xm
+             |  FROM dws WHERE nw > 0),
+             |c0 AS (SELECT domain, sh, CAST(sum(xm) AS BIGINT) AS sm,
+             |              count(*) AS n
+             |       FROM b GROUP BY domain, sh),
+             |c AS (SELECT domain, sh,
+             |             round(CAST(sm AS DOUBLE) / 1000000.0 / n, 6) AS m,
+             |             sm, n
+             |      FROM c0),
+             |p AS (SELECT domain,
+             |             max(CASE WHEN sh = 0 THEN m END) AS m1,
+             |             max(CASE WHEN sh = 1 THEN m END) AS m2,
+             |             max(CASE WHEN sh = 2 THEN m END) AS m3,
+             |             round(CAST(sum(sm) AS DOUBLE) / 1000000.0 / sum(n), 6)
+             |               AS ref_loss
+             |      FROM c GROUP BY domain),
+             |j AS (SELECT domain, ref_loss,
+             |             coalesce(m1, ref_loss) AS m1,
+             |             coalesce(m2, ref_loss) AS m2,
+             |             coalesce(m3, ref_loss) AS m3
+             |      FROM p),
+             |e1 AS (SELECT *, CAST(floor(CAST(1000000 AS DOUBLE) *
+             |                exp(greatest(m1 - ref_loss, 0.0)) + 0.5) AS BIGINT) AS a1
+             |       FROM j),
+             |e2 AS (SELECT *, CAST(floor(CAST(a1 AS DOUBLE) *
+             |                exp(greatest(m2 - ref_loss, 0.0)) + 0.5) AS BIGINT) AS a2
+             |       FROM e1),
+             |e3 AS (SELECT *, CAST(floor(CAST(a2 AS DOUBLE) *
+             |                exp(greatest(m3 - ref_loss, 0.0)) + 0.5) AS BIGINT) AS a3
+             |       FROM e2),
+             |t AS (SELECT CAST(sum(a3) AS BIGINT) AS tot FROM e3)
+             |SELECT domain, ref_loss, m1, m2, m3, a3 AS wt_raw,
+             |       round(CAST(a3 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
+             |FROM e3 CROSS JOIN t ORDER BY domain""".stripMargin))
   )
 }

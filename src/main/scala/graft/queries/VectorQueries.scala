@@ -1063,6 +1063,92 @@ object VectorQueries extends QueryGroup {
               |       round(m2, 6) AS tok2_max, round(m3, 6) AS tok3_max,
               |       round(m0 + m1 + m2 + m3, 6) AS maxsim
               |FROM m
-              |ORDER BY (m0 + m1 + m2 + m3) DESC, doc_mv LIMIT 10""".stripMargin))
+              |ORDER BY (m0 + m1 + m2 + m3) DESC, doc_mv LIMIT 10""".stripMargin)),
+
+    // V20 — Johnson-Lindenstrauss random-projection retrieval (Achlioptas
+    // 2003's database-friendly ±1 matrix): project 64 → 32 dims through a
+    // DETERMINISTIC sign matrix (sign(j,i) = +1 iff the first hex digit of
+    // md5("j_i") < 8 — re-derivable by any engine, never a stored
+    // artifact), shortlist top-100 in the projected space, exact-rerank to
+    // top-10 with the full-dimension cosine. The v17 two-stage shape with
+    // a PROJECTION stage 1 instead of a prefix — the variant for
+    // embeddings with no Matryoshka training, i.e. most of them. Scale
+    // posture: the projection is map-side (32 fused multiply-add folds per
+    // row, 2× less stage-1 arithmetic and shuffle width than full-dim;
+    // 16 dims measured 4-5/10 fixture recall vs 8-9/10 at 32 — the
+    // synthetic corpus has tight cosine gaps, so distortion bites early),
+    // the matrix is a plan literal (the PQ-codebook precedent — 1 KiB, no
+    // join), both cuts are TakeOrdered with vec_id tie-breaks. The oracle
+    // re-derives the SAME matrix from md5 in SQL and mirrors both IEEE
+    // fold sequences, so matrix derivation, shortlist membership, and both
+    // scores sit under the hash gate. Cosine is scale-invariant, so the
+    // 1/√16 JL normalization cancels and is omitted.
+    Q("v20_random_projection",
+      (s, d) => {
+        val signs: Seq[Seq[Double]] = (0 until 32).map { j =>
+          (0 until 64).map { i =>
+            val dig = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${j}_${i}".getBytes("UTF-8"))
+            if (((dig(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+          }
+        }
+        val sm = typedLit(signs)
+        def proj(v: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(31)), j =>
+            aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+              acc + element_at(v, i).cast("double") *
+                element_at(element_at(sm, j + lit(1)), i)))
+        def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), proj(col("embedding")).as("p"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("p").as("qp"), col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            (dotD(col("p"), col("qp")) /
+              (sqrt(dotD(col("p"), col("p"))) *
+                sqrt(dotD(col("qp"), col("qp"))))).as("pc"))
+          .orderBy(col("pc").desc, col("vec_id"))
+          .limit(100)
+          .select(col("vec_id"), round(col("pc"), 6).as("proj_cos"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        def dotD(a: String, b: String): String =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(generate_series(1, 32), i -> $a[i] * $b[i])),
+             |  (acc, v) -> acc + v)""".stripMargin
+        s"""WITH sgn AS (
+           |  SELECT j, list_transform(generate_series(0, 63), i ->
+           |           CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR)
+           |                            || '_' || CAST(i AS VARCHAR)), 1, 1))
+           |                     AS BIGINT) < 8
+           |                THEN CAST(1.0 AS DOUBLE)
+           |                ELSE CAST(-1.0 AS DOUBLE) END) AS srow
+           |  FROM (SELECT unnest(generate_series(0, 31)) AS j)),
+           |s AS (SELECT list(srow ORDER BY j) AS sm FROM sgn),
+           |pr AS (
+           |  SELECT vec_id, embedding,
+           |         list_transform(generate_series(1, 32), j ->
+           |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |             list_transform(generate_series(1, 64), i ->
+           |               CAST(embedding[i] AS DOUBLE) * sm[j][i])),
+           |             (acc, v) -> acc + v)) AS p
+           |  FROM embeddings CROSS JOIN s),
+           |q AS (SELECT p AS qp, embedding AS qv FROM pr WHERE vec_id = 0),
+           |c AS (SELECT vec_id, embedding, qv,
+           |             (${dotD("p", "qp")}) /
+           |             (sqrt(${dotD("p", "p")}) * sqrt(${dotD("qp", "qp")})) AS pc
+           |      FROM pr CROSS JOIN q WHERE vec_id <> 0
+           |      ORDER BY pc DESC, vec_id LIMIT 100)
+           |SELECT vec_id, round(pc, 6) AS proj_cos,
+           |       round(${duckCos("embedding", "qv")}, 6) AS cos
+           |FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      })
   )
 }

@@ -441,4 +441,70 @@ class EngineSpec extends SparkSuite {
     val pairs = rows.map(r => (r._1, r._2)).toSet
     assert(pairs.forall { case (a, b) => pairs.contains((b, a)) || byVa(b).length == k })
   }
+
+  test("v20: driver-derived JL sign matrix equals the engine's own md5 derivation") {
+    // the registry query embeds the matrix as a plan literal derived via
+    // java MessageDigest; the oracle re-derives it from md5() in SQL. Pin
+    // the third corner: Spark's OWN md5 expression produces the same
+    // matrix, so all three derivations (JVM digest, Spark SQL, DuckDB SQL
+    // via the oracle gate) agree.
+    val engine = spark.sql(
+      "SELECT transform(sequence(0, 31), j -> transform(sequence(0, 63), " +
+        "i -> CASE WHEN cast(conv(substring(md5(concat(cast(j AS string), " +
+        "'_', cast(i AS string))), 1, 1), 16, 10) AS int) < 8 " +
+        "THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END))")
+      .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+    val driver = (0 until 32).map { j =>
+      (0 until 64).map { i =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes("UTF-8"))
+        if (((dig(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }.toSeq
+    }
+    assert(engine == driver)
+    // Achlioptas ±1 needs a balanced matrix; md5's first hex digit is
+    // uniform, so the sign sum over 2048 entries stays well inside ±3σ
+    // (σ = √2048 ≈ 45) — a skewed derivation (wrong digit, wrong base)
+    // lands far outside.
+    val bal = driver.flatten.sum
+    assert(math.abs(bal) <= 136, s"sign matrix skewed: sum=$bal")
+  }
+
+  test("v20: projected shortlist recalls >= 7/10 of the exact full-dim top-10") {
+    val got = Registry.byName("v20_random_projection").run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size
+    assert(recall >= 7, s"JL top-10 recall $recall/10 (shortlist=100, dout=32)")
+  }
+
+  test("x32: E-S key matches a local recompute and long docs are overrepresented") {
+    val out = Registry.byName("x32_weighted_sample").run(spark, sf).collect()
+    assert(out.length == 50)
+    // key formula: ln((h+1)/2^60)/w with h = first 15 md5 hex digits of the
+    // id — recompute one row end to end on the driver
+    val r0 = out.head
+    val (id, w, keyE6) = (r0.getLong(0), r0.getLong(1), r0.getDouble(2))
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / math.pow(2, 60)
+    val expect = BigDecimal(math.log(u) / w * 1e6)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(keyE6 - expect) < 1e-9, s"key $keyE6 vs recompute $expect")
+    // weight ∝ n_chars must pull the sample's mean length above the
+    // corpus mean (the whole point of the weighted draw); deterministic
+    // on the fixture (measured 338.5 vs 306.3 at sf0.001)
+    val selMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = Tables(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(selMean > corpusMean,
+      s"weighted sample mean $selMean <= corpus mean $corpusMean")
+  }
 }

@@ -468,4 +468,31 @@ class QualitySignalsSpec extends SparkSuite {
       s"probe failed to separate its own teacher labels: $m")
     Caches.unpersistAll()
   }
+
+  test("x33 EG reweighting: weights normalize, stay positive, and rank by " +
+    "total excess loss") {
+    val rows = graft.queries.Registry.byName("x33_domain_reweight")
+      .run(spark, sf).collect()
+    val nDomains = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nDomains)
+    val weights = rows.map(_.getDouble(6))
+    assert(weights.forall(_ > 0.0))
+    // each weight is round(·, 6), so the sum is within k half-ulps of 1
+    assert(math.abs(weights.sum - 1.0) <= rows.length * 5e-7,
+      s"weights sum to ${weights.sum}")
+    // a3 = 1e6·exp(e1)·exp(e2)·exp(e3) up to per-round rounding, so the
+    // raw-weight order must agree with the total-excess order: the domain
+    // whose shards ran hottest vs its reference gains the most mass (the
+    // DoReMi direction). Ties in excess (within double noise) skipped.
+    val scored = rows.map { r =>
+      val ref = r.getDouble(1)
+      val excess = Seq(2, 3, 4).map(i => math.max(r.getDouble(i) - ref, 0.0)).sum
+      (excess, r.getLong(5))
+    }
+    for (Seq((ea, aa), (eb, ab)) <- scored.toSeq.sortBy(_._1).sliding(2)
+         if eb - ea > 1e-9) {
+      assert(aa <= ab, s"excess $ea -> raw $aa but larger excess $eb -> $ab")
+    }
+  }
 }
