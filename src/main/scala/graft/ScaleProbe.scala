@@ -386,6 +386,90 @@ object ScaleProbe {
           .withColumn("chi2", (col("fr") - col("br")) * (col("fr") - col("br"))
             / (col("fr") + col("br")))
           .orderBy(col("chi2").desc, col("term")).limit(25)
+      }),
+
+      // r17 addition: JL random-projection retrieval at 10× embeddings —
+      // v20's shape. Structural claim under test: stage 1 is a map-side
+      // 32-fold projection + broadcast 1-row query + TakeOrdered(100) over
+      // 10× vectors (linear, no corpus shuffle), and stage 2's exact
+      // rerank is shortlist-bounded regardless of corpus size. The sign
+      // matrix is a plan literal, so there is no join to flip strategies.
+      "v20_jl_shape" -> (() => {
+        val signs: Seq[Seq[Double]] = (0 until 32).map { j =>
+          (0 until 64).map { i =>
+            val dig = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${j}_${i}".getBytes("UTF-8"))
+            if (((dig(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+          }
+        }
+        val sm = typedLit(signs)
+        def proj(v: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(31)), j =>
+            aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+              acc + element_at(v, i).cast("double") *
+                element_at(element_at(sm, j + lit(1)), i)))
+        def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+        val p = emb.select(col("vec_id"), col("embedding"),
+          proj(col("embedding")).as("p"))
+        val q = p.filter(col("vec_id") === 0)
+          .select(col("p").as("qp"), col("embedding").as("qv"))
+        p.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            (dotD(col("p"), col("qp")) /
+              (sqrt(dotD(col("p"), col("p"))) *
+                sqrt(dotD(col("qp"), col("qp"))))).as("pc"))
+          .orderBy(col("pc").desc, col("vec_id"))
+          .limit(100)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.cosineNative(
+              col("embedding"), col("qv")).as("c"))
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+      // r17 addition: DoReMi EG reweighting over 10× docs — x33's shape.
+      // Structural claim under test: ONE partial-aggregable corpus pass
+      // builds the (domain × shard) micro-sum summary and everything after
+      // runs on that tiny table, so wall time tracks the scan. (source is
+      // NOT replicated by expand(), so domain count stays fixed while the
+      // per-domain mass grows 10× — the realistic direction.)
+      "x33_reweight_shape" -> (() => {
+        val base = docsRaw
+          .select(col("doc_id"), col("source"), length(col("text")).as("nc"),
+            size(filter(split(col("text"), " "), t => t =!= lit("")))
+              .as("nw"))
+          .filter(col("nw") > 0)
+        val b = base.select(col("source").as("domain"),
+          (conv(substring(md5(concat(lit("shard:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 3).as("sh"),
+          floor(col("nc").cast("double") / col("nw") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("xm"))
+        val cells = b.groupBy(col("domain"), col("sh"))
+          .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+          .withColumn("m",
+            round(col("sm").cast("double") / lit(1000000.0) / col("n"), 6))
+        val piv = cells.groupBy(col("domain")).agg(
+          max(when(col("sh") === 0, col("m"))).as("m1"),
+          max(when(col("sh") === 1, col("m"))).as("m2"),
+          max(when(col("sh") === 2, col("m"))).as("m3"),
+          round(sum(col("sm")).cast("double") / lit(1000000.0)
+            / sum(col("n")), 6).as("ref_loss"))
+        def a(prev: org.apache.spark.sql.Column, m: String) =
+          floor(prev.cast("double") *
+            exp(greatest(coalesce(col(m), col("ref_loss")) - col("ref_loss"),
+              lit(0.0))) + lit(0.5)).cast("long")
+        val chain = piv
+          .withColumn("a1", a(lit(1000000L), "m1"))
+          .withColumn("a2", a(col("a1"), "m2"))
+          .withColumn("a3", a(col("a2"), "m3"))
+        chain.crossJoin(broadcast(chain.agg(sum(col("a3")).as("tot"))))
+          .select(col("domain"),
+            round(col("a3").cast("double") / col("tot").cast("double"), 6)
+              .as("weight"))
       }))
 
     // Optional comma-separated shape filter for local iteration (mirrors
