@@ -99,6 +99,122 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-array dot product — the projected-space kernel of
+  * `v20_random_projection` stage 1 (FloatVecDot's domain is array<float>;
+  * the JL projection emits array<double>). Same determinism contract:
+  * index-ascending multiply-accumulate, bit-identical to the interpreted
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces.
+  */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Literal-matrix × float-vector projection — the stage-1 kernel of
+  * `v20_random_projection` (JL / Achlioptas). out[j] = Σ_i (double)x[i] ·
+  * m[j][i], i ascending — the exact IEEE sequence of the interpreted
+  * higher-order `transform`/`aggregate` fold it replaces (bit-equality
+  * pinned in EngineSpec), but inside whole-stage codegen: HOF expressions
+  * have no doGenCode, so the fold otherwise drops the entire projection
+  * out of the generated stage and pays a lambda invocation per
+  * multiply-add (d_in × d_out per ROW). The matrix is a plan-time literal
+  * (JL matrices are tiny by construction); it rides into the generated
+  * class as one flat double[] reference.
+  */
+case class FloatVecProject(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dOut = matrix.length
+  private val dIn = if (dOut == 0) 0 else matrix(0).length
+  require(matrix.forall(_.length == dIn), "ragged projection matrix")
+  @transient private lazy val flat: Array[Double] = matrix.flatten
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "float_vec_project"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dIn)
+    val out = new Array[Double](dOut)
+    var j = 0
+    while (j < dOut) {
+      val off = j * dIn
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * flat(off + i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("projMatrix", flat, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dIn);
+         |double[] $out = new double[$dOut];
+         |for (int $j = 0; $j < $dOut; $j++) {
+         |  int $off = $j * $dIn;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $m[$off + $i];
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration for the native expressions (Spark 4's public Column
   * API has no Expression constructor, so they are exposed through the
   * function registry and invoked with `call_function`).
@@ -126,6 +242,16 @@ object NativeFunctions {
       "simhash_h", exprs => SimHashFromHashes(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "char_entropy_sum", exprs => CharEntropySum(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "double_vec_dot", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "float_vec_project", exprs => FloatVecProject(exprs(0), {
+        // the matrix argument must be a literal (it becomes part of the
+        // generated class); evaluated once at resolution
+        val rows = exprs(1).eval().asInstanceOf[ArrayData]
+        (0 until rows.numElements()).map(r =>
+          rows.getArray(r).toDoubleArray()).toArray
+      }), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime row-level filtering but does NOT expose them in the public
     // registry — surface them for the BloomPrune operator.

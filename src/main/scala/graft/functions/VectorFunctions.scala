@@ -44,6 +44,20 @@ object VectorFunctions {
   def l2Native(a: Column, b: Column): Column =
     sqrt(call_function("float_vec_l2sq", a, b))
 
+  /** Codegen'd literal-matrix projection ([[graft.functions.FloatVecProject]]):
+    * array<float> → array<double> of length matrix.length, bit-identical to
+    * the interpreted `transform`+`aggregate` fold (i-ascending
+    * (double)x(i) · m(j)(i) accumulation).
+    */
+  def projectNative(v: Column, matrix: Seq[Seq[Double]]): Column =
+    call_function("float_vec_project", v, typedlit(matrix))
+
+  /** Codegen'd double-array dot ([[graft.functions.DoubleVecDot]]) —
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    */
+  def dotNativeD(a: Column, b: Column): Column =
+    call_function("double_vec_dot", a, b)
+
   /** Euclidean distance, same deterministic fold shape. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(

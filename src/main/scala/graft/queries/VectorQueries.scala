@@ -1092,25 +1092,22 @@ object VectorQueries extends QueryGroup {
             if (((dig(0) >> 4) & 0xf) < 8) 1.0 else -1.0
           }
         }
-        val sm = typedLit(signs)
-        def proj(v: org.apache.spark.sql.Column) =
-          transform(sequence(lit(0), lit(31)), j =>
-            aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-              acc + element_at(v, i).cast("double") *
-                element_at(element_at(sm, j + lit(1)), i)))
+        // stage-1 kernel: codegen'd FloatVecProject (bit-identical to the
+        // interpreted HOF fold — EngineSpec pins it); norms computed once
+        // per side, not 3 dot products per candidate row
+        def proj(v: org.apache.spark.sql.Column) = projectNative(v, signs)
         def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x * y),
-            lit(0.0), (acc, v) => acc + v)
+          dotNativeD(a, b)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), proj(col("embedding")).as("p"))
+          .withColumn("pn", sqrt(dotD(col("p"), col("p"))))
         val q = e.filter(col("vec_id") === 0)
-          .select(col("p").as("qp"), col("embedding").as("qv"))
+          .select(col("p").as("qp"), col("pn").as("qn"),
+            col("embedding").as("qv"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"), col("embedding"), col("qv"),
-            (dotD(col("p"), col("qp")) /
-              (sqrt(dotD(col("p"), col("p"))) *
-                sqrt(dotD(col("qp"), col("qp"))))).as("pc"))
+            (dotD(col("p"), col("qp")) / (col("pn") * col("qn"))).as("pc"))
           .orderBy(col("pc").desc, col("vec_id"))
           .limit(100)
           .select(col("vec_id"), round(col("pc"), 6).as("proj_cos"),

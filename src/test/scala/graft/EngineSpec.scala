@@ -470,6 +470,29 @@ class EngineSpec extends SparkSuite {
     assert(math.abs(bal) <= 136, s"sign matrix skewed: sum=$bal")
   }
 
+  test("v20: native FloatVecProject is bit-identical to the interpreted HOF fold") {
+    val signs: Seq[Seq[Double]] = (0 until 32).map { j =>
+      (0 until 64).map { i =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes("UTF-8"))
+        if (((dig(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+    val sm = typedLit(signs)
+    val hof = transform(sequence(lit(0), lit(31)), j =>
+      aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+        acc + element_at(col("embedding"), i).cast("double") *
+          element_at(element_at(sm, j + lit(1)), i)))
+    val bad = Tables(spark, sf, "embeddings")
+      .select(
+        graft.functions.VectorFunctions
+          .projectNative(col("embedding"), signs).as("nat"),
+        hof.as("ref"))
+      .filter(col("nat") =!= col("ref")) // array equality = elementwise bits
+      .count()
+    assert(bad == 0, s"$bad vectors diverge between native and HOF projection")
+  }
+
   test("v20: projected shortlist recalls >= 7/10 of the exact full-dim top-10") {
     val got = Registry.byName("v20_random_projection").run(spark, sf)
       .collect().map(_.getLong(0)).toSet
