@@ -1146,6 +1146,80 @@ object VectorQueries extends QueryGroup {
            |SELECT vec_id, round(pc, 6) AS proj_cos,
            |       round(${duckCos("embedding", "qv")}, 6) AS cos
            |FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // V21 — corpus-calibrated per-DIMENSION int8 quantization (the faiss
+    // ScalarQuantizer train/apply split; v10 is the per-VECTOR variant,
+    // whose codes are not comparable ACROSS vectors): TRAIN = per-dim
+    // [min, max] over a deterministic 10% hash sample (the Pq.train
+    // posture — calibration is a distribution estimate, never a full
+    // corpus pass at 100 TB), broadcast as plan literals (128 doubles);
+    // APPLY = map-side clamp-quantize of every vector — out-of-range
+    // values (the sample can't see the tails) clamp to [0, 255], the
+    // production behavior; SCORE = integer ADC dot against the quantized
+    // query and TakeOrdered(10). After quantization everything is exact
+    // integer arithmetic — the ranking cannot fork on an ulp. The oracle
+    // recomputes calibration, codes, and the integer dot from the same
+    // sample definition, so the train/apply/score chain sits under the
+    // hash gate end to end.
+    Q("v21_sq8_calibrated",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val cal = e.filter(col("vec_id") % 10 === 0)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+          .orderBy(col("pos"))
+          .collect() // dim-bounded: 64 rows (the PQ-codebook precedent)
+        val mns = typedLit(cal.map(_.getDouble(1)).toSeq)
+        val scs = typedLit(cal.map { r =>
+          val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+          if (mx > mn) (mx - mn) / 255.0 else 1.0
+        }.toSeq)
+        def codes(v: org.apache.spark.sql.Column) =
+          transform(v, (x, i) =>
+            greatest(lit(0.0), least(lit(255.0),
+              floor((x.cast("double") - element_at(mns, i + lit(1)))
+                / element_at(scs, i + lit(1)) + lit(0.5))))
+              .cast("long"))
+        val enc = e.select(col("vec_id"), codes(col("embedding")).as("q"))
+        val qq = enc.filter(col("vec_id") === 0).select(col("q").as("qq"))
+        enc.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qq))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH cal AS (
+             |  SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS mn,
+             |         max(CAST(embedding[j] AS DOUBLE)) AS mx
+             |  FROM embeddings
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+             |  WHERE vec_id % 10 = 0
+             |  GROUP BY j),
+             |lits AS (
+             |  SELECT list(mn ORDER BY j) AS mns,
+             |         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+             |                   ELSE 1.0 END ORDER BY j) AS scs
+             |  FROM cal),
+             |enc AS (
+             |  SELECT vec_id,
+             |         list_transform(generate_series(1, 64), j ->
+             |           CAST(greatest(0.0, least(255.0,
+             |             floor((CAST(embedding[j] AS DOUBLE) - mns[j])
+             |                   / scs[j] + 0.5))) AS BIGINT)) AS q
+             |  FROM embeddings CROSS JOIN lits),
+             |qq AS (SELECT q AS qq FROM enc WHERE vec_id = 0)
+             |SELECT vec_id,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(generate_series(1, 64),
+             |                        j -> q[j] * qq[j])),
+             |         (acc, v) -> acc + v) AS adc
+             |FROM enc CROSS JOIN qq
+             |WHERE vec_id <> 0
+             |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

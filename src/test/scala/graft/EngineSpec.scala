@@ -507,6 +507,33 @@ class EngineSpec extends SparkSuite {
     assert(recall >= 7, s"JL top-10 recall $recall/10 (shortlist=100, dout=32)")
   }
 
+  test("v21: per-dim calibrated SQ8 reconstructs calibration rows within scale/2") {
+    // rebuild the calibration literals exactly as the registry query does
+    val e = Tables(spark, sf, "embeddings")
+    val cal = e.filter(col("vec_id") % 10 === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mn = cal.map(_.getDouble(1))
+    val sc = cal.map(r => if (r.getDouble(2) > r.getDouble(1))
+      (r.getDouble(2) - r.getDouble(1)) / 255.0 else 1.0)
+    // every calibration-sample vector is in-range by construction, so
+    // dequantize(quantize(x)) must sit within half a step of x per dim —
+    // the SQ8 contract; and codes must be cross-vector comparable (same
+    // per-dim grid), which the shared mn/sc literals make true trivially
+    val rows = e.filter(col("vec_id") % 10 === 0)
+      .select(col("embedding")).collect()
+    for (r <- rows; (x, j) <- r.getSeq[Float](0).zipWithIndex) {
+      val q = math.max(0.0, math.min(255.0,
+        math.floor((x.toDouble - mn(j)) / sc(j) + 0.5)))
+      val deq = mn(j) + q * sc(j)
+      assert(math.abs(deq - x.toDouble) <= sc(j) / 2 + 1e-12,
+        s"dim $j: x=$x deq=$deq scale=${sc(j)}")
+    }
+  }
+
   test("x32: E-S key matches a local recompute and long docs are overrepresented") {
     val out = Registry.byName("x32_weighted_sample").run(spark, sf).collect()
     assert(out.length == 50)
