@@ -300,6 +300,39 @@ object StorageQueries extends QueryGroup {
       },
       Some("""SELECT doc_id, lang,
              |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // S15 — dynamic partition overwrite: replace ONE partition of a
+    // partitioned lake table in place, leaving every other partition's
+    // files untouched — the daily-rewrite primitive of 100 TB pipelines
+    // (re-curate one day/language/source without rewriting history, and
+    // without the delete-then-write race static overwrite mode has: static
+    // mode would TRUNCATE the whole table here). The patch write runs
+    // TWICE to pin replay idempotence — a retried job must converge to the
+    // same state, the reference's upsert posture applied to partitions.
+    // The identity oracle encodes the expected final lake state, so
+    // partition routing, non-target preservation, and the replacement
+    // content all sit under the hash.
+    Q("s15_dynamic_overwrite",
+      (s, d) => {
+        val t = tag(d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_dynpart_$t"
+        val docs = Tables(s, d, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        val patch = docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        for (_ <- 1 to 2)
+          patch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source,
+             |       CASE WHEN lang = 'en' THEN n_chars + 1000
+             |            ELSE n_chars END AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

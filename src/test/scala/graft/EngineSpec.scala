@@ -507,6 +507,35 @@ class EngineSpec extends SparkSuite {
     assert(recall >= 7, s"JL top-10 recall $recall/10 (shortlist=100, dout=32)")
   }
 
+  test("s15: dynamic overwrite leaves non-target partition files untouched") {
+    val out = Files.createTempDirectory("graft_dyn_spec").toString
+    val docs = Tables(spark, sf, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("lang=en"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(out)
+    assert(snapshot() == before,
+      "dynamic overwrite rewrote or dropped non-target partition files")
+    // and the target partition did change
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+      .agg(min(col("n_chars"))).head().getLong(0)
+    val enOrig = docs.filter(col("lang") === "en")
+      .agg(min(col("n_chars"))).head().getLong(0)
+    assert(en == enOrig + 1000L)
+  }
+
   test("v21: per-dim calibrated SQ8 reconstructs calibration rows within scale/2") {
     // rebuild the calibration literals exactly as the registry query does
     val e = Tables(spark, sf, "embeddings")
