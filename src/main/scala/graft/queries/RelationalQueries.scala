@@ -403,6 +403,71 @@ object RelationalQueries extends QueryGroup {
              |      GROUP BY 1)
              |SELECT user_id, tv AS view_us, tc AS click_us,
              |       tp AS purchase_us, tp - tv AS total_span_us
-             |FROM p ORDER BY user_id""".stripMargin))
+             |FROM p ORDER BY user_id""".stripMargin)),
+
+    // I7 — CDC MERGE apply (the Delta/Iceberg `MERGE INTO` contract as a
+    // plain co-partitioned join): a target state table (latest per-user
+    // state before the cut) absorbs a change batch (latest post-cut event
+    // per user; 'error' is the delete marker) — matched+U updates,
+    // unmatched inserts, matched+D deletes, absent keys pass through
+    // unchanged. Executed as ONE full-outer equi-join on the key: both
+    // sides shuffle on user_id once, the merge decision is a map-side CASE
+    // — the 100 TB shape (no per-row lookups, no driver loop; at lake
+    // scale the same plan runs against the target's files with the change
+    // batch broadcast when small). The oracle mirrors target, batch,
+    // join, and action logic, so matched/unmatched routing itself is under
+    // the hash. Cut = 2024-01-16T00:00:00Z in exact epoch-micros.
+    Q("i7_cdc_merge",
+      (s, d) => {
+        val cut = 1705363200000000L
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        val target = e.filter(col("us") < cut)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("state"),
+            col("us").as("state_us"))
+        val cdc = e.filter(col("us") >= cut)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"),
+            when(col("event_type") === "error", lit("D"))
+              .otherwise(lit("U")).as("op"),
+            col("event_type").as("new_state"), col("us").as("change_us"))
+        target.join(cdc, Seq("user_id"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("user_id"),
+            coalesce(col("new_state"), col("state")).as("state"),
+            coalesce(col("change_us"), col("state_us")).as("state_us"),
+            when(col("op").isNull, lit("unchanged"))
+              .when(col("state").isNull, lit("inserted"))
+              .otherwise(lit("updated")).as("merge_action"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             |                  event_type
+             |           FROM events),
+             |t AS (SELECT user_id, event_type AS state, us AS state_us
+             |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                      ORDER BY us DESC, event_id DESC) AS rn
+             |            FROM e WHERE us < 1705363200000000)
+             |      WHERE rn = 1),
+             |c AS (SELECT user_id,
+             |             CASE WHEN event_type = 'error' THEN 'D'
+             |                  ELSE 'U' END AS op,
+             |             event_type AS new_state, us AS change_us
+             |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                      ORDER BY us DESC, event_id DESC) AS rn
+             |            FROM e WHERE us >= 1705363200000000)
+             |      WHERE rn = 1)
+             |SELECT user_id, coalesce(c.new_state, t.state) AS state,
+             |       coalesce(c.change_us, t.state_us) AS state_us,
+             |       CASE WHEN c.op IS NULL THEN 'unchanged'
+             |            WHEN t.state IS NULL THEN 'inserted'
+             |            ELSE 'updated' END AS merge_action
+             |FROM t FULL OUTER JOIN c USING (user_id)
+             |WHERE c.op IS NULL OR c.op <> 'D'
+             |ORDER BY user_id""".stripMargin))
   )
 }
