@@ -552,6 +552,34 @@ object Dedup {
         MinHashDedup.signatureMd5(text, numHashes).as("sig"))),
       existingSigs, numHashes, bands, minEstJaccard, MinHashDedup.stringBandKey)
 
+  /** [[incrementalMinhashPairsMd5]] against PRE-BANDED persisted stores —
+    * the index-MAINTENANCE shape (r17 verdict #4): `storeSigs` = (doc_id,
+    * sig) and `storeBands` = (doc_id, band, band_hash) are persisted tables
+    * (parquet here; bucketed by band_hash at scale so the probe join is
+    * co-partitioned). The new batch's signatures are computed ONCE (cost ∝
+    * batch), banded, and probed against the stored bands — the existing
+    * corpus is never re-shingled, re-hashed, re-banded, or paired against
+    * itself; its signatures are touched only by the candidate-bounded
+    * estimate join. After emitting pairs the caller appends (newSigs,
+    * newBands) to the stores — the maintenance step DedupFacadeSpec pins
+    * (batch-by-batch chaining ≡ one-shot full recompute, restricted).
+    */
+  def incrementalMinhashPairsBandedMd5(
+      newDocs: DataFrame, id: Column, text: Column,
+      storeSigs: DataFrame, storeBands: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val newSigs = graft.Caches.track(newDocs.select(id.as("doc_id"),
+      MinHashDedup.signatureMd5(text, numHashes).as("sig")))
+    val newBands =
+      MinHashDedup.banded(newSigs, numHashes, bands, MinHashDedup.stringBandKey)
+    incrementalPairsCore(newBands,
+      storeBands.select(col("doc_id"), col("band"), col("band_hash"))
+        .union(newBands),
+      storeSigs.select(col("doc_id"), col("sig")).union(newSigs),
+      numHashes, minEstJaccard)
+  }
+
   private def incrementalPairsFrom(
       newSigs: DataFrame, existingSigs: DataFrame,
       numHashes: Int, bands: Int, minEstJaccard: Double,
@@ -560,6 +588,12 @@ object Dedup {
     val allSigs = existingSigs.select(col("doc_id"), col("sig")).union(newSigs)
     val newBands = MinHashDedup.banded(newSigs, numHashes, bands, bandKey)
     val allBands = MinHashDedup.banded(allSigs, numHashes, bands, bandKey)
+    incrementalPairsCore(newBands, allBands, allSigs, numHashes, minEstJaccard)
+  }
+
+  private def incrementalPairsCore(
+      newBands: DataFrame, allBands: DataFrame, allSigs: DataFrame,
+      numHashes: Int, minEstJaccard: Double): DataFrame = {
     val cand = newBands
       .join(allBands.select(col("band").as("band_b"),
           col("band_hash").as("band_hash_b"), col("doc_id").as("db")),

@@ -101,9 +101,13 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
 
 /** Double-array dot product — the projected-space kernel of
   * `v20_random_projection` stage 1 (FloatVecDot's domain is array<float>;
-  * the JL projection emits array<double>). Same determinism contract:
+  * the JL projection emits array<double>). Determinism contract:
   * index-ascending multiply-accumulate, bit-identical to the interpreted
-  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces.
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces — for
+  * EQUAL-LENGTH inputs only. On length mismatch the kernel truncates to
+  * min(len(a), len(b)) and returns a number (the same n = min(...) rule as
+  * [[FloatVecProject]]), while `zip_with` null-pads the shorter side and
+  * the fold yields NULL — the contracts deliberately diverge there.
   */
 case class DoubleVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -154,14 +158,20 @@ case class DoubleVecDot(left: Expression, right: Expression)
   * multiply-add (d_in × d_out per ROW). The matrix is a plan-time literal
   * (JL matrices are tiny by construction); it rides into the generated
   * class as one flat double[] reference.
+  *
+  * The matrix field is `Seq[Seq[Double]]`, NOT `Array[Array[Double]]`, on
+  * purpose (ADVICE r17): arrays compare by reference, so an array-typed
+  * case-class field would break equals/hashCode/semanticEquals across
+  * instances and with them expression canonicalization, common-subexpression
+  * elimination, and plan/exchange reuse for identical projections.
   */
-case class FloatVecProject(child: Expression, matrix: Array[Array[Double]])
+case class FloatVecProject(child: Expression, matrix: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val dOut = matrix.length
-  private val dIn = if (dOut == 0) 0 else matrix(0).length
+  private val dIn = if (dOut == 0) 0 else matrix.head.length
   require(matrix.forall(_.length == dIn), "ragged projection matrix")
-  @transient private lazy val flat: Array[Double] = matrix.flatten
+  @transient private lazy val flat: Array[Double] = matrix.flatten.toArray
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
@@ -250,7 +260,7 @@ object NativeFunctions {
         // generated class); evaluated once at resolution
         val rows = exprs(1).eval().asInstanceOf[ArrayData]
         (0 until rows.numElements()).map(r =>
-          rows.getArray(r).toDoubleArray()).toArray
+          rows.getArray(r).toDoubleArray().toSeq): Seq[Seq[Double]]
       }), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime row-level filtering but does NOT expose them in the public

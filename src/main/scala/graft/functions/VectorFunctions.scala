@@ -53,7 +53,9 @@ object VectorFunctions {
     call_function("float_vec_project", v, typedlit(matrix))
 
   /** Codegen'd double-array dot ([[graft.functions.DoubleVecDot]]) —
-    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` for
+    * equal-length inputs; on mismatch it truncates to min length (see the
+    * Expression scaladoc) where the HOF fold would yield NULL.
     */
   def dotNativeD(a: Column, b: Column): Column =
     call_function("double_vec_dot", a, b)

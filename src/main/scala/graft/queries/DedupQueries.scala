@@ -68,6 +68,52 @@ object DedupQueries extends QueryGroup {
       |               list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |        FROM documents WHERE doc_id % 31 = 1))""".stripMargin
 
+  /** Shared DuckDB mirror of the md5-family minhash-LSH pipeline over
+    * `documents`: shingle -> md5-fold -> 64-hash signature -> 8-band string
+    * keys -> candidate pairs -> estimated Jaccard. CTE chain binding `est`
+    * (da, db, est_jaccard; da < db; threshold NOT yet applied). Used by
+    * d2_minhash_md5 / i3_incremental_minhash / d13_incremental_minhash —
+    * the three queries differ only in their final SELECT.
+    */
+  private val md5LshEstSql: String =
+    """tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |           unnest(CASE WHEN len(toks) >= 3
+             |             THEN list_transform(generate_series(1, len(toks) - 2),
+             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |             ELSE [] END) AS term
+             |    FROM tk)),
+             |hv AS (
+             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
+             |  FROM sh GROUP BY 1),
+             |sigs AS (
+             |  SELECT t.doc_id,
+             |         list_transform(generate_series(0, 63), i -> coalesce(
+             |           list_min(list_transform(h.hs,
+             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
+             |           2147483647)) AS sig
+             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
+             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
+             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+             |est AS (
+             |  SELECT da, db,
+             |         round(CAST(len(list_filter(generate_series(1, 64),
+             |           k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64, 6) AS est_jaccard
+             |  FROM cand
+             |  JOIN sigs sa ON sa.doc_id = cand.da
+             |  JOIN sigs sb ON sb.doc_id = cand.db)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // D1 — exact dedup by content key: one surviving representative (min
@@ -196,43 +242,7 @@ object DedupQueries extends QueryGroup {
       (s, d) => MinHashDedup.candidatePairsMd5(
         Tables(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("da"), col("db")),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, term FROM (
-             |    SELECT doc_id,
-             |           unnest(CASE WHEN len(toks) >= 3
-             |             THEN list_transform(generate_series(1, len(toks) - 2),
-             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |             ELSE [] END) AS term
-             |    FROM tk)),
-             |hv AS (
-             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
-             |  FROM sh GROUP BY 1),
-             |sigs AS (
-             |  SELECT t.doc_id,
-             |         list_transform(generate_series(0, 63), i -> coalesce(
-             |           list_min(list_transform(h.hs,
-             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
-             |           2147483647)) AS sig
-             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
-             |banded AS (
-             |  SELECT doc_id, b AS band,
-             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
-             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
-             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-             |  FROM banded a JOIN banded b
-             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-             |est AS (
-             |  SELECT da, db,
-             |         round(CAST(len(list_filter(generate_series(1, 64),
-             |           k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64, 6) AS est_jaccard
-             |  FROM cand
-             |  JOIN sigs sa ON sa.doc_id = cand.da
-             |  JOIN sigs sb ON sb.doc_id = cand.db)
+      Some(s"""WITH $md5LshEstSql
              |SELECT da, db, est_jaccard FROM est
              |WHERE est_jaccard >= 0.5
              |ORDER BY da, db""".stripMargin)),
@@ -256,46 +266,62 @@ object DedupQueries extends QueryGroup {
           col("doc_id"), col("text"), store)
           .orderBy(col("da"), col("db"))
       },
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, term FROM (
-             |    SELECT doc_id,
-             |           unnest(CASE WHEN len(toks) >= 3
-             |             THEN list_transform(generate_series(1, len(toks) - 2),
-             |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |             ELSE [] END) AS term
-             |    FROM tk)),
-             |hv AS (
-             |  SELECT doc_id, list(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 2147483647) AS hs
-             |  FROM sh GROUP BY 1),
-             |sigs AS (
-             |  SELECT t.doc_id,
-             |         list_transform(generate_series(0, 63), i -> coalesce(
-             |           list_min(list_transform(h.hs,
-             |             v -> (v * ((i * 2654435761) % 1048573 + 1) + i * 40503) % 2147483647)),
-             |           2147483647)) AS sig
-             |  FROM tk t LEFT JOIN hv h USING (doc_id)),
-             |banded AS (
-             |  SELECT doc_id, b AS band,
-             |         list_aggregate(list_transform(sig[b*8+1 : b*8+8],
-             |           v -> CAST(v AS VARCHAR)), 'string_agg', ',') AS band_hash
-             |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-             |  FROM banded a JOIN banded b
-             |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-             |est AS (
-             |  SELECT da, db,
-             |         round(CAST(len(list_filter(generate_series(1, 64),
-             |           k -> sa.sig[k] = sb.sig[k])) AS DOUBLE) / 64, 6) AS est_jaccard
-             |  FROM cand
-             |  JOIN sigs sa ON sa.doc_id = cand.da
-             |  JOIN sigs sb ON sb.doc_id = cand.db)
+      Some(s"""WITH $md5LshEstSql
              |SELECT da, db, est_jaccard FROM est
              |WHERE est_jaccard >= 0.5 AND (da % 2 = 1 OR db % 2 = 1)
              |ORDER BY da, db""".stripMargin)),
+
+    // D13 — incremental near-dup against a PERSISTED signature index (r17
+    // verdict #4, the reference's own semantics: logbot_roundrobin.py:50-54
+    // dedups new messages against everything ES already holds). The store
+    // (even doc_ids) is written to parquet in BOTH forms — (doc_id, sig)
+    // and the banded (doc_id, band, band_hash) — and the arriving batch
+    // (odd doc_ids) is deduped against the DISK copy via
+    // Dedup.incrementalMinhashPairsBandedMd5: the existing corpus is never
+    // re-shingled, re-hashed, or re-banded (cost ∝ batch, measured by
+    // ScaleProbe's d13_incremental_shape), and the output is the
+    // per-new-doc duplicate report (new_id, dup_of = min partner,
+    // n_partners, best_est) — the decision row a curation pipeline acts on.
+    // The oracle recomputes the FULL corpus md5-LSH pairs and restricts to
+    // pairs involving a new doc: equality holds because newBands ⊆ allBands
+    // under the same band key (the i3 argument), and here the index
+    // additionally round-trips through parquet under the same hash.
+    Q("d13_incremental_minhash",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = StorageQueries.scratch("graft_mhidx", d)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), MinHashDedup.signatureMd5(col("text")).as("sig"))
+          .write.mode("overwrite").parquet(s"$idx/sigs")
+        MinHashDedup.banded(s.read.parquet(s"$idx/sigs"), 64, 8,
+            MinHashDedup.stringBandKey)
+          .write.mode("overwrite").parquet(s"$idx/bands")
+        val pairs = Dedup.incrementalMinhashPairsBandedMd5(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("doc_id"), col("text"),
+          s.read.parquet(s"$idx/sigs"), s.read.parquet(s"$idx/bands"))
+        val oriented = pairs.filter(pmod(col("da"), lit(2)) === 1)
+            .select(col("da").as("new_id"), col("db").as("partner"),
+              col("est_jaccard"))
+          .unionByName(pairs.filter(pmod(col("db"), lit(2)) === 1)
+            .select(col("db").as("new_id"), col("da").as("partner"),
+              col("est_jaccard")))
+        oriented.groupBy(col("new_id"))
+          .agg(min(col("partner")).as("dup_of"),
+            count(lit(1)).as("n_partners"),
+            max(col("est_jaccard")).as("best_est"))
+          .orderBy(col("new_id"))
+      },
+      Some(s"""WITH $md5LshEstSql,
+             |np AS (
+             |  SELECT da AS new_id, db AS partner, est_jaccard
+             |  FROM est WHERE est_jaccard >= 0.5 AND da % 2 = 1
+             |  UNION ALL
+             |  SELECT db AS new_id, da AS partner, est_jaccard
+             |  FROM est WHERE est_jaccard >= 0.5 AND db % 2 = 1)
+             |SELECT new_id, min(partner) AS dup_of, count(*) AS n_partners,
+             |       max(est_jaccard) AS best_est
+             |FROM np GROUP BY new_id ORDER BY new_id""".stripMargin)),
 
     // D3 — cluster formation: connected components over the Jaccard
     // candidate-pair graph, min-id representative per cluster — the step

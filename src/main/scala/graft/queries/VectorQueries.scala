@@ -56,6 +56,42 @@ object VectorQueries extends QueryGroup {
        |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  /** Embeddings fixture densified with deterministic near-copies (r17
+    * verdict #1: the natural fixture has no pair ≥ 0.8 cosine, so
+    * v5_cosine_neardup verified on 0 rows — the [[DedupQueries.denseDocs]]
+    * precedent applied to vectors). Every 31st vector gains a copy at
+    * `vec_id + max+1` whose FIRST component is shifted by +0.25f. That op
+    * is engine-exact: both operands are float-representable, and a single
+    * float add (Spark) equals double-add-then-round-to-float (DuckDB's
+    * FLOAT+FLOAT is also one rounding), so the augmented input feeds both
+    * engines identical bits. The copies sit at cos ≈ 0.9999 with their
+    * originals — over the 0.8 threshold; copies of DIFFERENT originals stay
+    * as far apart as their originals.
+    */
+  private[graft] def denseEmb(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // max over one pruned parquet column — footer-stat cheap next to the
+    // pairwise join downstream (same contract as denseDocs' offset)
+    val offset = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val copies = e.filter(col("vec_id") % 31 === 1)
+      .select((col("vec_id") + offset).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.25f)),
+          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
+    e.unionByName(copies)
+  }
+
+  /** DuckDB mirror of [[denseEmb]] as a CTE body (binds `demb`). */
+  private val denseEmbSql: String =
+    """demb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+      |         list_prepend(embedding[1] + CAST(0.25 AS FLOAT),
+      |                      embedding[2:]) AS embedding
+      |  FROM embeddings WHERE vec_id % 31 = 1)""".stripMargin
+
   // ---- V11 oracle-tier PQ (shared by v11_pq_codes / v11_pq_adc_oracle) ----
 
   private def pqL2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -159,17 +195,25 @@ object VectorQueries extends QueryGroup {
     // path). Norms precompute per SIDE (Ann.pairsExact), so the O(n²) loop
     // is one dot + one divide — the oracle mirrors the same grouping
     // dot/(sqrt(aa)·sqrt(bb)).
+    //
+    // Input is [[denseEmb]] (r17 verdict #1): no natural fixture pair
+    // reaches 0.8 cosine, so against the raw table this oracle verified on
+    // 0 rows — an operator that always returned empty would still
+    // hash-match. The densified input yields one ≈0.9999-cosine pair per
+    // crafted copy (~16 at sf0.01), so the threshold keep-path is evidenced
+    // with unchanged operator semantics (the denseDocs precedent).
     Q("v5_cosine_neardup",
       (s, d) => graft.similarity.Ann.pairsExact(
-        Tables(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.8)
+        denseEmb(s, d), col("vec_id"), col("embedding"), 0.8)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
         .orderBy(col("va"), col("vb")),
-      Some(s"""WITH a AS (SELECT vec_id AS va, embedding AS ea,
+      Some(s"""WITH $denseEmbSql,
+              |     a AS (SELECT vec_id AS va, embedding AS ea,
               |                  sqrt(${duckDot("embedding", "embedding")}) AS na
-              |           FROM embeddings),
+              |           FROM demb),
               |     b AS (SELECT vec_id AS vb, embedding AS eb,
               |                  sqrt(${duckDot("embedding", "embedding")}) AS nb
-              |           FROM embeddings),
+              |           FROM demb),
               |     p AS (SELECT va, vb, (${duckDot("ea", "eb")}) / (na * nb) AS cos_raw
               |           FROM a JOIN b ON va < vb)
               |SELECT va, vb, round(cos_raw, 6) AS cos
@@ -1082,7 +1126,7 @@ object VectorQueries extends QueryGroup {
     // re-derives the SAME matrix from md5 in SQL and mirrors both IEEE
     // fold sequences, so matrix derivation, shortlist membership, and both
     // scores sit under the hash gate. Cosine is scale-invariant, so the
-    // 1/√16 JL normalization cancels and is omitted.
+    // 1/√32 (= 1/√d_out) JL normalization cancels and is omitted.
     Q("v20_random_projection",
       (s, d) => {
         val signs: Seq[Seq[Double]] = (0 until 32).map { j =>
