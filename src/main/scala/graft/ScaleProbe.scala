@@ -89,6 +89,20 @@ object ScaleProbe {
     val events = expand(Tables(spark, sfDir, "events"), xf,
       Seq("event_id", "user_id")).drop("rep")
 
+    // r18 d13 staging (UNTIMED, before the probe list is built): 95% of the
+    // derived corpus's minhash signatures + xxhash64-key bands persisted to
+    // parquet once — the maintained index a production dedup owns (engine
+    // hash family; the registry query's md5 flavor is the oracle tier). The
+    // probe below then times ONLY what an arriving batch costs against it.
+    val d13Idx = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_probe_mhidx_p${ProcessHandle.current().pid()}"
+    graft.dedup.MinHashDedup.signatures(
+        docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0),
+        col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$d13Idx/sigs")
+    graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$d13Idx/sigs"), 64, 8)
+      .write.mode("overwrite").parquet(s"$d13Idx/bands")
+
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
     val probes: Seq[(String, () => DataFrame)] = Seq[(String, () => DataFrame)](
@@ -125,6 +139,19 @@ object ScaleProbe {
       // Σ df² postings pair space, and the map-side array-intersect verify
       // absorbs the rest. A super-linear result here means the prefix
       // window or the length filter regressed.
+      // r18 addition: incremental dedup of a 5% batch against the persisted
+      // 95% signature index (d13's shape). Structural claim under test:
+      // shingle/hash/band work is paid only for the BATCH; the store
+      // contributes a band-index scan + the candidate-bounded signature
+      // joins — so wall time must sit far under the full-recompute twin
+      // (d2_minhash_lsh_shape, same corpus) and track batch size, not
+      // corpus size. The 100 TB posture for daily ingest dedup.
+      "d13_incremental_shape" -> (() =>
+        graft.dedup.Dedup.incrementalMinhashPairsBanded(
+          docs.filter(pmod(col("doc_id"), lit(20L)) === 0),
+          col("doc_id"), col("text"),
+          spark.read.parquet(s"$d13Idx/sigs"),
+          spark.read.parquet(s"$d13Idx/bands"))),
       "d2_prefix_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8)),
       // the same operator under the PRODUCTION blocking the d2 registry

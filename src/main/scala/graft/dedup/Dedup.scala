@@ -562,8 +562,30 @@ object Dedup {
     * itself; its signatures are touched only by the candidate-bounded
     * estimate join. After emitting pairs the caller appends (newSigs,
     * newBands) to the stores — the maintenance step DedupFacadeSpec pins
-    * (batch-by-batch chaining ≡ one-shot full recompute, restricted).
+    * (batch-by-batch chaining from an empty store ≡ one-shot recompute).
     */
+  /** Engine-default (xxhash64) flavor of
+    * [[incrementalMinhashPairsBandedMd5]]: same persisted-store contract
+    * with the fast hash family and 8-byte xxhash64 band keys — the
+    * production path (the md5 flavor exists to sit under the DuckDB
+    * oracle). `storeBands` must carry xxhash64 band keys
+    * (MinHashDedup.banded with the default bandKey).
+    */
+  def incrementalMinhashPairsBanded(
+      newDocs: DataFrame, id: Column, text: Column,
+      storeSigs: DataFrame, storeBands: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val newSigs = graft.Caches.track(
+      MinHashDedup.signatures(newDocs, id, text, numHashes))
+    val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
+    incrementalPairsCore(newBands,
+      storeBands.select(col("doc_id"), col("band"), col("band_hash"))
+        .union(newBands),
+      storeSigs.select(col("doc_id"), col("sig")).union(newSigs),
+      numHashes, minEstJaccard)
+  }
+
   def incrementalMinhashPairsBandedMd5(
       newDocs: DataFrame, id: Column, text: Column,
       storeSigs: DataFrame, storeBands: DataFrame,
@@ -591,24 +613,51 @@ object Dedup {
     incrementalPairsCore(newBands, allBands, allSigs, numHashes, minEstJaccard)
   }
 
+  /** Shared tail of the incremental flavors. Scale shape (the reason this
+    * is NOT the plain pairs join): the BATCH band side is broadcast, so the
+    * store's band index is probed MAP-SIDE — the store is scanned, never
+    * shuffled (at rest the store would be bucketed by band_hash and the
+    * probe is bucket-local either way); and the signature lookups are
+    * pruned to candidate ids by broadcast semi-joins before any join, so
+    * the store's signature table is also scanned with a map-side filter,
+    * never exchanged. Candidate volume is batch-proportional by LSH
+    * construction, which is what makes both broadcasts legal. Net: the only
+    * corpus-proportional work is two columnar index scans — everything
+    * shuffled is ∝ batch (measured: ScaleProbe d13_incremental_shape).
+    */
   private def incrementalPairsCore(
       newBands: DataFrame, allBands: DataFrame, allSigs: DataFrame,
       numHashes: Int, minEstJaccard: Double): DataFrame = {
-    val cand = newBands
+    // oriented (new_id, other) candidates; cached — reused three times below
+    val cand = graft.Caches.track(broadcast(newBands)
       .join(allBands.select(col("band").as("band_b"),
-          col("band_hash").as("band_hash_b"), col("doc_id").as("db")),
+          col("band_hash").as("band_hash_b"), col("doc_id").as("other")),
         col("band") === col("band_b") && col("band_hash") === col("band_hash_b") &&
-          col("doc_id") =!= col("db"))
-      .select(least(col("doc_id"), col("db")).as("da"),
-        greatest(col("doc_id"), col("db")).as("db"))
+          col("doc_id") =!= col("other"))
+      .select(col("doc_id").as("new_id"), col("other"))
       .distinct()
+      .cache())
+    // materialize ONCE before the three dependent subplans (two broadcast
+    // id-prunes + the join spine) — they execute concurrently, and a lazy
+    // cache would let all three race to compute the band probe from scratch
+    cand.count()
+    def sigsFor(idCol: String) =
+      allSigs.join(
+        broadcast(cand.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    // a new-new pair arrives in both orientations with the same rounded
+    // estimate; least/greatest + distinct collapse it to one row
     cand
-      .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
-      .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
-      .select(col("da"), col("db"),
+      .join(sigsFor("new_id")
+        .select(col("doc_id").as("new_id"), col("sig").as("sa")), "new_id")
+      .join(sigsFor("other")
+        .select(col("doc_id").as("other"), col("sig").as("sb")), "other")
+      .select(least(col("new_id"), col("other")).as("da"),
+        greatest(col("new_id"), col("other")).as("db"),
         round(MinHashDedup.estimateJaccard(col("sa"), col("sb"), numHashes), 6)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   /** [[components]] with pointer jumping (path shortcutting): each round

@@ -124,6 +124,35 @@ class DedupFacadeSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (2L, 10L), (11L, 12L))) // no (1,2): not re-paired
   }
 
+  test("Dedup.incrementalMinhashPairsBandedMd5: batch-by-batch chaining over " +
+    "a maintained store equals the one-shot full recompute") {
+    // The d13 index-maintenance contract: starting from an EMPTY store and
+    // feeding the corpus in three batches (append sigs+bands after each),
+    // the union of per-batch pair sets must equal the full-corpus pairs —
+    // every pair is caught exactly when its LATER member arrives, and
+    // nothing already indexed is ever re-paired against itself.
+    val docs = Tables(spark, sf, "documents")
+    var storeSigs = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sig")
+    var storeBands = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "band_hash")
+    var got = Set.empty[(Long, Long)]
+    for (b <- 0 until 3) {
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      got ++= Dedup.incrementalMinhashPairsBandedMd5(
+          batch, col("doc_id"), col("text"), storeSigs, storeBands)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sigs = batch.select(col("doc_id"),
+        MinHashDedup.signatureMd5(col("text")).as("sig"))
+      storeSigs = storeSigs.unionByName(sigs)
+      storeBands = storeBands.unionByName(
+        MinHashDedup.banded(sigs, 64, 8, MinHashDedup.stringBandKey))
+    }
+    val full = MinHashDedup.candidatePairsMd5(docs, col("doc_id"), col("text"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full, s"chained=${got.size} full=${full.size}")
+    assert(full.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    graft.Caches.unpersistAll()
+  }
+
   test("Dedup.components: chain collapses to min id, singleton keeps its own") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
