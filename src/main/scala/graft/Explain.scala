@@ -231,9 +231,21 @@ object Explain {
     // already handled by idRe above.
     val lamIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val lamRe = "\\b([A-Za-z]\\w*?)_(\\d+)#".r
-    lamRe.replaceAllIn(t5, m =>
+    val t6 = lamRe.replaceAllIn(t5, m =>
       m.group(1) + "_" +
         lamIds.getOrElseUpdate(m.group(2), lamIds.size + 1) + "#")
+    // Scratch paths and bucket-table names carry a per-process pid
+    // component (StorageQueries.scratch/tag, ADVICE r17's concurrent-driver
+    // fix) — mask it so a regeneration from a fresh JVM doesn't churn every
+    // storage-query dump.
+    val pidRe = "((?:graft|bkt)_[a-z0-9_]*?_\\d+)_p\\d+".r
+    val t7 = pidRe.replaceAllIn(t6, m => m.group(1) + "_pPID")
+    // Object-plan lambdas print their JVM-assigned hidden-class name
+    // (`$$Lambda$8342/0x7f..`); both numbers are per-JVM allocation order —
+    // mask like @ADDR (the m1/m4 MapPartitions dumps churned on this).
+    val lamClsRe = "\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+".r
+    lamClsRe.replaceAllIn(t7, _ => java.util.regex.Matcher
+      .quoteReplacement("$$Lambda$N/0xADDR"))
   }
 
   def main(args: Array[String]): Unit = {
