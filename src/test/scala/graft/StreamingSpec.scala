@@ -608,6 +608,43 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC merged state equals the batch i7 MERGE across batches") {
+    implicit val ctx = sqlCtx
+    val cut = 1705363200000000L // i7's cut, 2024-01-16T00:00:00Z in micros
+    // the whole event history in us-order, split into three chunks so both
+    // the target-build phase and the change phase straddle batch boundaries
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.CdcStream.mergedState(
+        ms.toDF().toDF("user_id", "us", "event_id", "event_type"), cut)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    // snapshot = latest emission per key (Update mode emits one row per
+    // key per touching batch); live rows only
+    val rows = spark.table("cdc_out")
+      .as[(Long, String, Long, String, Boolean, Long, Long)].collect()
+    val streamed = rows.groupBy(_._1).values
+      .map(_.maxBy(r => (r._6, r._7)))
+      .filter(!_._5)
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    val batch = queries.Registry.byName("i7_cdc_merge").run(spark, sf)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // all three merge actions are actually exercised by the fixture
+    assert(streamed.map(_._4).toSeq.distinct.toSet
+      .subsetOf(Set("unchanged", "inserted", "updated")))
+    assert(batch.map(_._4).contains("updated"))
+  }
+
   test("streaming percolate hits equal both batch forms (row-form and postings join)") {
     implicit val ctx = sqlCtx
     // store: the same deterministic top-df pair store t23/t31 build
