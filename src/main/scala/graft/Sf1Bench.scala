@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Bench {
 
+  // top-10 by committed-window cost, plus m3_phash_pairs_distinct — the
+  // scale twin of m3_phash_pairs, included so the artifact carries the
+  // doc-level-vs-distinct-hash contrast at 10× (the documented m3 cliff).
   private val TopQueries = Seq(
     "d12_containment_prefix", "d2_jaccard_prefix", "j13_interval_overlap",
     "v11_pq_adc", "a41_variable_width_histogram", "x13_bpe_apply",
     "j11_fuzzy_join", "j9_bucketed_join", "k1_es_upsert_roundtrip",
-    "m3_phash_pairs")
+    "m3_phash_pairs", "m3_phash_pairs_distinct")
 
   private def expand(df: DataFrame, xf: Int, keyCols: Seq[String]): DataFrame = {
     val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(xf - 1L))))
@@ -113,7 +116,12 @@ object Sf1Bench {
       catch { case _: Throwable => () }
     }
 
-    val rows = TopQueries.map { name =>
+    // comma-separated name filter for local iteration; a filtered run only
+    // writes its artifact when SPARK_GRAFT_SF1_OUT is set explicitly
+    // (mirrors Bench's BENCH_ONLY contract)
+    val only = sys.env.get("SPARK_GRAFT_SF1_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val rows = TopQueries.filter(n => only.forall(_.contains(n))).map { name =>
       def best(dir: String) = {
         val rs = (1 to reps).flatMap(_ => run(name, dir))
         if (rs.isEmpty) None
@@ -143,9 +151,11 @@ object Sf1Bench {
     val json = s"""{"metric":"sf1_full","unit":"sec","xf":$xf,""" +
       s""""base_sf":"$sfDir","cpus":$cpus,"reps":$reps,"queries":$qJson}"""
     println(json)
-    val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_sf1_full.json"), "UTF-8")
-    try w.println(json) finally w.close()
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_SF1_OUT")) {
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_sf1_full.json"), "UTF-8")
+      try w.println(json) finally w.close()
+    }
     // the staged tables are multi-GB scratch — remove on exit
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
