@@ -608,6 +608,44 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ingest-dedup loop: chunked pairs + index appends equal the " +
+    "one-shot full recompute, and a replayed batch changes nothing") {
+    implicit val ctx = sqlCtx
+    val base = Files.createTempDirectory("graft_dedupstream").toString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.start(
+        ms.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$base/index", s"$base/pairs", s"$base/ckpt")
+      .start()
+    chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    def pairSet() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/pairs")
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val streamed = pairSet()
+    val oneShot = graft.dedup.MinHashDedup.candidatePairs(
+        Tables(spark, sf, "documents"), col("doc_id"), col("text"))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(streamed == oneShot, s"streamed=${streamed.size} oneShot=${oneShot.size}")
+    assert(streamed.nonEmpty)
+    graft.Caches.unpersistAll()
+    // replay idempotence: re-running the FIRST batch (its sigs already in
+    // the index) rewrites its own keyed outputs and changes no results
+    val first = spark.createDataset(chunks.head.toIndexedSeq)
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStream.step(first, col("doc_id"), col("text"),
+      s"$base/index", s"$base/pairs", batchId = 0L)
+    assert(pairSet() == oneShot, "replayed batch changed the pair set")
+    // index holds exactly one signature row per doc (no duplication)
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/index/sigs")
+    assert(idx.count() == docs.length)
+    assert(idx.select("doc_id").distinct().count() == docs.length)
+  }
+
   test("streaming CDC merged state equals the batch i7 MERGE across batches") {
     implicit val ctx = sqlCtx
     val cut = 1705363200000000L // i7's cut, 2024-01-16T00:00:00Z in micros
