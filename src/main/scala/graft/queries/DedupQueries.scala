@@ -44,7 +44,7 @@ object DedupQueries extends QueryGroup {
     // exact integer arithmetic in both engines; the DuckDB mirror uses the
     // equivalent scalar subquery (max over one pruned parquet column —
     // footer-stat cheap next to any pair join downstream)
-    val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val copies = docs.filter(col("doc_id") % 31 === 1)
       .withColumn("__toks", expr("filter(split(text, ' '), t -> t != '')"))
       .select((col("doc_id") + offset).as("doc_id"), col("lang"),

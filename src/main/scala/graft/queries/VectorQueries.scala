@@ -73,7 +73,7 @@ object VectorQueries extends QueryGroup {
     val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     // max over one pruned parquet column — footer-stat cheap next to the
     // pairwise join downstream (same contract as denseDocs' offset)
-    val offset = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val copies = e.filter(col("vec_id") % 31 === 1)
       .select((col("vec_id") + offset).as("vec_id"),
         concat(
