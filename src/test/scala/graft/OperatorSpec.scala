@@ -226,6 +226,32 @@ class OperatorSpec extends SparkSuite {
         s"(filter@$filterAt exchange@$exchangeAt)\n$plan")
   }
 
+  test("d13 plan: the persisted index is only broadcast-joined, never shuffled") {
+    // the batch-proportional contract of the incremental dedup core: the
+    // store's band index is probed with the BATCH side broadcast, and the
+    // signature lookups are broadcast-semi-pruned to candidate ids — so no
+    // join in the plan may be a SortMergeJoin/ShuffledHashJoin (either
+    // would exchange the corpus-sized store). Hints make this shape
+    // input-size-independent; this pin catches a silent hint regression.
+    val idx = graft.queries.StorageQueries.scratch("graft_plan_mhidx", sf)
+    val docs = Tables(spark, sf, "documents")
+    graft.dedup.MinHashDedup.signatures(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$idx/sigs")
+    graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$idx/sigs"), 64, 8)
+      .write.mode("overwrite").parquet(s"$idx/bands")
+    val pairs = graft.dedup.Dedup.incrementalMinhashPairsBanded(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"),
+      spark.read.parquet(s"$idx/sigs"), spark.read.parquet(s"$idx/bands"))
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"incremental core shuffle-joined the store:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe in plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"candidate-id semi prune missing:\n$plan")
+    graft.Caches.unpersistAll()
+  }
+
   test("fuzzy join finds exactly the distance-1 pairs: subst, ins/del, no false hits") {
     import spark.implicits._
     val terms = Seq("cat", "cut", "cart", "at", "dog", "dig", "cats", "act")
