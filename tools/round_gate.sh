@@ -50,7 +50,7 @@ if [[ "${1:-}" != "--quick" ]]; then
   # d10_dedup_yield, and d12_containment since r16) left the benched set
   # (SparkEntry.benchExcluded, r14 verdict #2 / r15 verdict #1) — the
   # correctness gate still runs them at stage 1/2.
-  FAMILY=d2_jaccard_prefix,d2_minhash_lsh,d2_minhash_md5,d3_dedup_groups_lsh,d10_dedup_yield_lsh,d12_containment_prefix,m3_phash_pairs_distinct
+  FAMILY=d2_jaccard_prefix,d2_minhash_lsh,d2_minhash_md5,d3_dedup_groups_lsh,d10_dedup_yield_lsh,d12_containment_prefix,d13_incremental_minhash,m3_phash_pairs_distinct
   canary_out=$(mktemp /tmp/graft_canary.XXXXXX.json)
   if ! SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_HEAP=2g \
        SPARK_GRAFT_CPUS=4 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
