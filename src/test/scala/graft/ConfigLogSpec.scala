@@ -19,6 +19,68 @@ class ConfigLogSpec extends SparkSuite {
     ()
   }
 
+  test("S4: scan equals a reference ConfigParser fold on 24 seed-randomized files") {
+    // broad-input robustness behind the s16 gate's fixed fixture: random
+    // mixes of comments, blanks, repeated section headers, dup keys (small
+    // key alphabet forces last-wins collisions), '='/':' separators with
+    // separators INSIDE values — all compared against a direct in-JVM fold
+    // implementing the documented rules. Fixed seed: deterministic, no flake.
+    val rnd = new scala.util.Random(181818L)
+    def key() = (1 to (1 + rnd.nextInt(3)))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def value() = {
+      val chars = "abcxyz=:#;[] _?/"
+      (1 to rnd.nextInt(8)).map(_ => chars(rnd.nextInt(chars.length)))
+        .mkString.trim // line-trim must not alter the generated value
+    }
+    val files = (0 until 24).map { i =>
+      val sb = new StringBuilder
+      for (_ <- 0 until 3 + rnd.nextInt(12)) rnd.nextInt(6) match {
+        case 0 => sb.append("; comment ").append(rnd.nextInt(9)).append('\n')
+        case 1 => sb.append('\n')
+        case 2 => sb.append('[').append("s").append(rnd.nextInt(3)).append("]\n")
+        case 3 => sb.append("  ").append(key()).append(" = ").append(value()).append('\n')
+        case 4 => sb.append(key()).append(':').append(value()).append('\n')
+        case _ => sb.append(key()).append('=').append(value()).append('\n')
+      }
+      (f"cfg$i%02d.ini", sb.toString)
+    }
+    val headerRe = "^\\[(.+)\\]$".r
+    val kvRe = "^([^=:]+?)\\s*[=:]\\s*(.*)$".r
+    def ref(body: String): Map[(Option[String], String), String] = {
+      var sec: Option[String] = None
+      val out = scala.collection.mutable.LinkedHashMap
+        .empty[(Option[String], String), String]
+      body.split("\r?\n").map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith(";") && !l.startsWith("#"))
+        .foreach {
+          case headerRe(h) => sec = Some(h)
+          case kvRe(k, v) => out((sec, k)) = v
+          case _ => ()
+        }
+      out.toMap
+    }
+    val dir = Files.createTempDirectory("graft_cfg_rand").toString
+    files.foreach { case (n, b) => write(dir, n, b) }
+    val got = ConfigScan.ini(spark, dir)
+      .select(regexp_extract(col("file"), "([^/]+)$", 1).as("f"),
+        col("section"), col("key"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2))
+        -> r.getString(3))
+      .toMap
+    val want = files.flatMap { case (n, b) =>
+      ref(b).map { case ((s2, k), v) => (n, s2, k) -> v }
+    }.toMap
+    assert(got == want,
+      s"scan disagreed with the reference fold: got=${got.size} want=${want.size} " +
+        s"onlyGot=${(got.keySet -- want.keySet).take(3)} " +
+        s"onlyWant=${(want.keySet -- got.keySet).take(3)}")
+    assert(want.size > 30, s"random space too thin (${want.size} kvs) — raise line counts")
+    assert(want.keys.exists(_._2.isDefined) && want.keys.exists(_._2.isEmpty),
+      "need both sectioned and NULL-section rows for the assertion to bite")
+  }
+
   test("S4: INI scan — sections, comments, first-delimiter split, override") {
     val dir = Files.createTempDirectory("graft_conf").toString
     // the ~/.irccreds shape (irclogbot.py:15-21): ConfigParser INI
