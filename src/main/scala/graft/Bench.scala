@@ -121,8 +121,13 @@ object Bench {
     // Streaming path throughput (parse → watermarked dedup → noop), so
     // streaming regressions show up round-over-round, not only in specs.
     // Data is staged into the MemoryStream BEFORE the clock starts; the
-    // timed region is the micro-batch drain.
-    val streamRate: Double = try {
+    // timed region is the micro-batch drain. Run `reps` times with a FRESH
+    // MemoryStream per rep and report the MEDIAN + per-rep detail (r18
+    // verdict #2: the former single-shot number read 2 490 rows/s against a
+    // 28-33 k quiet band in the driver window, and one GC pause can produce
+    // that artifact with no way to tell — the same reps/median/outlier
+    // treatment every query already gets).
+    def streamOnce(): Option[Double] = try {
       val cl = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import cl.implicits._
       implicit val ctx = cl.sqlContext
@@ -138,10 +143,16 @@ object Bench {
         .writeStream.format("noop").outputMode("append").start()
       q.processAllAvailable()
       q.stop()
-      math.rint(n / ((System.nanoTime() - t0) / 1e9))
-    } catch { case _: Throwable => -1.0 }
+      Some(math.rint(n / ((System.nanoTime() - t0) / 1e9)))
+    } catch { case _: Throwable => None }
+    val streamRuns = (1 to reps).flatMap { _ =>
+      val r = streamOnce(); System.gc(); r
+    }
+    val streamRate: Double =
+      if (streamRuns.size < reps) -1.0
+      else streamRuns.sorted.apply(streamRuns.size / 2)
     val streamingJson =
-      s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000}"""
+      s"""{"metric":"streaming_ingest","value":$streamRate,"unit":"rows_per_s","rows":100000,"reps":$reps,"reps_detail":[${streamRuns.mkString(",")}]}"""
     val perQueryJson =
       s"""{"metric":"per_query","unit":"sec","reps":$reps,"seed":$seed,"queries":$qs,"reps_detail":$repsDetail,"errors":$errsJson}"""
     // The driver's round artifact keeps only a ~2 KB stdout tail, which

@@ -102,6 +102,29 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$d13Idx/sigs")
     graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$d13Idx/sigs"), 64, 8)
       .write.mode("overwrite").parquet(s"$d13Idx/bands")
+    // r19 twin staging (r18 verdict #7 — the streaming loop's store-growth
+    // axis): the SAME batch probed against a 1× and an xf× store whose
+    // TRUE-match yield is held constant, so the wall delta isolates pure
+    // store cost. Family split on the replicated corpus (original family =
+    // doc_id div xf): the batch is the rep-0 member of every 20th family;
+    // both stores exclude those families entirely (so candidates ≈ band
+    // noise in both), the 1× store holds only rep-0 members of the other
+    // families, the xf× store holds ALL their reps. Claim under test: wall
+    // ~flat while the store grows xf× — the store contributes a columnar
+    // band-index scan + candidate-bounded signature lookups, never a
+    // shuffle (d13_stream_store1x_shape vs d13_stream_storeNx_shape).
+    val fam = expr(s"doc_id div $xf")
+    val otherFams = docs.filter(pmod(fam, lit(20L)) =!= 0)
+    graft.dedup.MinHashDedup.signatures(
+        otherFams.filter(pmod(col("doc_id"), lit(xf.toLong)) === 0),
+        col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$d13Idx/sigs1x")
+    graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$d13Idx/sigs1x"), 64, 8)
+      .write.mode("overwrite").parquet(s"$d13Idx/bands1x")
+    graft.dedup.MinHashDedup.signatures(otherFams, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$d13Idx/sigsNx")
+    graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$d13Idx/sigsNx"), 64, 8)
+      .write.mode("overwrite").parquet(s"$d13Idx/bandsNx")
 
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
@@ -152,6 +175,24 @@ object ScaleProbe {
           col("doc_id"), col("text"),
           spark.read.parquet(s"$d13Idx/sigs"),
           spark.read.parquet(s"$d13Idx/bands"))),
+      // r19 (r18 verdict #7): the same constant-yield batch against the 1×
+      // and xf× stores (staging comment above). The PAIR is the claim: a
+      // ~flat wall across the two means the grown store costs only its
+      // scan; a widening gap means a shuffle crept onto the store side.
+      "d13_stream_store1x_shape" -> (() =>
+        graft.dedup.Dedup.incrementalMinhashPairsBanded(
+          docs.filter(pmod(col("doc_id"), lit(xf.toLong)) === 0 &&
+            pmod(expr(s"doc_id div $xf"), lit(20L)) === 0),
+          col("doc_id"), col("text"),
+          spark.read.parquet(s"$d13Idx/sigs1x"),
+          spark.read.parquet(s"$d13Idx/bands1x"))),
+      "d13_stream_storeNx_shape" -> (() =>
+        graft.dedup.Dedup.incrementalMinhashPairsBanded(
+          docs.filter(pmod(col("doc_id"), lit(xf.toLong)) === 0 &&
+            pmod(expr(s"doc_id div $xf"), lit(20L)) === 0),
+          col("doc_id"), col("text"),
+          spark.read.parquet(s"$d13Idx/sigsNx"),
+          spark.read.parquet(s"$d13Idx/bandsNx"))),
       "d2_prefix_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8)),
       // the same operator under the PRODUCTION blocking the d2 registry
@@ -238,6 +279,14 @@ object ScaleProbe {
       // the per-rep variant tokens; the agg must absorb the stream, the
       // 1-row winner broadcast is scale-free)
       "d6_dup_span_shape" -> (() => graft.dedup.Dedup.dupSpanCoverage(
+        docsRaw, col("doc_id"), col("text"), k = 8)),
+      // r19: the removal twin (d14) under the same dense duplication — d6's
+      // span window plus the per-doc position collect + one doc_id-keyed
+      // join-back with a map-side positional excision. Structural claim
+      // under test: the extra stages stay keyed by doc_id (removed-position
+      // sets bounded by doc length, never a pair space), so the delta over
+      // d6_dup_span_shape is ~the join-back, linear in corpus size.
+      "d14_span_removal_shape" -> (() => graft.dedup.Dedup.dupSpanRemoval(
         docsRaw, col("doc_id"), col("text"), k = 8)),
       // rounds=20 (real tokenizers run thousands; 3 was round 9's smoke
       // depth): with the every-10-rounds seq checkpoint, wall time must stay
@@ -565,6 +614,13 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "BENCH_sf1_spot.json"), "UTF-8")
       try w.println(json) finally w.close()
     }
+    // the staged d13 index is a ~corpus-sized parquet scratch — remove on
+    // exit (ADVICE r18: the pid suffix meant runs never overwrote each
+    // other, so leaked indexes accumulated unboundedly in java.io.tmpdir)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(d13Idx))
     spark.stop()
   }
 }

@@ -95,16 +95,35 @@ object Sf1Bench {
       .drop("rep"))
     println(s"[sf1bench] staged xf=$xf tables at $sf1Dir")
 
+    // Drain the async listener bus by POLLING the counters until they stop
+    // moving for a settle window (ADVICE r18: the former fixed 500 ms sleep
+    // let late stage-completed events land AFTER the reset and be credited
+    // to the NEXT rep/query on a loaded machine). 400 ms of quiet with a
+    // 5 s cap: stage events arrive in bursts ms apart, so "quiet for 400 ms"
+    // means the bus is empty in practice, and the cap bounds a pathological
+    // firehose without hanging the bench.
+    def settle(): Unit = {
+      var prev = (readB.get(), writeB.get())
+      var quietMs = 0
+      var waitedMs = 0
+      while (quietMs < 400 && waitedMs < 5000) {
+        Thread.sleep(100); waitedMs += 100
+        val cur = (readB.get(), writeB.get())
+        if (cur == prev) quietMs += 100 else { quietMs = 0; prev = cur }
+      }
+    }
+
     // one timed run: (seconds, shuffleReadB, shuffleWriteB)
     def run(name: String, dir: String): Option[(Double, Long, Long)] = {
       val fn = SparkEntry.queries(name)
       System.gc()
+      settle() // flush any straggler events onto the PREVIOUS reading
       readB.set(0L); writeB.set(0L)
       val t0 = System.nanoTime()
       try {
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
-        Thread.sleep(500) // settle: stage-completed events are async
+        settle()
         Some((sec, readB.get(), writeB.get()))
       } catch { case _: Throwable => None }
       finally Caches.unpersistAll()

@@ -575,7 +575,8 @@ object Dedup {
       newDocs: DataFrame, id: Column, text: Column,
       storeSigs: DataFrame, storeBands: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      broadcastBatch: Boolean = true): DataFrame = {
     val newSigs = graft.Caches.track(
       MinHashDedup.signatures(newDocs, id, text, numHashes))
     val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
@@ -583,14 +584,15 @@ object Dedup {
       storeBands.select(col("doc_id"), col("band"), col("band_hash"))
         .union(newBands),
       storeSigs.select(col("doc_id"), col("sig")).union(newSigs),
-      numHashes, minEstJaccard)
+      numHashes, minEstJaccard, broadcastBatch)
   }
 
   def incrementalMinhashPairsBandedMd5(
       newDocs: DataFrame, id: Column, text: Column,
       storeSigs: DataFrame, storeBands: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      broadcastBatch: Boolean = true): DataFrame = {
     val newSigs = graft.Caches.track(newDocs.select(id.as("doc_id"),
       MinHashDedup.signatureMd5(text, numHashes).as("sig")))
     val newBands =
@@ -599,7 +601,7 @@ object Dedup {
       storeBands.select(col("doc_id"), col("band"), col("band_hash"))
         .union(newBands),
       storeSigs.select(col("doc_id"), col("sig")).union(newSigs),
-      numHashes, minEstJaccard)
+      numHashes, minEstJaccard, broadcastBatch)
   }
 
   private def incrementalPairsFrom(
@@ -624,27 +626,44 @@ object Dedup {
     * construction, which is what makes both broadcasts legal. Net: the only
     * corpus-proportional work is two columnar index scans — everything
     * shuffled is ∝ batch (measured: ScaleProbe d13_incremental_shape).
+    *
+    * Contract notes (ADVICE r18): (a) this method is EAGER — the candidate
+    * probe runs at DataFrame-construction time (the count below), so even a
+    * caller that only wants the plan pays the band join; the returned frame
+    * is then cheap to consume. (b) The batch-broadcast posture assumes the
+    * DOCUMENTED small-batch shape (a daily/hourly ingest slice): a batch
+    * whose band table exceeds the driver/8 GB broadcast ceiling fails
+    * outright rather than degrading. Callers feeding large batches
+    * (backfills, replays of whole days) pass `broadcastBatch = false` on
+    * the public entry points — the band probe becomes a plain shuffled hash
+    * join on (band, band_hash) and the id-prune semi-joins stay broadcast
+    * only if AQE deems the candidate id set small; same rows either way.
     */
   private def incrementalPairsCore(
       newBands: DataFrame, allBands: DataFrame, allSigs: DataFrame,
-      numHashes: Int, minEstJaccard: Double): DataFrame = {
-    // oriented (new_id, other) candidates; cached — reused three times below
-    val cand = graft.Caches.track(broadcast(newBands)
+      numHashes: Int, minEstJaccard: Double,
+      broadcastBatch: Boolean = true): DataFrame = {
+    // oriented (new_id, other) candidates; tracked (persisted) — reused
+    // three times below (ADVICE r18: track() already persists; the former
+    // inner .cache() double-persisted and warned)
+    val probe = if (broadcastBatch) broadcast(newBands) else newBands
+    val cand = graft.Caches.track(probe
       .join(allBands.select(col("band").as("band_b"),
           col("band_hash").as("band_hash_b"), col("doc_id").as("other")),
         col("band") === col("band_b") && col("band_hash") === col("band_hash_b") &&
           col("doc_id") =!= col("other"))
       .select(col("doc_id").as("new_id"), col("other"))
-      .distinct()
-      .cache())
+      .distinct())
     // materialize ONCE before the three dependent subplans (two broadcast
     // id-prunes + the join spine) — they execute concurrently, and a lazy
     // cache would let all three race to compute the band probe from scratch
     cand.count()
-    def sigsFor(idCol: String) =
+    def sigsFor(idCol: String) = {
+      val ids = cand.select(col(idCol).as("doc_id")).distinct()
       allSigs.join(
-        broadcast(cand.select(col(idCol).as("doc_id")).distinct()),
+        if (broadcastBatch) broadcast(ids) else ids,
         Seq("doc_id"), "left_semi")
+    }
     // a new-new pair arrives in both orientations with the same rounded
     // estimate; least/greatest + distinct collapse it to one row
     cand
@@ -842,6 +861,61 @@ object Dedup {
       .select(col("doc_id"), col("n").cast("long").as("n_toks"),
         coalesce(col("ndp"), lit(0L)).cast("long").as("n_dup_pos"),
         round(coalesce(col("ndp"), lit(0L)) * lit(1.0) / col("n"), 6).as("dup_ratio"))
+  }
+
+  /** Duplicate-span REMOVAL — the actionable twin of [[dupSpanCoverage]]
+    * (r18 verdict #3): Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") doesn't just MEASURE cross-document duplicate
+    * substrings, it deletes them. For every k-token span that occurs
+    * verbatim in ≥2 distinct documents, excise all token positions covered
+    * by any such span (the union of overlapping dup spans, matching d6's
+    * coverage definition exactly) and stitch each document's surviving
+    * tokens back together in original order.
+    *
+    * Scale shape — identical to [[dupSpanCoverage]] plus one keyed
+    * join-back: explode k-shingles with positions, ONE window shuffle over
+    * the span key (min≠max doc detects cross-doc spans), collect each doc's
+    * removed-position set (bounded by the doc's own length — never a pair
+    * space), then a doc_id-keyed join back to the token arrays where the
+    * excision is a map-side positional filter. All shuffles are keyed; at
+    * 100 TB the span key becomes xxhash64(span) (same plan, narrower
+    * exchange) — raw text is kept here so the whole pipeline sits under the
+    * DuckDB differential gate, the same tradeoff d6 documents.
+    *
+    * Caveat (also Lee et al. §4): stitching can create NEW k-spans across
+    * an excision boundary that happen to duplicate; one pass removes all
+    * spans duplicated in the INPUT corpus, not a fixpoint. Re-running on
+    * the output converges; QualitySignalsSpec pins the residual on the
+    * fixture.
+    *
+    * Output: (doc_id, n_toks, n_removed, cleaned) for every doc with ≥1
+    * token; `cleaned` is the excised-and-stitched text ('' when everything
+    * was duplicated). Docs shorter than k are returned unchanged.
+    */
+  def dupSpanRemoval(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val t = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val spans = t.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(s"sequence(0, n - $k)")).as("pos"), col("toks"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(toks, pos + 1, $k), ' ')").as("span"))
+    val w = Window.partitionBy(col("span"))
+    // per-doc removed-position set, sorted — bounded by the doc's length
+    val rem = spans
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("mx", max(col("doc_id")).over(w))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("p"))).as("rem"))
+    t.join(rem, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("toks"), (_, i) =>
+            not(array_contains(coalesce(col("rem"), array().cast("array<int>")), i))),
+          " ").as("cleaned"))
   }
 
   /** Passage-level dedup with document reassembly (the CCNet paragraph-hash

@@ -725,6 +725,47 @@ object DedupQueries extends QueryGroup {
              |FROM z LEFT JOIN cov ON z.doc_id = cov.doc_id
              |ORDER BY z.doc_id""".stripMargin)),
 
+    // D14 — duplicate-span REMOVAL (Lee et al. 2021's actual intervention;
+    // r18 verdict #3): the actionable twin of d6 — excise every token
+    // position covered by an 8-token span that occurs verbatim in another
+    // doc, stitch the rest, and emit the cleaned corpus. The cleaned text
+    // itself is in the output (x8-redact precedent), so span detection,
+    // union-of-positions arithmetic, excision AND stitching order all sit
+    // under the hash gate. Same single span-key window shuffle as d6 plus
+    // one doc_id-keyed join-back; nothing pairwise.
+    Q("d14_dup_span_removal",
+      (s, d) => Dedup.dupSpanRemoval(
+        Tables(s, d, "documents"), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |           FROM documents),
+             |     z AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |     s AS (SELECT doc_id, n, unnest(range(0, n - 8 + 1)) AS pos, toks
+             |           FROM z WHERE n >= 8),
+             |     sp AS (SELECT doc_id, pos,
+             |                   array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+             |            FROM s),
+             |     dup AS (SELECT span FROM sp GROUP BY span
+             |             HAVING min(doc_id) <> max(doc_id)),
+             |     rem AS (SELECT DISTINCT doc_id, p FROM
+             |             (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+             |              FROM sp JOIN dup USING (span))),
+             |     remc AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id),
+             |     posn AS (SELECT doc_id, unnest(range(0, n)) AS p, toks FROM z),
+             |     kept AS (SELECT doc_id, p, toks[p + 1] AS tok FROM posn
+             |              WHERE NOT EXISTS (SELECT 1 FROM rem
+             |                                WHERE rem.doc_id = posn.doc_id
+             |                                  AND rem.p = posn.p)),
+             |     ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+             |            FROM kept GROUP BY doc_id)
+             |SELECT z.doc_id, CAST(z.n AS BIGINT) AS n_toks,
+             |       CAST(coalesce(remc.nrem, 0) AS BIGINT) AS n_removed,
+             |       coalesce(ka.cleaned, '') AS cleaned
+             |FROM z LEFT JOIN remc USING (doc_id)
+             |LEFT JOIN ka ON z.doc_id = ka.doc_id
+             |ORDER BY z.doc_id""".stripMargin)),
+
     // D7 — semantic dedup (SemDeDup shape): cluster-assign embeddings to a
     // broadcast seed-centroid set (deterministic L2-then-cid tie-break),
     // then EXACT cosine pairs only within a cluster — the cluster id is the

@@ -1239,6 +1239,77 @@ object PipelineQueries extends QueryGroup {
              |t AS (SELECT CAST(sum(a3) AS BIGINT) AS tot FROM e3)
              |SELECT domain, ref_loss, m1, m2, m3, a3 AS wt_raw,
              |       round(CAST(a3 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
-             |FROM e3 CROSS JOIN t ORDER BY domain""".stripMargin))
+             |FROM e3 CROSS JOIN t ORDER BY domain""".stripMargin)),
+
+    // x34 — HTML/boilerplate main-content extraction (r18 verdict #4):
+    // deterministic jusText-shape block classification — segment on
+    // block-level tags, feature each block (token count, anchor-text
+    // tokens, stopword tokens; integer-only), drop chrome, reassemble.
+    // Fixture HTML is synthesized executor-side around documents.text (the
+    // m1 derive-deterministically precedent), with three boilerplate kinds
+    // that each die by a DIFFERENT rule (nav→length, ads→link density,
+    // footer→stopword density). Entirely per-row array expressions — the
+    // plan is one map-side scan, no explode, no shuffle but the output
+    // sort; main_md5 puts segmentation, feature arithmetic, classification
+    // AND reassembly order under the hash gate.
+    Q("x34_html_extract",
+      (s, d) => {
+        val html = graft.pipeline.HtmlExtract.htmlize(col("doc_id"), col("text"))
+        val good = graft.pipeline.HtmlExtract.goodBlocks(col("html"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            size(graft.pipeline.HtmlExtract.blockFeatures(col("html")))
+              .cast("long").as("n_blocks"),
+            size(good).cast("long").as("n_good"),
+            aggregate(good, lit(0L),
+              (acc, f) => acc + f.getField("nt")).as("n_tok_kept"),
+            md5(array_join(transform(good, _.getField("txt")), " "))
+              .as("main_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |            FROM documents),
+             |h AS (SELECT doc_id,
+             |  '<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/login">login</a></nav><p>' ||
+             |  coalesce(array_to_string(toks[1 : (len(toks) + 1) // 2], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 >= 1 THEN '<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>' ELSE '' END ||
+             |  CASE WHEN doc_id % 3 = 2 THEN '<p>ok</p>' ELSE '' END ||
+             |  '<p>' || coalesce(array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' '), '') || '</p>' ||
+             |  '<footer>copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a> all rights reserved</footer></body></html>' AS html
+             |  FROM tk),
+             |seg AS (SELECT doc_id,
+             |  list_filter(
+             |    list_transform(
+             |      string_split_regex(html,
+             |        '(?i)</?(?:p|div|nav|footer|header|section|article|aside|ul|ol|li|h[1-6]|table|tr|td|br|title|head|body|html)[^>]*>'),
+             |      s -> struct_pack(
+             |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+             |        nl := len(list_filter(string_split(coalesce(array_to_string(
+             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |              t -> t <> '')))),
+             |    f -> f.txt <> '') AS segs
+             |  FROM h),
+             |feat AS (SELECT doc_id,
+             |  list_transform(segs, f -> struct_pack(
+             |    txt := f.txt,
+             |    nt := len(list_filter(string_split(f.txt, ' '), t -> t <> '')),
+             |    nl := f.nl,
+             |    ns := len(list_filter(string_split(f.txt, ' '),
+             |           t -> t IN ('the','a','of','and','to','in','is','for','on','with'))))) AS fs
+             |  FROM seg),
+             |cls AS (SELECT doc_id, fs,
+             |  list_filter(fs, f -> f.nt >= 5 AND f.nl * 3 <= f.nt AND f.ns * 40 >= f.nt) AS good
+             |  FROM feat)
+             |SELECT doc_id,
+             |  CAST(len(fs) AS BIGINT) AS n_blocks,
+             |  CAST(len(good) AS BIGINT) AS n_good,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(good, f -> CAST(f.nt AS BIGINT))),
+             |       (a, b) -> a + b) AS BIGINT) AS n_tok_kept,
+             |  md5(coalesce(array_to_string(list_transform(good, f -> f.txt), ' '), ''))
+             |    AS main_md5
+             |FROM cls ORDER BY doc_id""".stripMargin))
   )
 }

@@ -22,7 +22,14 @@ import graft.dedup.{Dedup, MinHashDedup}
   * (foreachBatch's at-least-once contract) rewrites its own partition
   * instead of duplicating it — the same replay-idempotence posture as
   * s15's dynamic partition overwrite and the reference's upsert-by-id.
-  * Readers just scan the directory.
+  * Readers just scan the directory. Idempotence is ROW-level, not merely
+  * set-level (ADVICE r18): a batch only ever reads index partitions with a
+  * STRICTLY SMALLER batch id, so replaying batch b after batches b+1..n
+  * have been indexed recomputes exactly the original pairs/b partition —
+  * without the id filter the replay would see the later batches' bands and
+  * additionally emit b-vs-later pairs that already live in the later
+  * partitions, double-counting them for any row-level reader
+  * (counts/aggregations over the pairs dir).
   *
   * Scale: identical to d13's (store scanned, never shuffled; shuffles ∝
   * batch) — amortized over the stream's lifetime. At rest the index would
@@ -43,15 +50,25 @@ object DedupStream {
     StructField("band", IntegerType),
     StructField("band_hash", LongType)))
 
+  /** Read the union of the index's `b<id>` partitions with id <
+    * `beforeBatch` — the strict-predecessor view that makes a replayed
+    * batch recompute its ORIGINAL output (scaladoc above). Subdirs are
+    * plain nested dirs (no '='), so they are listed and selected here
+    * rather than partition-inferred.
+    */
   private def readOr(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, beforeBatch: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      // subdirs are b<batchId> (no '=': plain nested files, not partition
-      // dirs) — recursiveFileLookup reads them without partition inference
-      spark.read.schema(schema).option("recursiveFileLookup", "true")
-        .parquet(path)
+    val parts =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.matches("b\\d+") &&
+            st.getPath.getName.drop(1).toLong < beforeBatch =>
+          st.getPath.toString
+      }
+    if (parts.nonEmpty) spark.read.schema(schema).parquet(parts.toSeq: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
   }
@@ -66,8 +83,8 @@ object DedupStream {
       numHashes: Int = 64, bands: Int = 8,
       minEstJaccard: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    val storeSigs = readOr(spark, s"$indexDir/sigs", sigSchema)
-    val storeBands = readOr(spark, s"$indexDir/bands", bandSchema)
+    val storeSigs = readOr(spark, s"$indexDir/sigs", sigSchema, batchId)
+    val storeBands = readOr(spark, s"$indexDir/bands", bandSchema, batchId)
     try {
       Dedup.incrementalMinhashPairsBanded(batch, id, text,
           storeSigs, storeBands, numHashes, bands, minEstJaccard)

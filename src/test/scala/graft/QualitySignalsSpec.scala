@@ -38,6 +38,114 @@ class QualitySignalsSpec extends SparkSuite {
     assert(m(1L)._2 == 5L && m(2L)._2 == 5L)
   }
 
+  private def removal(docs: Seq[(Long, String)], k: Int = 4): Map[Long, (Long, Long, String)] =
+    Dedup.dupSpanRemoval(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("d14 removal excises exactly the duplicated span union and stitches the rest") {
+    val m = removal(Seq(
+      1L -> "alpha beta gamma delta epsilon tail1 tail2", // 5-pos dup prefix
+      2L -> "head1 alpha beta gamma delta epsilon",       // 5-pos dup suffix
+      3L -> "unique words here nothing repeats at all",   // untouched
+      4L -> "too short"))                                 // < k → untouched
+    assert(m(1L) == ((7L, 5L, "tail1 tail2")))
+    assert(m(2L) == ((6L, 5L, "head1")))
+    assert(m(3L) == ((7L, 0L, "unique words here nothing repeats at all")))
+    assert(m(4L) == ((2L, 0L, "too short")))
+  }
+
+  test("d14 fully-duplicated docs clean to the empty string") {
+    val m = removal(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta"))
+    assert(m(1L) == ((4L, 4L, "")) && m(2L) == ((4L, 4L, "")))
+  }
+
+  test("d14 on the fixture: n_removed ≡ d6 coverage, clean docs byte-identical, " +
+    "and removal slashes residual coverage") {
+    val docs = Tables(spark, sf, "documents")
+    val d6 = Dedup.dupSpanCoverage(docs, col("doc_id"), col("text"), k = 8)
+      .select(col("doc_id"), col("n_dup_pos")).as[(Long, Long)].collect().toMap
+    val d14 = Dedup.dupSpanRemoval(docs, col("doc_id"), col("text"), k = 8)
+      .select(col("doc_id"), col("n_removed"), col("cleaned"))
+      .as[(Long, Long, String)].collect()
+    // the removed-position union IS d6's covered-position union, per doc
+    assert(d14.forall { case (id, nrem, _) => nrem == d6(id) })
+    // docs d6 calls clean come back byte-identical (modulo the tokenizer's
+    // whitespace normalization, which array_join reapplies)
+    val norm = docs.select(col("doc_id"),
+        array_join(graft.functions.TextFunctions.tokens(col("text")), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(d14.forall { case (id, nrem, cleaned) =>
+      nrem > 0 || cleaned == norm(id) })
+    assert(d14.exists(_._2 > 0) && d14.exists(_._2 == 0))
+    // one removal pass ~eliminates duplicate-span coverage; stitching can
+    // mint new cross-boundary spans (Lee et al. §4 — documented caveat), so
+    // pin a strong reduction, not zero
+    val before = d6.values.sum.toDouble
+    val after = Dedup.dupSpanCoverage(
+        d14.toSeq.toDF("doc_id", "n_removed", "text")
+          .filter(col("text") =!= ""),
+        col("doc_id"), col("text"), k = 8)
+      .agg(sum(col("n_dup_pos"))).as[Long].head().toDouble
+    assert(after < 0.15 * before,
+      s"residual coverage $after vs pre-removal $before")
+  }
+
+  test("x34 block classification: each boilerplate kind dies by its own rule") {
+    import graft.pipeline.HtmlExtract
+    val html =
+      """<html><body><nav><a href="/">home</a> <a href="/x">about</a> <a href="/y">login</a></nav>""" +
+        "<p>the quick brown fox jumps over the lazy dog again and again</p>" +
+        """<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>""" +
+        "<p>a second honest paragraph with the usual run of words in it</p>" +
+        """<footer>copyright 2026 <a href="/t">terms</a> <a href="/p">privacy</a> all rights reserved</footer></body></html>"""
+    val row = Seq(html).toDF("html")
+      .select(
+        HtmlExtract.blockFeatures(col("html")).as("fs"),
+        HtmlExtract.mainContent(col("html")).as("main"))
+      .head()
+    val fs = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(fs.size == 5)
+    // nav: 3 tokens -> fails length (and everything else)
+    assert(fs(0)._2 == 3 && !(fs(0)._2 >= 5))
+    // ads: 8 tokens, 4 anchor tokens -> fails the ≤1/3 link-density rule alone
+    assert(fs(2)._2 == 8 && fs(2)._3 == 4 && fs(2)._3 * 3 > fs(2)._2)
+    // footer: 7 tokens, 2 anchor tokens (passes link), 0 stopwords -> stop rule
+    assert(fs(4)._2 == 7 && fs(4)._3 * 3 <= fs(4)._2 && fs(4)._4 == 0)
+    // both honest paragraphs survive, in order, anchor text retained nowhere
+    assert(row.getString(1) ==
+      "the quick brown fox jumps over the lazy dog again and again " +
+        "a second honest paragraph with the usual run of words in it")
+  }
+
+  test("x34 htmlize variants produce 4/5/6 blocks and survive extraction") {
+    import graft.pipeline.HtmlExtract
+    val out = Seq((0L, "the alpha beta gamma delta a epsilon zeta eta theta"),
+        (1L, "the alpha beta gamma delta a epsilon zeta eta theta"),
+        (2L, "the alpha beta gamma delta a epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
+      .select(col("doc_id"),
+        size(HtmlExtract.blockFeatures(col("html"))).as("nb"),
+        size(HtmlExtract.goodBlocks(col("html"))).as("ng"),
+        HtmlExtract.mainContent(col("html")).as("main"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // variant 0: nav, p1, p2, footer; +ads for v1; +ads+tiny for v2
+    assert(out(0L)._1 == 4 && out(1L)._1 == 5 && out(2L)._1 == 6)
+    // both text halves survive in every variant; chrome never does
+    out.values.foreach { case (_, ng, main) =>
+      assert(ng == 2)
+      assert(main == "the alpha beta gamma delta a epsilon zeta eta theta")
+      assert(!main.contains("subscribe") && !main.contains("copyright") &&
+        !main.contains("home"))
+    }
+  }
+
   test("x12 on the fixture: avg_lp ≤ 0, integer sum consistent, n_toks exact") {
     val out = queries.Registry.byName("x12_unigram_logprob").run(spark, sf)
     val rows = out.collect()

@@ -633,11 +633,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
     graft.Caches.unpersistAll()
     // replay idempotence: re-running the FIRST batch (its sigs already in
-    // the index) rewrites its own keyed outputs and changes no results
+    // the index) rewrites its own keyed outputs and changes no results.
+    // ROW-level, not just set-level (ADVICE r18): the strict-predecessor
+    // index read means the replay recomputes b0's ORIGINAL rows — without
+    // it, b0 would additionally emit b0-vs-b1/b2 pairs that already live
+    // in the later partitions and double-count for row-level readers.
+    def b0Rows() = spark.read.parquet(s"$base/pairs/b0")
+      .select("da", "db", "est_jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val b0Before = b0Rows()
     val first = spark.createDataset(chunks.head.toIndexedSeq)
       .toDF("doc_id", "text")
     graft.streaming.DedupStream.step(first, col("doc_id"), col("text"),
       s"$base/index", s"$base/pairs", batchId = 0L)
+    assert(b0Rows() == b0Before, "replayed batch 0 rewrote different rows")
     assert(pairSet() == oneShot, "replayed batch changed the pair set")
     // index holds exactly one signature row per doc (no duplication)
     val idx = spark.read.option("recursiveFileLookup", "true")

@@ -76,7 +76,7 @@ HOST_CANARIES = [
 
 
 def load_bench(path):
-    per_query, detail, total = {}, {}, None
+    per_query, detail, total, stream = {}, {}, None, None
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -88,7 +88,9 @@ def load_bench(path):
                 detail = d.get("reps_detail", {})
             elif d.get("metric") == "total":
                 total = d.get("value")
-    return per_query, detail, total
+            elif d.get("metric") == "streaming_ingest":
+                stream = d
+    return per_query, detail, total, stream
 
 
 def main():
@@ -110,10 +112,10 @@ def main():
         os.path.join(here, "..", "BENCH_full.json")
     base_path = args[1] if len(args) > 1 else \
         os.path.join(here, "bench_baseline.json")
-    base = json.load(open(base_path))
+    base_raw = json.load(open(base_path))
     # keys starting with "_" are metadata (protocol note), not queries
-    base = {k: v for k, v in base.items() if not k.startswith("_")}
-    queries, detail, total = load_bench(bench_path)
+    base = {k: v for k, v in base_raw.items() if not k.startswith("_")}
+    queries, detail, total, stream = load_bench(bench_path)
 
     # Host factor: median ratio over the FIXED canary set (module docstring).
     # A uniformly slower host inflates the canaries by ~this factor; scaling
@@ -202,6 +204,33 @@ def main():
             else:
                 hard.append((name, sec, best, f"{sec / best:.1f}x all-reps-slow"))
 
+    # Streaming-ingest gate (r18 verdict #2): the ingest metric was a
+    # single-shot rows/s that check_bench ignored entirely, so a 13x
+    # collapse in the r18 driver window raised no flag. With the reps-based
+    # metric (Bench r19) the same median/outlier treatment applies: the
+    # rate is inverse to host speed, so the bar is best_band * 0.5 / factor
+    # (mirrors the 2x-slower wall bar). A rep at/above the bar = the PATH
+    # is fine, the median was ambushed -> soft; all reps below = hard.
+    # Baseline band lives in the baseline json as metadata
+    # ("_streaming_ingest": {"best": rows_per_s}); absent -> no gate.
+    stream_base = base_raw.get("_streaming_ingest", {}).get("best")
+    if stream is not None and stream_base:
+        rate = stream.get("value", -1)
+        sreps = stream.get("reps_detail", [])
+        bar = 0.5 * stream_base / factor
+        if rate < 0:
+            hard.append(("streaming_ingest", rate, stream_base,
+                         "ERROR (a rep failed)"))
+        elif rate < bar:
+            why = (f"{rate:.0f} rows/s vs band {stream_base:.0f} "
+                   f"(bar {bar:.0f})")
+            if sreps and max(sreps) >= bar:
+                soft.append(("streaming_ingest", rate, stream_base,
+                             why + f" outlier-rep (max rep {max(sreps):.0f} ok)"))
+            else:
+                hard.append(("streaming_ingest", rate, stream_base,
+                             why + " all-reps-slow"))
+
     base_total = sum(v["best"] for v in base.values())
     if total is not None:
         print(f"total: {total:.1f}s vs baseline-sum {base_total:.1f}s "
@@ -228,9 +257,15 @@ def main():
     for name, sec in new:
         print(f"new      {name:28s} {sec:7.3f}s (no baseline entry -- add it)")
     for name, sec, best, why in soft:
-        print(f"soft     {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
+        if name == "streaming_ingest":
+            print(f"soft     {name:28s} {why}")
+        else:
+            print(f"soft     {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
     for name, sec, best, why in hard:
-        print(f"REGRESS  {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
+        if name == "streaming_ingest":
+            print(f"REGRESS  {name:28s} {why}")
+        else:
+            print(f"REGRESS  {name:28s} {sec:7.3f}s vs best {best:.3f}s  {why}")
     missing = sorted(set(base) - set(queries))
     # A deliberately-filtered run (--allow-missing) would print hundreds of
     # missing lines; the count in the summary line suffices there.
