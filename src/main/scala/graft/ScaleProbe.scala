@@ -126,6 +126,89 @@ object ScaleProbe {
     graft.dedup.MinHashDedup.banded(spark.read.parquet(s"$d13Idx/sigsNx"), 64, 8)
       .write.mode("overwrite").parquet(s"$d13Idx/bandsNx")
 
+    // j9 bucket-dial probe support (shape entries below): write both fact
+    // sides bucketed on the join key at the given bucket count, join
+    // shuffle-free, aggregate. Table/dir names carry bucket count + pid;
+    // dirs are removed with the d13 index at the end of main.
+    def nextPow2(n: Int): Int = Integer.highestOneBit(math.max(1, n - 1)) * 2
+    val dialBuckets = nextPow2(math.max(8, 8 * xf / 10))
+    val pid = ProcessHandle.current().pid()
+    val j9Base = s"${System.getProperty("java.io.tmpdir")}/graft_probe_bkt_p$pid"
+    def j9Probe(nBuckets: Int): DataFrame = {
+      graft.operators.Bucketing.writeBucketed(
+        orders.select(col("o_orderkey"), col("o_orderpriority")),
+        s"probe_bkt_orders_${nBuckets}_p$pid", nBuckets, "o_orderkey",
+        path = Some(s"$j9Base/orders_$nBuckets"))
+      graft.operators.Bucketing.writeBucketed(
+        lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        s"probe_bkt_lineitem_${nBuckets}_p$pid", nBuckets, "o_orderkey",
+        path = Some(s"$j9Base/lineitem_$nBuckets"))
+      // The derived orders side COMPRESSES under the 10 MB broadcast bar
+      // even at 15 M rows, so Spark would quietly flip to a broadcast join
+      // and the probe would measure nothing about bucket co-location; at
+      // 100 TB no fact side broadcasts. Pin the at-scale strategy for the
+      // probe's session (restored after — registry queries are untouched).
+      val prevBt = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqeBt =
+        spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = graft.operators.Bucketing.bucketJoin(spark,
+            s"probe_bkt_orders_${nBuckets}_p$pid",
+            s"probe_bkt_lineitem_${nBuckets}_p$pid", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue_cents"))
+        // read-side evidence: the bucketed scans feed the SortMergeJoin
+        // pre-partitioned, so the ONLY shuffle Exchange in the plan belongs
+        // to the 5-row groupBy (no broadcast anywhere)
+        val plan = joined.queryExecution.executedPlan.toString
+        val nEx = "Exchange".r.findAllIn(plan).size
+        val nB = "BroadcastExchange".r.findAllIn(plan).size
+        println(s"[scaleprobe] j9 buckets=$nBuckets join-plan exchanges=$nEx " +
+          s"broadcasts=$nB (expect 1/0: the groupBy; the join is " +
+          "bucket-co-located)")
+        // run the expensive work INSIDE the conf pins and hand the harness
+        // a 5-row LOCAL frame — its noop save must not re-execute the join
+        // with the restored (broadcast-happy) session confs
+        val out = joined.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq), joined.schema)
+      } finally {
+        prevBt.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        prevAqeBt.fold(
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      }
+    }
+
+    // percolator probe support (shape entries below): an n-query store —
+    // every query is 2-term conjunctive; 1 in 200 pairs two real corpus
+    // tokens (matchable), the rest pair a real token with a synthetic
+    // "alert<i>" term that no document contains (never matches, which is
+    // the alerting fleet's steady state; the scan cost is identical).
+    def percolateProbe(nQueries: Int): DataFrame = {
+      val vocab = Tables(spark, sfDir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+        .distinct().orderBy(col("term"))
+        .collect().map(_.getString(0)).toSeq
+      val v = typedLit(vocab)
+      val t1 = element_at(v, (col("id") % vocab.size).cast("int") + 1)
+      val t2 = when(col("id") % 200 === 0,
+          element_at(v, ((col("id") * 7 + 3) % vocab.size).cast("int") + 1))
+        .otherwise(concat(lit("alert"), col("id")))
+      val store = graft.streaming.Percolator.compileStore(
+        spark.range(nQueries).select(col("id").as("query_id"),
+            explode(array(t1, t2)).as("term")))
+      graft.streaming.Percolator.matchDocs(
+        docs.select(col("doc_id"), col("text")), store)
+    }
+
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
     val probes: Seq[(String, () => DataFrame)] = Seq[(String, () => DataFrame)](
@@ -263,6 +346,33 @@ object ScaleProbe {
       }),
       "v9_knn_join_shape" -> (() => graft.similarity.Ann.knnJoinLshMd5(
         emb, col("vec_id"), col("embedding"), k = 5)),
+      // r19 (r18 verdict #6): the j9 bucket-count DIAL, measured. The
+      // committed 30× step attributed j9's 4.44× wall over 3× data to the
+      // one-time bucketed WRITE sorting 18 M rows into a FIXED 8 buckets
+      // (per-bucket sort leaves memory and spills); the documented
+      // production dial is buckets ∝ data. Two shapes over the SAME
+      // derived tables: fixed 8 vs next-pow2(8·xf/10) (8 at 10×, 32 at
+      // 30×). Claims under test: (a) the dialed write's per-bucket sort
+      // fits memory again, so its wall at 30× drops toward the linear
+      // step; (b) the read-side join is Exchange-free at EITHER bucket
+      // count (exchange count printed; only the final groupBy exchanges).
+      "j9_bucket_fixed8_shape" -> (() => j9Probe(8)),
+      "j9_bucket_dial_shape" -> (() => j9Probe(dialBuckets)),
+      // r19 stretch (r18 verdict #8): percolator at the ES alerting-fleet
+      // store size. t23/t31 gate correctness on a 10×2-term store; these
+      // probe the ROW-form matcher (Percolator.matchDocs — broadcast store,
+      // stateless scan) at 10³ and 10⁴ registered queries over the 10×
+      // corpus. Per-doc cost is store-linear BY CONSTRUCTION, so the pair
+      // measures the slope; queries are mostly non-matching (one synthetic
+      // term each — the realistic alerting posture) with a seeded matchable
+      // handful so the hit path executes. The store row is ~60 B compiled
+      // (two terms + id), so 10⁴ queries broadcast at ~1 MB: the 8 GB
+      // broadcast ceiling sits near 10⁸ registered queries — far beyond any
+      // alerting fleet; past it (or past where the scan slope hurts) the
+      // documented fallback is t23's postings-join form, whose cost scales
+      // with MATCHING pairs instead of docs × queries.
+      "t31_percolate_1k_shape" -> (() => percolateProbe(1000)),
+      "t31_percolate_10k_shape" -> (() => percolateProbe(10000)),
       // round-9 additions: the MG sketch must absorb 10× stream length with
       // the same ≤k driver state (candidate count bounded by construction),
       // and PQ at scale trains on a SAMPLE (the production posture — the
@@ -554,7 +664,9 @@ object ScaleProbe {
         try {
           mk().write.mode("overwrite").format("noop").save()
           math.rint((System.nanoTime() - t0) / 1e6) / 1e3
-        } catch { case _: Throwable => -1.0 }
+        } catch { case t: Throwable =>
+          println(s"[scaleprobe] $name FAILED: $t"); -1.0
+        }
         finally Caches.unpersistAll()
       System.gc()
       println(s"[scaleprobe] $name: ${sec}s")
@@ -621,6 +733,11 @@ object ScaleProbe {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
     }
     rm(new java.io.File(d13Idx))
+    Seq(8, dialBuckets).distinct.foreach { nb =>
+      spark.sql(s"DROP TABLE IF EXISTS probe_bkt_orders_${nb}_p$pid")
+      spark.sql(s"DROP TABLE IF EXISTS probe_bkt_lineitem_${nb}_p$pid")
+    }
+    rm(new java.io.File(j9Base))
     spark.stop()
   }
 }

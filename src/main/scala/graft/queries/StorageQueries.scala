@@ -56,6 +56,12 @@ object StorageQueries extends QueryGroup {
     // J9 — bucketed co-located join: both fact tables written bucketed+sorted
     // on the join key, then joined shuffle-free (no Exchange in the plan —
     // asserted in OperatorSpec). Same result contract as j2's shuffle join.
+    // Bucket-count dial, measured at 30× (ScaleProbe j9_bucket_*_shape,
+    // BASELINE.md r19): the write cost tracks the task-partition SORT and is
+    // insensitive-to-mildly-negative in bucket count (8→32 = +16% wall, 4×
+    // the files) — Spark sorts the whole write task regardless of buckets,
+    // so choose bucket count for READ-side parallelism and file sizes, not
+    // write memory; the join stays Exchange-free at any count.
     Q("j9_bucketed_join",
       (s, d) => {
         val t = tag(d)
