@@ -153,6 +153,27 @@ class DedupFacadeSpec extends SparkSuite {
     graft.Caches.unpersistAll()
   }
 
+  test("Dedup.incrementalMinhashPairsBanded: broadcastBatch=false (the " +
+    "large-batch shuffle fallback) returns identical rows") {
+    // ADVICE r18: a batch too big to broadcast must degrade to a shuffled
+    // band join, not fail at the 8 GB ceiling — same pairs either way.
+    val docs = Tables(spark, sf, "documents")
+    val store = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val storeSigs = MinHashDedup.signatures(store, col("doc_id"), col("text"))
+    val storeBands = MinHashDedup.banded(storeSigs, 64, 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def run(bc: Boolean) = Dedup.incrementalMinhashPairsBanded(
+        batch, col("doc_id"), col("text"), storeSigs, storeBands,
+        broadcastBatch = bc)
+      .select("da", "db", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(true)
+    graft.Caches.unpersistAll()
+    val b = run(false)
+    graft.Caches.unpersistAll()
+    assert(a == b && a.nonEmpty)
+  }
+
   test("Dedup.components: chain collapses to min id, singleton keeps its own") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
