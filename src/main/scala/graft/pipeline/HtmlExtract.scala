@@ -109,10 +109,14 @@ object HtmlExtract {
   def mainContent(html: Column): Column =
     array_join(transform(goodBlocks(html), _.getField("txt")), " ")
 
-  /** Deterministic fixture wrapper for the x34 query: wraps `text` (split
-    * in token halves into two paragraphs) in nav/ads/footer chrome chosen
-    * by `id % 3` — variant 0 has no ads block, variant 2 adds a too-short
-    * paragraph. Pure string/array functions so DuckDB reproduces the bytes.
+  /** Deterministic fixture wrapper for the x34/x35 queries: wraps `text`
+    * (split in token halves into two paragraphs) in nav/ads/footer chrome
+    * chosen by `id % 3` — variant 0 has no ads block, variant 2 adds a
+    * too-short paragraph BETWEEN the two real paragraphs (so the x35
+    * context-propagation pass has a promotable case while x34's base
+    * classification drops it — the good-block set is order-insensitive, so
+    * x34's result is unaffected by where the chrome sits). Pure
+    * string/array functions so DuckDB reproduces the bytes.
     */
   def htmlize(id: Column, text: Column): Column = {
     val t = TextFunctions.tokens(text)
@@ -125,9 +129,39 @@ object HtmlExtract {
     concat(
       lit("<html><body>"), nav,
       lit("<p>"), p1, lit("</p>"),
-      when(pmod(id, lit(3)) >= 1, ads).otherwise(lit("")),
       when(pmod(id, lit(3)) === 2, lit("<p>ok</p>")).otherwise(lit("")),
       lit("<p>"), p2, lit("</p>"),
+      when(pmod(id, lit(3)) >= 1, ads).otherwise(lit("")),
       footer, lit("</body></html>"))
   }
+
+  /** jusText context propagation (the smoothing pass the base classifier
+    * skips): a NEAR-GOOD block — too short for the length rule (1 ≤ nt < 5)
+    * but with zero anchor tokens — is promoted to good when BOTH immediate
+    * neighbors are base-good (headers and one-line connectors between real
+    * paragraphs survive; short chrome wedged against boilerplate stays
+    * dropped). Still a pure per-row expression: the neighbor lookups are
+    * array indexing inside one transform.
+    *
+    * Returns the (txt, base, keep) struct array; [[mainContentSmoothed]]
+    * reassembles keep=true blocks in order.
+    */
+  def smoothedBlocks(feats: Column): Column = {
+    val g = transform(feats, f => isGood(f))
+    transform(feats, (f, i) =>
+      struct(
+        f.getField("txt").as("txt"),
+        isGood(f).as("base"),
+        (isGood(f) ||
+          (f.getField("nt") >= 1 && f.getField("nt") < 5 &&
+            f.getField("nl") === 0 &&
+            coalesce(get(g, i - 1), lit(false)) &&
+            coalesce(get(g, i + 1), lit(false)))).as("keep")))
+  }
+
+  def mainContentSmoothed(feats: Column): Column =
+    array_join(
+      transform(filter(smoothedBlocks(feats), s => s.getField("keep")),
+        _.getField("txt")),
+      " ")
 }

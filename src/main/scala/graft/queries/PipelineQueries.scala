@@ -1274,9 +1274,9 @@ object PipelineQueries extends QueryGroup {
              |h AS (SELECT doc_id,
              |  '<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/login">login</a></nav><p>' ||
              |  coalesce(array_to_string(toks[1 : (len(toks) + 1) // 2], ' '), '') || '</p>' ||
-             |  CASE WHEN doc_id % 3 >= 1 THEN '<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>' ELSE '' END ||
              |  CASE WHEN doc_id % 3 = 2 THEN '<p>ok</p>' ELSE '' END ||
              |  '<p>' || coalesce(array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 >= 1 THEN '<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>' ELSE '' END ||
              |  '<footer>copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a> all rights reserved</footer></body></html>' AS html
              |  FROM tk),
              |seg AS (SELECT doc_id,
@@ -1310,6 +1310,81 @@ object PipelineQueries extends QueryGroup {
              |       (a, b) -> a + b) AS BIGINT) AS n_tok_kept,
              |  md5(coalesce(array_to_string(list_transform(good, f -> f.txt), ' '), ''))
              |    AS main_md5
-             |FROM cls ORDER BY doc_id""".stripMargin))
+             |FROM cls ORDER BY doc_id""".stripMargin)),
+
+    // x35 — x34 plus jusText's CONTEXT-PROPAGATION pass (the smoothing step
+    // the base classifier skips): near-good blocks (1 ≤ nt < 5, zero anchor
+    // tokens) are promoted when both immediate neighbors are base-good —
+    // headers and one-line connectors between real paragraphs survive,
+    // short chrome wedged against boilerplate stays dropped. The fixture's
+    // variant-2 '<p>ok</p>' sits between the two real paragraphs, so it is
+    // PROMOTED here and dropped by x34 — the differential the two queries
+    // pin. Neighbor lookups are array indexing inside one transform: still
+    // zero-shuffle, one map-side scan.
+    Q("x35_html_extract_smoothed",
+      (s, d) => {
+        import graft.pipeline.HtmlExtract
+        val html = HtmlExtract.htmlize(col("doc_id"), col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"), HtmlExtract.blockFeatures(col("html")).as("fs"))
+          .select(col("doc_id"),
+            size(filter(col("fs"), f => HtmlExtract.isGood(f)))
+              .cast("long").as("n_good_base"),
+            size(filter(HtmlExtract.smoothedBlocks(col("fs")),
+              b => b.getField("keep") && !b.getField("base")))
+              .cast("long").as("n_promoted"),
+            md5(HtmlExtract.mainContentSmoothed(col("fs"))).as("main_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |            FROM documents),
+             |h AS (SELECT doc_id,
+             |  '<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/login">login</a></nav><p>' ||
+             |  coalesce(array_to_string(toks[1 : (len(toks) + 1) // 2], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 = 2 THEN '<p>ok</p>' ELSE '' END ||
+             |  '<p>' || coalesce(array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 >= 1 THEN '<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>' ELSE '' END ||
+             |  '<footer>copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a> all rights reserved</footer></body></html>' AS html
+             |  FROM tk),
+             |seg AS (SELECT doc_id,
+             |  list_filter(
+             |    list_transform(
+             |      string_split_regex(html,
+             |        '(?i)</?(?:p|div|nav|footer|header|section|article|aside|ul|ol|li|h[1-6]|table|tr|td|br|title|head|body|html)[^>]*>'),
+             |      s -> struct_pack(
+             |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+             |        nl := len(list_filter(string_split(coalesce(array_to_string(
+             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |              t -> t <> '')))),
+             |    f -> f.txt <> '') AS segs
+             |  FROM h),
+             |feat AS (SELECT doc_id,
+             |  list_transform(segs, f -> struct_pack(
+             |    txt := f.txt,
+             |    nt := len(list_filter(string_split(f.txt, ' '), t -> t <> '')),
+             |    nl := f.nl,
+             |    ns := len(list_filter(string_split(f.txt, ' '),
+             |           t -> t IN ('the','a','of','and','to','in','is','for','on','with'))))) AS fs
+             |  FROM seg),
+             |gd AS (SELECT doc_id, fs,
+             |  list_transform(fs, f -> f.nt >= 5 AND f.nl * 3 <= f.nt AND f.ns * 40 >= f.nt) AS g
+             |  FROM feat),
+             |sm AS (SELECT doc_id,
+             |  list_transform(fs, (f, i) -> struct_pack(
+             |    txt := f.txt,
+             |    base := g[i],
+             |    keep := g[i] OR (f.nt >= 1 AND f.nt < 5 AND f.nl = 0
+             |                     AND i > 1 AND i < len(fs)
+             |                     AND g[i - 1] AND g[i + 1]))) AS sb
+             |  FROM gd)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(sb, b -> b.base)) AS BIGINT) AS n_good_base,
+             |  CAST(len(list_filter(sb, b -> b.keep AND NOT b.base)) AS BIGINT) AS n_promoted,
+             |  md5(coalesce(array_to_string(
+             |    list_transform(list_filter(sb, b -> b.keep), b -> b.txt), ' '), ''))
+             |    AS main_md5
+             |FROM sm ORDER BY doc_id""".stripMargin))
   )
 }

@@ -146,6 +146,42 @@ class QualitySignalsSpec extends SparkSuite {
     }
   }
 
+  test("x35 context propagation: near-good promoted only between good neighbors") {
+    import graft.pipeline.HtmlExtract
+    def smooth(html: String): (Long, Long, String) = {
+      val r = Seq(html).toDF("html")
+        .select(HtmlExtract.blockFeatures(col("html")).as("fs"))
+        .select(
+          size(filter(col("fs"), f => HtmlExtract.isGood(f))).cast("long"),
+          size(filter(HtmlExtract.smoothedBlocks(col("fs")),
+            b => b.getField("keep") && !b.getField("base"))).cast("long"),
+          HtmlExtract.mainContentSmoothed(col("fs")))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    }
+    val p1 = "<p>the quick brown fox jumps over the lazy dog again</p>"
+    val p2 = "<p>a second honest paragraph with the usual run of words</p>"
+    val ads = """<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>"""
+    // header wedged between two good paragraphs -> promoted
+    assert(smooth(s"$p1<h2>results overview</h2>$p2") ==
+      ((2L, 1L,
+        "the quick brown fox jumps over the lazy dog again results overview " +
+          "a second honest paragraph with the usual run of words")))
+    // same short block next to boilerplate -> stays dropped
+    assert(smooth(s"$p1<h2>results overview</h2>$ads$p2")._2 == 0L)
+    // edge block (no left neighbor) never promoted
+    assert(smooth(s"<h2>results overview</h2>$p1$p2")._2 == 0L)
+    // short LINK block between good paragraphs stays dropped (nl > 0)
+    assert(smooth(s"""$p1<p><a href="/x">next page</a></p>$p2""")._2 == 0L)
+    // x35 on the htmlize fixture: variant 2's tiny paragraph is promoted
+    val v2 = Seq((2L, "the alpha beta gamma delta a epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .select(HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
+      .select(HtmlExtract.blockFeatures(col("html")).as("fs"))
+      .select(HtmlExtract.mainContentSmoothed(col("fs"))).head().getString(0)
+    assert(v2 == "the alpha beta gamma delta ok a epsilon zeta eta theta")
+  }
+
   test("x12 on the fixture: avg_lp ≤ 0, integer sum consistent, n_toks exact") {
     val out = queries.Registry.byName("x12_unigram_logprob").run(spark, sf)
     val rows = out.collect()
