@@ -1385,6 +1385,131 @@ object PipelineQueries extends QueryGroup {
              |  md5(coalesce(array_to_string(
              |    list_transform(list_filter(sb, b -> b.keep), b -> b.txt), ' '), ''))
              |    AS main_md5
-             |FROM sm ORDER BY doc_id""".stripMargin))
+             |FROM sm ORDER BY doc_id""".stripMargin)),
+
+    // x36 — the web-corpus curation chain END-TO-END with per-stage
+    // attribution (the x24 report over the r19 operators): HTML extraction
+    // (x34) → duplicate-span removal (d14, over the EXTRACTED corpus) →
+    // quality rules on the CLEANED text → exact dedup on the cleaned key →
+    // kept. Each doc is attributed to the FIRST stage that drops it, so the
+    // report says exactly where a source's mass dies — the yield audit a
+    // pipeline owner reads before a training run. Scale shape: extraction
+    // is map-side, span removal is d14's keyed shuffles, rules map-side,
+    // dedup one window over the cleaned-text key — nothing pairwise.
+    Q("x36_curation_from_html",
+      (s, d) => {
+        import graft.pipeline.HtmlExtract
+        val ext = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
+          .select(col("doc_id"), col("source"),
+            HtmlExtract.mainContent(col("html")).as("etext"))
+          .withColumn("en", size(TextFunctions.tokens(col("etext"))))
+        val cleanedCols = graft.dedup.Dedup.dupSpanRemoval(
+          ext.filter(col("en") > 0), col("doc_id"), col("etext"), k = 8)
+        val f = ext.join(
+            cleanedCols.select(col("doc_id"), col("n_removed"), col("cleaned")),
+            Seq("doc_id"), "left_outer")
+          .withColumn("c", coalesce(col("cleaned"), lit("")))
+          .withColumn("ctoks", TextFunctions.tokens(col("c")))
+          .withColumn("r1", col("en") >= 10)
+          .withColumn("r2", !(coalesce(col("n_removed"), lit(0L)) * 2 > col("en")))
+          .withColumn("r3",
+            size(col("ctoks")) >= 10 &&
+              size(array_distinct(col("ctoks"))) * 10 >= size(col("ctoks")) * 3)
+        val pass = col("r1") && col("r2") && col("r3")
+        f.withColumn("rep_id",
+            min(when(pass, col("doc_id")))
+              .over(Window.partitionBy(md5(col("c")))))
+          .withColumn("stage",
+            when(!col("r1"), "1_extraction")
+              .when(!col("r2"), "2_dup_spans")
+              .when(!col("r3"), "3_rules")
+              .when(col("doc_id") =!= col("rep_id"), "4_duplicate")
+              .otherwise("5_kept"))
+          .groupBy(col("source"), col("stage"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("stage"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |            FROM documents),
+             |h AS (SELECT doc_id, source,
+             |  '<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/login">login</a></nav><p>' ||
+             |  coalesce(array_to_string(toks[1 : (len(toks) + 1) // 2], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 = 2 THEN '<p>ok</p>' ELSE '' END ||
+             |  '<p>' || coalesce(array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' '), '') || '</p>' ||
+             |  CASE WHEN doc_id % 3 >= 1 THEN '<div><a href="/buy">buy now</a> <a href="/sub">subscribe today</a> limited offer click here</div>' ELSE '' END ||
+             |  '<footer>copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a> all rights reserved</footer></body></html>' AS html
+             |  FROM tk),
+             |seg AS (SELECT doc_id, source,
+             |  list_filter(
+             |    list_transform(
+             |      string_split_regex(html,
+             |        '(?i)</?(?:p|div|nav|footer|header|section|article|aside|ul|ol|li|h[1-6]|table|tr|td|br|title|head|body|html)[^>]*>'),
+             |      s -> struct_pack(
+             |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+             |        nl := len(list_filter(string_split(coalesce(array_to_string(
+             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |              t -> t <> '')))),
+             |    f -> f.txt <> '') AS segs
+             |  FROM h),
+             |ex AS (SELECT doc_id, source,
+             |  coalesce(array_to_string(list_transform(list_filter(
+             |    list_transform(segs, f -> struct_pack(
+             |      txt := f.txt,
+             |      nt := len(list_filter(string_split(f.txt, ' '), t -> t <> '')),
+             |      nl := f.nl,
+             |      ns := len(list_filter(string_split(f.txt, ' '),
+             |             t -> t IN ('the','a','of','and','to','in','is','for','on','with'))))),
+             |    f -> f.nt >= 5 AND f.nl * 3 <= f.nt AND f.ns * 40 >= f.nt),
+             |    f -> f.txt), ' '), '') AS etext
+             |  FROM seg),
+             |e2 AS (SELECT doc_id, source,
+             |              list_filter(string_split(etext, ' '), t -> t <> '') AS etoks
+             |       FROM ex),
+             |z AS (SELECT doc_id, etoks AS toks, len(etoks) AS n FROM e2 WHERE len(etoks) > 0),
+             |sspan AS (SELECT doc_id, n, unnest(range(0, n - 8 + 1)) AS pos, toks
+             |          FROM z WHERE n >= 8),
+             |sp AS (SELECT doc_id, pos,
+             |              array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+             |       FROM sspan),
+             |dup AS (SELECT span FROM sp GROUP BY span HAVING min(doc_id) <> max(doc_id)),
+             |rem AS (SELECT DISTINCT doc_id, p FROM
+             |        (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+             |         FROM sp JOIN dup USING (span))),
+             |remc AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id),
+             |posn AS (SELECT doc_id, unnest(range(0, n)) AS p, toks FROM z),
+             |kept AS (SELECT doc_id, p, toks[p + 1] AS tok FROM posn
+             |         WHERE NOT EXISTS (SELECT 1 FROM rem
+             |                           WHERE rem.doc_id = posn.doc_id
+             |                             AND rem.p = posn.p)),
+             |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+             |       FROM kept GROUP BY doc_id),
+             |f AS (SELECT e2.doc_id, e2.source,
+             |             len(e2.etoks) >= 10 AS r1,
+             |             NOT (coalesce(remc.nrem, 0) * 2 > len(e2.etoks)) AS r2,
+             |             coalesce(ka.cleaned, '') AS c
+             |      FROM e2
+             |      LEFT JOIN remc ON e2.doc_id = remc.doc_id
+             |      LEFT JOIN ka ON e2.doc_id = ka.doc_id),
+             |f2 AS (SELECT *,
+             |              list_filter(string_split(c, ' '), t -> t <> '') AS ctoks
+             |       FROM f),
+             |f3 AS (SELECT doc_id, source, r1, r2, c,
+             |              (len(ctoks) >= 10 AND
+             |               len(list_distinct(ctoks)) * 10 >= len(ctoks) * 3) AS r3
+             |       FROM f2),
+             |g AS (SELECT *, min(CASE WHEN r1 AND r2 AND r3 THEN doc_id END)
+             |               OVER (PARTITION BY md5(c)) AS rep_id
+             |      FROM f3)
+             |SELECT source,
+             |       CASE WHEN NOT r1 THEN '1_extraction'
+             |            WHEN NOT r2 THEN '2_dup_spans'
+             |            WHEN NOT r3 THEN '3_rules'
+             |            WHEN doc_id <> rep_id THEN '4_duplicate'
+             |            ELSE '5_kept' END AS stage,
+             |       count(*) AS n_docs
+             |FROM g GROUP BY 1, 2 ORDER BY source, stage""".stripMargin))
   )
 }
