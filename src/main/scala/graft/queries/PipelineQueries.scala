@@ -1254,13 +1254,19 @@ object PipelineQueries extends QueryGroup {
     // AND reassembly order under the hash gate.
     Q("x34_html_extract",
       (s, d) => {
-        val html = graft.pipeline.HtmlExtract.htmlize(col("doc_id"), col("text"))
-        val good = graft.pipeline.HtmlExtract.goodBlocks(col("html"))
+        import graft.pipeline.HtmlExtract
+        // materialize the feature array ONCE per row (x35 precedent): the
+        // regex-heavy segmentation runs in its own projection, and the four
+        // output columns derive from the cheap materialized array — a
+        // projection that inlined blockFeatures(html) four times measured
+        // 2× slower (r19 bench)
+        val good = filter(col("fs"), f => HtmlExtract.isGood(f))
         Tables(s, d, "documents")
-          .select(col("doc_id"), html.as("html"))
           .select(col("doc_id"),
-            size(graft.pipeline.HtmlExtract.blockFeatures(col("html")))
-              .cast("long").as("n_blocks"),
+            HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
+          .select(col("doc_id"), HtmlExtract.blockFeatures(col("html")).as("fs"))
+          .select(col("doc_id"),
+            size(col("fs")).cast("long").as("n_blocks"),
             size(good).cast("long").as("n_good"),
             aggregate(good, lit(0L),
               (acc, f) => acc + f.getField("nt")).as("n_tok_kept"),
