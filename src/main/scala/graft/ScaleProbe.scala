@@ -76,6 +76,15 @@ object ScaleProbe {
     val docsRaw = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
       .withColumn("text", concat(col("text"), lit(" variant"), col("rep"))).drop("rep")
     val docs = docsRaw.repartition(nPart)
+    // linear-growth corpus for the prefix-family probes (shapes below):
+    // token-level family salting (family = rep div 2) makes each 2-member
+    // family a vocabulary island — true pairs ∝ xf, df per term flat
+    val docsLinear = expand(Tables(spark, sfDir, "documents"), xf, Seq("doc_id"))
+      .withColumn("text", concat(
+        array_join(transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => concat(t, lit("g"), (col("rep") / 2).cast("long"))), " "),
+        lit(" variant"), col("rep")))
+      .drop("rep").repartition(nPart)
     val emb = expand(Tables(spark, sfDir, "embeddings"), xf, Seq("vec_id"))
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
@@ -96,6 +105,22 @@ object ScaleProbe {
     // probe below then times ONLY what an arriving batch costs against it.
     val d13Idx = s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_probe_mhidx_p${ProcessHandle.current().pid()}"
+    // Crash-safe scratch cleanup (r19 advice residue): the pid suffix means
+    // a killed run is never overwritten by the next one, so staged indexes
+    // leaked unboundedly in java.io.tmpdir whenever a probe died mid-run.
+    // A shutdown hook removes both scratch roots on EVERY exit path
+    // (exception, SIGTERM, success); the happy-path cleanup at the end of
+    // main stays because it also drops the bucket-table catalog entries
+    // while the session is still alive.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rmq(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmq)
+        f.delete(); ()
+      }
+      rmq(new java.io.File(d13Idx))
+      rmq(new java.io.File(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_probe_bkt_p${ProcessHandle.current().pid()}"))
+    }))
     graft.dedup.MinHashDedup.signatures(
         docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0),
         col("doc_id"), col("text"))
@@ -278,6 +303,23 @@ object ScaleProbe {
           spark.read.parquet(s"$d13Idx/bandsNx"))),
       "d2_prefix_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
         docs, col("doc_id"), col("text"), 0.8)),
+      // r20 (r19 verdict #3): the LINEAR-growth fixture for the prefix
+      // family. The replication fixture above grows TRUE pairs ∝ xf²
+      // (every original doc becomes an xf-member near-dup family), so its
+      // wall step conflates plan cost with output volume — d12's 1.70 step
+      // at 30× tracked candidates exactly. Here the corpus grows by adding
+      // NEW documents instead: each rep's tokens are salted with a
+      // family id (rep div 2), so reps (0,1), (2,3), … form disjoint
+      // 2-member near-dup families with DISJOINT vocabularies — true pairs
+      // and candidates grow ∝ xf (one pair per family), vocabulary grows
+      // with the corpus, per-term df stays flat (the real shape of a web
+      // corpus growing by crawl, where new pages bring new vocabulary).
+      // A wall step ≳ xf-ratio here is PLAN cost, not output volume.
+      "d2_prefix_linear_shape" -> (() => graft.dedup.Dedup.jaccardPairsPrefix(
+        docsLinear, col("doc_id"), col("text"), 0.8)),
+      "d12_prefix_linear_shape" -> (() =>
+        graft.dedup.Dedup.containmentPairsPrefix(
+          docsLinear, col("doc_id"), col("text"), 0.8)),
       // the same operator under the PRODUCTION blocking the d2 registry
       // query uses (lang × source): per-block df collapses ~20×, candidate
       // volume ~400× — the delta between these two probes measures exactly

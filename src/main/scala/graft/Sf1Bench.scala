@@ -40,12 +40,18 @@ object Sf1Bench {
   // shuffle bytes must read ZERO at both scales, the whole point of the
   // per-row design) and d14_dup_span_removal (d6's span shuffle + keyed
   // join-back — bytes must step linearly).
+  // r20 additions (r19 verdict #8): the agg-heavy families were the one
+  // shape class the e2e artifacts didn't cover — a38_frequent_pairs (the
+  // only agg with a pair space: user-co-partitioned self-join over
+  // distinct (user, event_type)) and a51_ks_test (per-type replicated
+  // baseline + one windowed ecdf sort).
   private val TopQueries = Seq(
     "d12_containment_prefix", "d2_jaccard_prefix", "j13_interval_overlap",
     "v11_pq_adc", "a41_variable_width_histogram", "x13_bpe_apply",
     "j11_fuzzy_join", "j9_bucketed_join", "k1_es_upsert_roundtrip",
     "m3_phash_pairs", "m3_phash_pairs_distinct",
-    "x34_html_extract", "d14_dup_span_removal")
+    "x34_html_extract", "d14_dup_span_removal",
+    "a38_frequent_pairs", "a51_ks_test")
 
   private def expand(df: DataFrame, xf: Int, keyCols: Seq[String]): DataFrame = {
     val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(xf - 1L))))
@@ -84,6 +90,15 @@ object Sf1Bench {
     // ---- stage the derived sf1 tables (untimed) ----
     val sf1Dir = s"${System.getProperty("java.io.tmpdir")}/graft_sf1_x${xf}" +
       s"_p${ProcessHandle.current().pid()}"
+    // crash-safe scratch cleanup (same r20 fix as ScaleProbe): the staged
+    // tables are multi-GB and pid-suffixed — a killed run must not leak them
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rmq(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmq)
+        f.delete(); ()
+      }
+      rmq(new java.io.File(sf1Dir))
+    }))
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$sf1Dir/$name.parquet")
     // dims copy through unchanged (dims stay dims at any SF)

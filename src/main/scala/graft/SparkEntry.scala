@@ -52,8 +52,15 @@ object SparkEntry {
     * d12_containment_prefix (containment), d3_dedup_groups_lsh (clusters),
     * d10_dedup_yield_lsh (yield report). Bench includes them anyway under
     * SPARK_GRAFT_BENCH_ALL=1 or an explicit SPARK_GRAFT_BENCH_ONLY filter.
+    *
+    * m3_phash_pairs joined in r20 (r19 verdict #2): its doc-level pair
+    * enumeration measured 36.9× at 10× data (BENCH_sf1_full.json) and was
+    * excluded from the 30× artifact by its own documented cliff (459 s in
+    * the 10× probe on the low-entropy fixture) — same truth-definition
+    * shape as the d2/d3/d10/d12 family. Its distinct-hash scale twin
+    * m3_phash_pairs_distinct (flat 2.35 → 2.14 s at 30×) stays benched.
     */
   val benchExcluded: Set[String] =
     Set("d2_jaccard_neardup", "d3_dedup_groups", "d10_dedup_yield",
-      "d12_containment")
+      "d12_containment", "m3_phash_pairs")
 }

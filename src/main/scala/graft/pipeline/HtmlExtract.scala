@@ -35,6 +35,13 @@ import graft.functions.TextFunctions
   * Approximation vs full jusText, documented: no context propagation (the
   * short-good/near-good smoothing pass) — each block is classified
   * independently, which keeps the operator a pure per-row expression.
+  * Anchor-text extraction is case-insensitive (`(?i)`, matching the block
+  * segmenter — so `<A HREF>` counts as link tokens, r19 advice #2) but
+  * still misses anchors whose text contains nested inline tags
+  * (`<a><b>x</b></a>` — the `[^<]*` body stops at the first tag); those
+  * tokens count as content, slightly under-counting link density. A full
+  * fix needs a recursive parse, which a single regex (and the mirrored
+  * DuckDB oracle) cannot express.
   *
   * The x34 registry query synthesizes deterministic HTML around
   * `documents.text` executor-side (the m1 derive-fixture-deterministically
@@ -74,7 +81,7 @@ object HtmlExtract {
         struct(
           strip(seg).as("txt"),
           size(toks(array_join(
-            regexp_extract_all(seg, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+            regexp_extract_all(seg, lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)),
             " "))).as("nl"))),
       f => f.getField("txt") =!= "")
     val withToks = transform(withLink, f =>

@@ -1293,7 +1293,7 @@ object PipelineQueries extends QueryGroup {
              |      s -> struct_pack(
              |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
              |        nl := len(list_filter(string_split(coalesce(array_to_string(
-             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |                regexp_extract_all(s, '(?i)<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
              |              t -> t <> '')))),
              |    f -> f.txt <> '') AS segs
              |  FROM h),
@@ -1362,7 +1362,7 @@ object PipelineQueries extends QueryGroup {
              |      s -> struct_pack(
              |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
              |        nl := len(list_filter(string_split(coalesce(array_to_string(
-             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |                regexp_extract_all(s, '(?i)<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
              |              t -> t <> '')))),
              |    f -> f.txt <> '') AS segs
              |  FROM h),
@@ -1456,7 +1456,7 @@ object PipelineQueries extends QueryGroup {
              |      s -> struct_pack(
              |        txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
              |        nl := len(list_filter(string_split(coalesce(array_to_string(
-             |                regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
+             |                regexp_extract_all(s, '(?i)<a[^>]*>([^<]*)</a>', 1), ' '), ''), ' '),
              |              t -> t <> '')))),
              |    f -> f.txt <> '') AS segs
              |  FROM h),

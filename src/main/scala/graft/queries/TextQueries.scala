@@ -126,18 +126,27 @@ object TextQueries extends QueryGroup {
               |SELECT bigram, count(*) AS cnt FROM b
               |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
-    // X1 — quality scoring for training-data filtering.
+    // X1 — quality scoring for training-data filtering. The token array is
+    // materialized in its own projection (x34 precedent, r19 verdict #1):
+    // higher-order `filter(split(...))` does NOT reliably CSE, so a single
+    // projection that referenced tokens(text) in four output expressions
+    // ran the split+filter four times per row. Stage 1 tokenizes once;
+    // stage 2 derives the two counts; stage 3 is cheap arithmetic.
+    // CollapseProject keeps the stages separate because __toks/__nsw are
+    // non-cheap and multiply-referenced.
     Q("x1_quality_score",
-      (s, d) => {
-        val t = TextFunctions.tokens(col("text"))
+      (s, d) =>
         Tables(s, d, "documents")
-          .select(col("doc_id"),
-            size(t).as("n_tokens"),
-            round(length(col("text")).cast("double") / size(t), 6).as("chars_per_token"),
-            TextFunctions.stopwordCount(t).as("n_stopwords"),
-            round(TextFunctions.stopwordCount(t).cast("double") / size(t), 6).as("stopword_ratio"))
-          .orderBy(col("doc_id"))
-      },
+          .select(col("doc_id"), length(col("text")).as("__nc"),
+            TextFunctions.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("__nc"),
+            size(col("__toks")).as("n_tokens"),
+            TextFunctions.stopwordCount(col("__toks")).as("n_stopwords"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("__nc").cast("double") / col("n_tokens"), 6).as("chars_per_token"),
+            col("n_stopwords"),
+            round(col("n_stopwords").cast("double") / col("n_tokens"), 6).as("stopword_ratio"))
+          .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $tok AS toks FROM documents),
               |     q AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
               |                  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS n_stopwords

@@ -214,6 +214,12 @@ def main():
     # Baseline band lives in the baseline json as metadata
     # ("_streaming_ingest": {"best": rows_per_s}); absent -> no gate.
     stream_base = base_raw.get("_streaming_ingest", {}).get("best")
+    if stream is not None and not stream_base:
+        # r19 advice #3: a baseline regeneration that drops the band must
+        # not silently disable the gate -- surface it like unknown queries.
+        print("new      streaming_ingest               "
+              f"{stream.get('value', -1):.0f} rows/s "
+              "(no baseline band -- add _streaming_ingest to the baseline)")
     if stream is not None and stream_base:
         rate = stream.get("value", -1)
         sreps = stream.get("reps_detail", [])

@@ -88,11 +88,23 @@ def main():
     code, out = run(bench, baseline)
     expect("query-all-reps-slow", code, 1, out, want_sub="REGRESS  q1")
 
+    # 5. baseline WITHOUT the _streaming_ingest band: the gate must not
+    #    silently vanish — a 'new streaming_ingest' line is printed like
+    #    unknown queries (r19 advice #3). Exit stays 0: a missing band is
+    #    a bookkeeping nudge, not a regression.
+    bare = os.path.join(tmp, "baseline_noband.json")
+    json.dump({"q1": {"best": 0.5}}, open(bare, "w"))
+    write_bench(bench, {"q1": 0.5}, {"q1": [0.5, 0.5, 0.5]},
+                2490, [2100, 2490, 2600])
+    code, out = run(bench, bare)
+    expect("ingest-no-baseline-band", code, 0, out,
+           want_sub="new      streaming_ingest")
+
     if failures:
         print("\n\n".join(failures))
         print(f"== check_bench fixture tests: {len(failures)} FAILED")
         sys.exit(1)
-    print("== check_bench fixture tests: 4/4 ok")
+    print("== check_bench fixture tests: 5/5 ok")
 
 
 if __name__ == "__main__":
