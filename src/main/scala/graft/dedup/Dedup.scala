@@ -576,7 +576,7 @@ object Dedup {
       storeSigs: DataFrame, storeBands: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
       minEstJaccard: Double = 0.5,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Option[Boolean] = None): DataFrame = {
     val newSigs = graft.Caches.track(
       MinHashDedup.signatures(newDocs, id, text, numHashes))
     val newBands = MinHashDedup.banded(newSigs, numHashes, bands)
@@ -592,7 +592,7 @@ object Dedup {
       storeSigs: DataFrame, storeBands: DataFrame,
       numHashes: Int = 64, bands: Int = 8,
       minEstJaccard: Double = 0.5,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Option[Boolean] = None): DataFrame = {
     val newSigs = graft.Caches.track(newDocs.select(id.as("doc_id"),
       MinHashDedup.signatureMd5(text, numHashes).as("sig")))
     val newBands =
@@ -627,26 +627,39 @@ object Dedup {
     * corpus-proportional work is two columnar index scans — everything
     * shuffled is ∝ batch (measured: ScaleProbe d13_incremental_shape).
     *
-    * Contract notes (ADVICE r18): (a) this method is EAGER — the candidate
-    * probe runs at DataFrame-construction time (the count below), so even a
-    * caller that only wants the plan pays the band join; the returned frame
-    * is then cheap to consume. (b) The batch-broadcast posture assumes the
-    * DOCUMENTED small-batch shape (a daily/hourly ingest slice): a batch
-    * whose band table exceeds the driver/8 GB broadcast ceiling fails
-    * outright rather than degrading. Callers feeding large batches
-    * (backfills, replays of whole days) pass `broadcastBatch = false` on
-    * the public entry points — the band probe becomes a plain shuffled hash
-    * join on (band, band_hash) and the id-prune semi-joins stay broadcast
-    * only if AQE deems the candidate id set small; same rows either way.
+    * Contract notes (ADVICE r18/r19): (a) `broadcastBatch = None` (the
+    * default) AUTO-SELECTS the batch posture from the batch's own size —
+    * one batch-proportional `count()` of the band table (the signatures it
+    * forces are cached and reused by the main plan), compared at a
+    * conservative ~64 B/row against `graft.dedup.broadcastBatchMaxBytes`
+    * (default 256 MB, far under the 8 GB broadcast hard cap and default
+    * driver memory). Small batches (daily/hourly ingest slices) broadcast
+    * and probe the store MAP-SIDE; large ones (backfills, whole-day
+    * replays) fall back to a plain shuffled hash join on (band, band_hash)
+    * instead of dying at the broadcast ceiling — same rows either way
+    * (DedupSpec pins Some(true) ≡ Some(false); the id-prune semi-joins
+    * follow the same selection, with AQE free to re-promote). Explicit
+    * Some(…) skips the count — the fully-lazy path. (b) The candidate
+    * frame is a TRACKED cache consumed by three dependent subplans (two
+    * broadcast id-prunes + the join spine) that execute concurrently; the
+    * former eager `count()` that pre-materialized it is gone (r19 advice
+    * residue) — BlockManager's per-block getOrElseUpdate locking already
+    * guarantees each cached partition is computed once, with concurrent
+    * readers blocking on the lock instead of recomputing.
     */
   private def incrementalPairsCore(
       newBands: DataFrame, allBands: DataFrame, allSigs: DataFrame,
       numHashes: Int, minEstJaccard: Double,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastBatch.getOrElse {
+      val maxBytes = newBands.sparkSession.conf
+        .get("graft.dedup.broadcastBatchMaxBytes", (256L << 20).toString).toLong
+      newBands.count() * 64L <= maxBytes
+    }
     // oriented (new_id, other) candidates; tracked (persisted) — reused
     // three times below (ADVICE r18: track() already persists; the former
     // inner .cache() double-persisted and warned)
-    val probe = if (broadcastBatch) broadcast(newBands) else newBands
+    val probe = if (bcast) broadcast(newBands) else newBands
     val cand = graft.Caches.track(probe
       .join(allBands.select(col("band").as("band_b"),
           col("band_hash").as("band_hash_b"), col("doc_id").as("other")),
@@ -654,14 +667,10 @@ object Dedup {
           col("doc_id") =!= col("other"))
       .select(col("doc_id").as("new_id"), col("other"))
       .distinct())
-    // materialize ONCE before the three dependent subplans (two broadcast
-    // id-prunes + the join spine) — they execute concurrently, and a lazy
-    // cache would let all three race to compute the band probe from scratch
-    cand.count()
     def sigsFor(idCol: String) = {
       val ids = cand.select(col(idCol).as("doc_id")).distinct()
       allSigs.join(
-        if (broadcastBatch) broadcast(ids) else ids,
+        if (bcast) broadcast(ids) else ids,
         Seq("doc_id"), "left_semi")
     }
     // a new-new pair arrives in both orientations with the same rounded
@@ -877,7 +886,9 @@ object Dedup {
     * the span key (min≠max doc detects cross-doc spans), collect each doc's
     * removed-position set (bounded by the doc's own length — never a pair
     * space), then a doc_id-keyed join back to the token arrays where the
-    * excision is a map-side positional filter. All shuffles are keyed; at
+    * excision is a map-side positional filter (hash-based array_except —
+    * linear in doc length, not per-token membership scans). All shuffles
+    * are keyed; at
     * 100 TB the span key becomes xxhash64(span) (same plan, narrower
     * exchange) — raw text is kept here so the whole pipeline sits under the
     * DuckDB differential gate, the same tradeoff d6 documents.
@@ -893,6 +904,33 @@ object Dedup {
     * was duplicated). Docs shorter than k are returned unchanged.
     */
   def dupSpanRemoval(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val (t, rem) = tokensAndRemoved(df, id, text, k)
+    // Excision is genuinely linear per doc (r19 advice #1): kept positions
+    // come from one hash-based array_except(sequence(0, n-1), rem) — NOT a
+    // per-token array_contains scan over the removed set, which was
+    // O(n_toks × n_removed) for long, heavily duplicated docs. array_except
+    // preserves the left array's (ascending) order, so element_at stitching
+    // keeps original token order; sequence has no duplicates, so its dedup
+    // semantics are a no-op here.
+    val remOrEmpty = coalesce(col("rem"), array().cast("array<int>"))
+    val keptPos = array_except(sequence(lit(0), col("n") - 1), remOrEmpty)
+    t.join(rem, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          transform(keptPos, p => element_at(col("toks"), p + 1)),
+          " ").as("cleaned"))
+  }
+
+  /** Shared front of [[dupSpanRemoval]] / [[dupMaximalSpans]]: the tokenized
+    * corpus `t` = (doc_id, toks, n) for docs with ≥1 token, and `rem` =
+    * (doc_id, rem: sorted array<int>) — the union of all token positions
+    * covered by any k-shingle that occurs verbatim in ≥2 distinct documents
+    * (d6's coverage definition). One window shuffle over the span key, one
+    * doc-keyed agg; the per-doc set is bounded by the doc's own length.
+    */
+  private def tokensAndRemoved(df: DataFrame, id: Column, text: Column,
+      k: Int): (DataFrame, DataFrame) = {
     val t = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
@@ -901,7 +939,6 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         expr(s"array_join(slice(toks, pos + 1, $k), ' ')").as("span"))
     val w = Window.partitionBy(col("span"))
-    // per-doc removed-position set, sorted — bounded by the doc's length
     val rem = spans
       .withColumn("mn", min(col("doc_id")).over(w))
       .withColumn("mx", max(col("doc_id")).over(w))
@@ -909,13 +946,51 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("p"))).as("rem"))
-    t.join(rem, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
-        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(col("toks"), (_, i) =>
-            not(array_contains(coalesce(col("rem"), array().cast("array<int>")), i))),
-          " ").as("cleaned"))
+    (t, rem)
+  }
+
+  /** MAXIMAL duplicated spans — Lee et al. 2021's actual unit (r19 verdict
+    * #7: §4 of the paper emits maximal duplicated substrings ≥ 50 tokens
+    * from the suffix array; d6/d14 operate on fixed k-token shingles).
+    * Adjacent/overlapping duplicated shingles are merged into maximal runs:
+    * for each document, the sorted removed-position set (same definition as
+    * [[dupSpanRemoval]]) is split into islands of consecutive positions,
+    * and each island becomes one (doc_id, span_start, span_len) row. Every
+    * span is ≥ k tokens by construction (a union of k-length intervals);
+    * `minSpanLen` raises the floor to the paper's threshold (they use 50).
+    *
+    * Scale shape: identical to [[dupSpanRemoval]] minus the join-back — the
+    * island split is a per-row array expression over the per-doc set (start
+    * positions are the elements whose predecessor is absent, end positions
+    * those whose successor is absent; the two filtered arrays align 1:1 in
+    * order), so merging adds ZERO shuffle. The span table shrinks from
+    * one row per covered shingle position to one per maximal run — the
+    * paper-matching excision unit AND a smaller artifact to persist.
+    *
+    * Excising these spans is EXACTLY [[dupSpanRemoval]]'s excision (at
+    * minSpanLen = k): islands partition the removed set, so flattening them
+    * back to positions reproduces it bit-for-bit — pinned in
+    * QualitySignalsSpec (byte-identical cleaned corpus).
+    */
+  def dupMaximalSpans(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      minSpanLen: Int = 8): DataFrame = {
+    val (_, rem) = tokensAndRemoved(df, id, text, k)
+    // get() is 0-based and null-on-out-of-bounds; the boundary disjunct
+    // short-circuits first, so the neighbor probe never reads past the ends
+    val r = col("rem")
+    val starts = filter(r, (p, i) =>
+      i === 0 || get(r, i - 1) =!= p - 1)
+    val ends = filter(r, (p, i) =>
+      i === size(r) - 1 || get(r, i + 1) =!= p + 1)
+    rem
+      .select(col("doc_id"),
+        explode(zip_with(starts, ends, (s, e) =>
+          struct(s.as("span_start"), (e - s + lit(1)).as("span_len"))))
+          .as("sp"))
+      .select(col("doc_id"),
+        col("sp.span_start").cast("long").as("span_start"),
+        col("sp.span_len").cast("long").as("span_len"))
+      .filter(col("span_len") >= minSpanLen)
   }
 
   /** Passage-level dedup with document reassembly (the CCNet paragraph-hash

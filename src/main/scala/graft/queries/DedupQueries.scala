@@ -766,6 +766,44 @@ object DedupQueries extends QueryGroup {
              |LEFT JOIN ka ON z.doc_id = ka.doc_id
              |ORDER BY z.doc_id""".stripMargin)),
 
+    // D15 — MAXIMAL duplicated spans (r19 verdict #7): Lee et al. 2021's
+    // actual intervention unit — adjacent/overlapping duplicated k-shingles
+    // merged into maximal (doc, span_start, span_len) runs, the span table
+    // a 100 TB curation job persists and excises. Same one-window-shuffle
+    // plan as d14 up to the per-doc removed set; the island merge is a
+    // per-row array expression (zero extra shuffle). The oracle computes
+    // the islands independently via gaps-and-islands SQL (p − row_number
+    // grouping) — a genuinely different formulation of "maximal run", so
+    // agreement gates the merge logic itself. Excision equivalence with
+    // d14 (flattened islands ≡ the removed set, byte-identical cleaned
+    // text) is pinned in QualitySignalsSpec.
+    Q("d15_dup_maximal_spans",
+      (s, d) => Dedup.dupMaximalSpans(
+        Tables(s, d, "documents"), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |           FROM documents),
+             |     z AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |     s AS (SELECT doc_id, n, unnest(range(0, n - 8 + 1)) AS pos, toks
+             |           FROM z WHERE n >= 8),
+             |     sp AS (SELECT doc_id, pos,
+             |                   array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+             |            FROM s),
+             |     dup AS (SELECT span FROM sp GROUP BY span
+             |             HAVING min(doc_id) <> max(doc_id)),
+             |     rem AS (SELECT DISTINCT doc_id, p FROM
+             |             (SELECT sp.doc_id, unnest(range(pos, pos + 8)) AS p
+             |              FROM sp JOIN dup USING (span))),
+             |     isl AS (SELECT doc_id, p,
+             |                    p - row_number() OVER (PARTITION BY doc_id
+             |                                           ORDER BY p) AS grp
+             |             FROM rem)
+             |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             |       CAST(count(*) AS BIGINT) AS span_len
+             |FROM isl GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // D7 — semantic dedup (SemDeDup shape): cluster-assign embeddings to a
     // broadcast seed-centroid set (deterministic L2-then-cid tie-break),
     // then EXACT cosine pairs only within a cluster — the cluster id is the

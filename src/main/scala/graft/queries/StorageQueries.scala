@@ -442,6 +442,37 @@ object StorageQueries extends QueryGroup {
              |       || ' ' || CASE WHEN value > 100
              |                      THEN CAST(event_id AS VARCHAR)
              |                      ELSE 'None' END AS line
-             |FROM events ORDER BY line""".stripMargin))
+             |FROM events ORDER BY line""".stripMargin)),
+
+    // S17 — atomic multi-file lake commit (r19 verdict "what's missing"
+    // #1): write-audit-publish through a manifest log. The query commits a
+    // curated snapshot TWICE (replay idempotence, the s15 convention), then
+    // simulates a writer that DIED mid-commit of the next snapshot — data
+    // files fully staged under snap_2/, a half-written .tmp manifest left
+    // behind, but the publish rename never ran — and reads the table
+    // through the manifest. The oracle encodes snapshot 1's state, so the
+    // gate fails if the reader sees ANY torn state: leaked snap_2 rows
+    // (rows mismatch), a partial file list, or tmp-manifest resolution.
+    // SinkSpec additionally pins the fs-level contract (time travel,
+    // snapshot listing, publish-after-crash recovery).
+    Q("s17_manifest_commit",
+      (s, d) => {
+        val out = scratch("graft_manifest", d)
+        val docs = Tables(s, d, "documents")
+        val curated = docs.filter(col("doc_id") % 3 =!= 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        for (_ <- 1 to 2)
+          graft.sinks.ManifestCommit.commit(curated, out, 1L)
+        // the doomed snapshot 2: staged but never published
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/snap_2")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/_manifest_2.tmp"),
+          "snapshot\tsnap_2\npart-garbage".getBytes("UTF-8"))
+        graft.sinks.ManifestCommit.read(s, out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -47,6 +47,50 @@ object Percolator {
         === col("n_terms"))
       .select(col("query_id"), col("doc_id"))
 
+  /** [[matchDocs]] in the POSTINGS-JOIN form (t23's shape) over the same
+    * compiled store — the large-fleet path: per-doc cost in the row form is
+    * a nested loop over the WHOLE store (wall ∝ docs × queries; measured
+    * store-linear, 11.0 s @ 1k → 86.9 s @ 10k registered queries on the
+    * 10× corpus — BENCH_percolate_spot.json), while here the store explodes
+    * back to (query_id, term) and joins the doc-side postings on TERM, so
+    * cost tracks term hits, not the store size a doc never matches.
+    * The conjunctive AND is the per-(query, doc) distinct-term count
+    * reaching n_terms. Same rows as [[matchDocs]] by construction
+    * (StreamingSpec pins equality on the same store). No broadcast hint:
+    * AQE promotes the store side when it is small; past the broadcast
+    * ceiling the join degrades to a shuffled hash join instead of dying.
+    */
+  def matchDocsPostings(docs: DataFrame, store: DataFrame): DataFrame = {
+    val qt = store.select(col("query_id"), col("n_terms"),
+      explode(col("q_terms")).as("term"))
+    docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+        .as("term"))
+      .distinct()
+      .join(qt, "term")
+      .groupBy(col("query_id"), col("doc_id"), col("n_terms"))
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
+  /** Store-size AUTO-DISPATCH (r19 verdict #6): row form under the dial,
+    * postings form above it. The dial `graft.percolator.rowFormMaxQueries`
+    * defaults to 1000 — from BENCH_percolate_spot.json the row form's wall
+    * is store-linear (≈8 ms/doc-batch per 1k queries at 10× corpus scale)
+    * while the postings form's wall is ~flat in store size, and the
+    * measured crossover sits between the 1k and 10k fleet probes
+    * (BASELINE.md r20). The store is small by contract, so the one
+    * dispatch `count()` is cheap; both forms emit identical rows, so the
+    * dial is a pure cost choice.
+    */
+  def percolate(docs: DataFrame, store: DataFrame): DataFrame = {
+    val maxQ = docs.sparkSession.conf
+      .get("graft.percolator.rowFormMaxQueries", "1000").toLong
+    if (store.count() <= maxQ) matchDocs(docs, store)
+    else matchDocsPostings(docs, store)
+  }
+
   /** Percolate FULL `query_string` queries (ES percolator stores real query
     * DSL, not just term sets — and `query_string` is the form the
     * reference's users type). Each registered (query_id, queryString) is

@@ -162,16 +162,20 @@ class DedupFacadeSpec extends SparkSuite {
     val storeSigs = MinHashDedup.signatures(store, col("doc_id"), col("text"))
     val storeBands = MinHashDedup.banded(storeSigs, 64, 8)
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-    def run(bc: Boolean) = Dedup.incrementalMinhashPairsBanded(
+    def run(bc: Option[Boolean]) = Dedup.incrementalMinhashPairsBanded(
         batch, col("doc_id"), col("text"), storeSigs, storeBands,
         broadcastBatch = bc)
       .select("da", "db", "est_jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val a = run(true)
+    val a = run(Some(true))
     graft.Caches.unpersistAll()
-    val b = run(false)
+    val b = run(Some(false))
     graft.Caches.unpersistAll()
-    assert(a == b && a.nonEmpty)
+    // r19 advice residue: None auto-selects from the batch's size (this
+    // small batch lands on the broadcast side) — same rows either way.
+    val c = run(None)
+    graft.Caches.unpersistAll()
+    assert(a == b && a == c && a.nonEmpty)
   }
 
   test("Dedup.components: chain collapses to min id, singleton keeps its own") {

@@ -93,6 +93,61 @@ class QualitySignalsSpec extends SparkSuite {
       s"residual coverage $after vs pre-removal $before")
   }
 
+  test("d15 maximal spans: overlapping shingles merge into one island") {
+    // 5 shared positions = two overlapping 4-shingles → ONE maximal span of
+    // 5 tokens (prefix of doc 1, suffix of doc 2); the clean doc emits none
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon tail1 tail2",
+      2L -> "head1 alpha beta gamma delta epsilon",
+      3L -> "unique words here nothing repeats at all").toDF("doc_id", "text")
+    val spans = Dedup.dupMaximalSpans(docs, col("doc_id"), col("text"),
+        k = 4, minSpanLen = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 5L), (2L, 1L, 5L)))
+    // a doc with TWO disjoint duplicated regions emits two islands
+    val two = Seq(
+      10L -> "alpha beta gamma delta zzz yyy omega psi chi phi",
+      11L -> "alpha beta gamma delta other1 other2 other3 other4",
+      12L -> "pre1 pre2 omega psi chi phi").toDF("doc_id", "text")
+    val m = Dedup.dupMaximalSpans(two, col("doc_id"), col("text"),
+        k = 4, minSpanLen = 4)
+      .filter(col("doc_id") === 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m == Set((10L, 0L, 4L), (10L, 6L, 4L)))
+  }
+
+  test("d15 excising maximal spans ≡ d14's shingle-union excision " +
+    "(byte-identical cleaned corpus; span lengths sum to n_removed)") {
+    val docs = Tables(spark, sf, "documents")
+    val spans = Dedup.dupMaximalSpans(docs, col("doc_id"), col("text"), k = 8)
+    // islands partition the removed set: flatten them back to positions and
+    // rerun the same excision — the cleaned text must match bit-for-bit
+    val remFromSpans = spans
+      .select(col("doc_id"), explode(sequence(col("span_start"),
+        col("span_start") + col("span_len") - 1)).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("p").cast("int"))).as("rem2"))
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+    val cleaned2 = toks.join(remFromSpans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), array_join(transform(
+        array_except(sequence(lit(0), col("n") - 1),
+          coalesce(col("rem2"), array().cast("array<int>"))),
+        p => element_at(col("toks"), p + 1)), " ").as("cleaned2"))
+    val d14 = Dedup.dupSpanRemoval(docs, col("doc_id"), col("text"), k = 8)
+    assert(d14.join(cleaned2, "doc_id")
+      .filter(col("cleaned") =!= col("cleaned2")).count() == 0)
+    val sums = spans.groupBy(col("doc_id")).agg(sum(col("span_len")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val nrem = d14.select(col("doc_id"), col("n_removed"))
+      .as[(Long, Long)].collect().toMap
+    assert(nrem.filter(_._2 > 0).forall { case (id, nr) => sums(id) == nr })
+    assert(nrem.values.exists(_ > 0), "fixture has no duplicated spans — vacuous")
+    // every maximal span is ≥ k by construction (union of k-intervals)
+    assert(spans.agg(min(col("span_len"))).as[Long].head() >= 8)
+  }
+
   test("x34 block classification: each boilerplate kind dies by its own rule") {
     import graft.pipeline.HtmlExtract
     val html =

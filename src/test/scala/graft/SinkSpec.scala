@@ -91,4 +91,42 @@ class SinkSpec extends SparkSuite {
       .select(date_format(col("posted"), "yyyy-MM-dd HH:mm:ss")).as[String].collect()
     assert(kept.toSeq == Seq("2024-01-01 10:00:00")) // earliest survives
   }
+
+  test("ManifestCommit: a writer killed at every pre-publish point leaves " +
+    "the old snapshot fully readable; publish flips atomically") {
+    import graft.sinks.ManifestCommit
+    val table = Files.createTempDirectory("graft_man").toString + "/t"
+    val s1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    ManifestCommit.commit(s1, table, 1L)
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(ManifestCommit.snapshots(spark, table) == Seq(1L))
+
+    // crash point A: snapshot 2 data fully staged, publish never ran
+    val s2 = Seq((1L, "a2"), (4L, "d")).toDF("id", "v")
+    s2.write.mode("overwrite").parquet(s"$table/snap_2")
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b"), (3L, "c")), "staged files leaked")
+
+    // crash point B: manifest tmp written, rename never ran
+    Files.write(java.nio.file.Paths.get(s"$table/_manifest_2.tmp"),
+      "snapshot\tsnap_2\npart-garbage\t0".getBytes("UTF-8"))
+    assert(ManifestCommit.snapshots(spark, table) == Seq(1L),
+      "tmp manifest resolved as published")
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // recovery: the retried committer republishes snapshot 2 end-to-end
+    ManifestCommit.commit(s2, table, 2L)
+    assert(ManifestCommit.snapshots(spark, table) == Seq(1L, 2L))
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "a2"), (4L, "d")))
+    // time travel: the superseded snapshot stays readable as-of its id
+    assert(ManifestCommit.readAt(spark, table, 1L).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // replay of snapshot 2 (foreachBatch retry) converges, no duplication
+    ManifestCommit.commit(s2, table, 2L)
+    assert(ManifestCommit.snapshots(spark, table) == Seq(1L, 2L))
+    assert(ManifestCommit.read(spark, table).count() == 2)
+  }
 }

@@ -730,6 +730,40 @@ class StreamingSpec extends SparkSuite {
     t23.foreach { case (qid, n) => assert(byQuery.getOrElse(qid, 0L) == n) }
   }
 
+  test("percolator auto-dispatch: postings form ≡ row form on the same " +
+      "store, and the dial routes each side of the crossover") {
+    implicit val ctx = sqlCtx
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val store = graft.streaming.Percolator.compileStore(
+      Tables(spark, sf, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .withColumn("query_id", floor((col("rn") + 1) / lit(2.0D)).cast("long"))
+        .select(col("query_id"), col("term"))).cache()
+    val docs = Tables(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val row = pairs(graft.streaming.Percolator.matchDocs(docs, store))
+    val post = pairs(graft.streaming.Percolator.matchDocsPostings(docs, store))
+    assert(row == post && row.nonEmpty)
+    // dial below the store size → postings form; above → row form. Both
+    // must return the same rows, so dispatch is pinned as pure cost choice.
+    val prev = spark.conf.getOption("graft.percolator.rowFormMaxQueries")
+    try {
+      spark.conf.set("graft.percolator.rowFormMaxQueries", "1")
+      assert(pairs(graft.streaming.Percolator.percolate(docs, store)) == row)
+      spark.conf.set("graft.percolator.rowFormMaxQueries", "100000")
+      assert(pairs(graft.streaming.Percolator.percolate(docs, store)) == row)
+    } finally {
+      store.unpersist()
+      prev.fold(spark.conf.unset("graft.percolator.rowFormMaxQueries"))(
+        spark.conf.set("graft.percolator.rowFormMaxQueries", _))
+    }
+  }
+
   test("stream-static enrichment: broadcast dim join inside the micro-batch " +
       "equals the batch join (left rows without a dim row pass through null)") {
     implicit val ctx = sqlCtx
