@@ -216,7 +216,7 @@ object ScaleProbe {
     // tokens (matchable), the rest pair a real token with a synthetic
     // "alert<i>" term that no document contains (never matches, which is
     // the alerting fleet's steady state; the scan cost is identical).
-    def percolateProbe(nQueries: Int): DataFrame = {
+    def percolateStore(nQueries: Int): DataFrame = {
       val vocab = Tables(spark, sfDir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("term"))
@@ -227,12 +227,29 @@ object ScaleProbe {
       val t2 = when(col("id") % 200 === 0,
           element_at(v, ((col("id") * 7 + 3) % vocab.size).cast("int") + 1))
         .otherwise(concat(lit("alert"), col("id")))
-      val store = graft.streaming.Percolator.compileStore(
+      graft.streaming.Percolator.compileStore(
         spark.range(nQueries).select(col("id").as("query_id"),
             explode(array(t1, t2)).as("term")))
-      graft.streaming.Percolator.matchDocs(
-        docs.select(col("doc_id"), col("text")), store)
     }
+    def percolateProbe(nQueries: Int): DataFrame =
+      graft.streaming.Percolator.matchDocs(
+        docs.select(col("doc_id"), col("text")), percolateStore(nQueries))
+    // r20 (the dispatch crossover, r19 verdict #6): the SAME fleet through
+    // the two large-store forms. The NAIVE postings join measured WORSE
+    // than the row form and store-linear (23 s @ 1k, 206 s @ 10k, task
+    // failure @ 100k): on this fixture's ~30-term vocabulary every real
+    // term is hot, so the any-shared-term candidate space is
+    // ~docs × queries / |vocab| — kept at 1k/10k as the documented
+    // anti-pattern. The SELECTIVE form anchors each query on its
+    // lowest-df term (the 199-in-200 "alert<i>" fleets anchor on a
+    // df-0 term and generate ZERO candidates), so its wall should be
+    // ~flat: the fixed corpus-df aggregate plus Σ_q df(anchor_q).
+    def percolatePostingsProbe(nQueries: Int): DataFrame =
+      graft.streaming.Percolator.matchDocsPostings(
+        docs.select(col("doc_id"), col("text")), percolateStore(nQueries))
+    def percolateSelectiveProbe(nQueries: Int): DataFrame =
+      graft.streaming.Percolator.matchDocsSelective(
+        docs.select(col("doc_id"), col("text")), percolateStore(nQueries))
 
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
@@ -415,6 +432,11 @@ object ScaleProbe {
       // with MATCHING pairs instead of docs × queries.
       "t31_percolate_1k_shape" -> (() => percolateProbe(1000)),
       "t31_percolate_10k_shape" -> (() => percolateProbe(10000)),
+      "t31_postings_1k_shape" -> (() => percolatePostingsProbe(1000)),
+      "t31_postings_10k_shape" -> (() => percolatePostingsProbe(10000)),
+      "t31_selective_1k_shape" -> (() => percolateSelectiveProbe(1000)),
+      "t31_selective_10k_shape" -> (() => percolateSelectiveProbe(10000)),
+      "t31_selective_100k_shape" -> (() => percolateSelectiveProbe(100000)),
       // round-9 additions: the MG sketch must absorb 10× stream length with
       // the same ≤k driver state (candidate count bounded by construction),
       // and PQ at scale trains on a SAMPLE (the production posture — the

@@ -1253,6 +1253,44 @@ object TextQueries extends QueryGroup {
               |GROUP BY 1, 2 HAVING count(*) = 2
               |ORDER BY query_id, doc_id""".stripMargin)),
 
+    // T31b — percolate, RAREST-TERM-ANCHORED form (the large-fleet scale
+    // path the r20 dispatch selects past the store dial): each registered
+    // query is tested only against documents containing its lowest-df
+    // term — candidate volume Σ_q df(anchor_q), the ES percolator's own
+    // pruning bound — then verified exactly. Same deterministic store and
+    // the SAME oracle as t31_percolate_row, so the PRUNED path itself sits
+    // under the differential hash gate (the d2_minhash_md5 pattern).
+    Q("t31_percolate_selective",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term"))
+        val store = graft.streaming.Percolator.compileStore(
+          Tables(s, d, "documents")
+            .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 20)
+            .withColumn("query_id",
+              floor((col("rn") + 1) / lit(2.0D)).cast("long"))
+            .select(col("query_id"), col("term")))
+        graft.streaming.Percolator
+          .matchDocsSelective(Tables(s, d, "documents"), store)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some(s"""WITH tokd AS (SELECT doc_id, unnest($tok) AS term
+              |              FROM documents),
+              |v AS (SELECT term, count(*) AS freq FROM tokd GROUP BY 1),
+              |r AS (SELECT term, row_number() OVER (
+              |        ORDER BY freq DESC, term) AS rn FROM v),
+              |q AS (SELECT CAST(floor((rn + 1) / 2.0) AS BIGINT) AS query_id,
+              |             term
+              |      FROM r WHERE rn <= 20),
+              |p AS (SELECT DISTINCT doc_id, term FROM tokd)
+              |SELECT query_id, doc_id
+              |FROM p JOIN q USING (term)
+              |GROUP BY 1, 2 HAVING count(*) = 2
+              |ORDER BY query_id, doc_id""".stripMargin)),
+
     // A42 — rare_terms (ES's long-tail dual of `terms`: buckets for terms
     // with doc_count AT OR BELOW a ceiling, which a terms agg's size-N cut
     // can never surface). Keyed on TRIGRAM shingles — the fixture's ~30

@@ -74,21 +74,98 @@ object Percolator {
       .select(col("query_id"), col("doc_id"))
   }
 
+  /** The LARGE-FLEET scale path: rarest-term anchoring (what ES's
+    * percolator actually does with its `query_terms` extraction — each
+    * registered query is only tested against documents containing its most
+    * selective term). The naive [[matchDocsPostings]] join materializes a
+    * candidate row for EVERY (query, doc) pair sharing ANY term, which on
+    * a hot-vocabulary corpus is ~docs × queries / |vocab| — measured
+    * catastrophically super-linear (206 s at a 10k fleet, task failure at
+    * 100k on the 10× corpus; BENCH_percolate_spot.json r20) BECAUSE the
+    * fixture's ~30-term vocabulary makes every real term hot. Here:
+    *
+    *   1. corpus df per term (one postings aggregate — t3's shape);
+    *   2. each query anchors on its LOWEST-df term (df 0 — a term no
+    *      document contains — means the query cannot match and generates
+    *      zero candidates, the alert fleet's steady state);
+    *   3. candidates = postings ⋈ anchors: volume is Σ_q df(anchor_q),
+    *      the ES-documented bound — selectivity-driven, not store-driven;
+    *   4. exact conjunctive verify per candidate via two keyed joins
+    *      (doc token array + query term array) — candidate-bounded.
+    *
+    * Same rows as [[matchDocs]] by construction (StreamingSpec +
+    * `t31_percolate_selective` under the same DuckDB oracle).
+    */
+  def matchDocsSelective(docs: DataFrame, store: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("toks")).as("term")).distinct()
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val qt = store
+      .select(col("query_id"), explode(col("q_terms")).as("term"))
+      .join(dfreq, Seq("term"), "left_outer")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__df"), col("term"))
+    val anchors = qt.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__df") > 0)
+      .select(col("query_id"), col("term"))
+    postings.join(anchors, "term")
+      .select(col("query_id"), col("doc_id"))
+      .join(toks, "doc_id")
+      .join(store.select(col("query_id"), col("q_terms"), col("n_terms")),
+        "query_id")
+      .filter(size(array_intersect(col("q_terms"), col("toks")))
+        === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
   /** Store-size AUTO-DISPATCH (r19 verdict #6): row form under the dial,
-    * postings form above it. The dial `graft.percolator.rowFormMaxQueries`
-    * defaults to 1000 — from BENCH_percolate_spot.json the row form's wall
-    * is store-linear (≈8 ms/doc-batch per 1k queries at 10× corpus scale)
-    * while the postings form's wall is ~flat in store size, and the
-    * measured crossover sits between the 1k and 10k fleet probes
-    * (BASELINE.md r20). The store is small by contract, so the one
-    * dispatch `count()` is cheap; both forms emit identical rows, so the
-    * dial is a pure cost choice.
+    * rarest-term-anchored [[matchDocsSelective]] above it. The dial
+    * `graft.percolator.rowFormMaxQueries` defaults to 1000: the row form's
+    * wall is store-linear (10.5 s @ 1k → 84.9 s @ 10k registered queries
+    * on the 10× corpus — BENCH_percolate_spot.json), while the selective
+    * form pays a ~fixed corpus-df aggregate plus candidate volume
+    * Σ_q df(anchor_q), so its wall is ~flat in fleet size; the measured
+    * crossover sits low in the 1k–10k decade (BASELINE.md r20). The store
+    * is small relative to the corpus by contract, so the one dispatch
+    * `count()` is cheap; all forms emit identical rows, so the dial is a
+    * pure cost choice.
     */
   def percolate(docs: DataFrame, store: DataFrame): DataFrame = {
     val maxQ = docs.sparkSession.conf
       .get("graft.percolator.rowFormMaxQueries", "1000").toLong
     if (store.count() <= maxQ) matchDocs(docs, store)
-    else matchDocsPostings(docs, store)
+    else matchDocsSelective(docs, store)
+  }
+
+  /** Streaming percolation at FLEET scale (r19 verdict stretch #9): the
+    * [[percolate]] dispatch applied per micro-batch. The row form streams
+    * directly (stateless map-side plan), but the postings form needs a
+    * per-batch aggregation — inside foreachBatch each micro-batch is a
+    * plain batch plan, so BOTH forms stay state-store-free by construction
+    * (no watermark, no keyed state; StreamingSpec asserts
+    * `stateOperators` is empty). Hits land under `hitsDir/b<batchId>`
+    * with overwrite — the DedupStream replay-idempotence posture: a
+    * replayed micro-batch rewrites its own partition, never duplicates it.
+    * The store is counted once here, not per batch — the fleet size is a
+    * registration-time property, so the dispatch is pinned for the run.
+    */
+  def startPercolate(docs: DataFrame, store: DataFrame,
+      hitsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val maxQ = docs.sparkSession.conf
+      .get("graft.percolator.rowFormMaxQueries", "1000").toLong
+    val rowForm = store.count() <= maxQ
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val hits = if (rowForm) matchDocs(b, store)
+                   else matchDocsSelective(b, store)
+        hits.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$hitsDir/b$batchId")
+      }
   }
 
   /** Percolate FULL `query_string` queries (ES percolator stores real query

@@ -748,7 +748,14 @@ class StreamingSpec extends SparkSuite {
       df.as[(Long, Long)].collect().toSet
     val row = pairs(graft.streaming.Percolator.matchDocs(docs, store))
     val post = pairs(graft.streaming.Percolator.matchDocsPostings(docs, store))
-    assert(row == post && row.nonEmpty)
+    val sel = pairs(graft.streaming.Percolator.matchDocsSelective(docs, store))
+    assert(row == post && row == sel && row.nonEmpty)
+    // a query whose anchor term appears in NO document can never match —
+    // the selective form must generate zero candidates for it, not fail
+    val withDead = store.unionByName(
+      Seq((99L, Seq("zzzunseen", "the"), 2)).toDF("query_id", "q_terms", "n_terms"))
+    assert(pairs(graft.streaming.Percolator.matchDocsSelective(docs, withDead))
+      == row)
     // dial below the store size → postings form; above → row form. Both
     // must return the same rows, so dispatch is pinned as pure cost choice.
     val prev = spark.conf.getOption("graft.percolator.rowFormMaxQueries")
@@ -757,6 +764,50 @@ class StreamingSpec extends SparkSuite {
       assert(pairs(graft.streaming.Percolator.percolate(docs, store)) == row)
       spark.conf.set("graft.percolator.rowFormMaxQueries", "100000")
       assert(pairs(graft.streaming.Percolator.percolate(docs, store)) == row)
+    } finally {
+      store.unpersist()
+      prev.fold(spark.conf.unset("graft.percolator.rowFormMaxQueries"))(
+        spark.conf.set("graft.percolator.rowFormMaxQueries", _))
+    }
+  }
+
+  test("streaming percolation at fleet scale: postings dispatch inside " +
+      "foreachBatch, no state store, chunked hits equal the batch run") {
+    implicit val ctx = sqlCtx
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val store = graft.streaming.Percolator.compileStore(
+      Tables(spark, sf, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .withColumn("query_id", floor((col("rn") + 1) / lit(2.0D)).cast("long"))
+        .select(col("query_id"), col("term"))).cache()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_perc").toString
+    val prev = spark.conf.getOption("graft.percolator.rowFormMaxQueries")
+    try {
+      // dial forced BELOW the store size → the postings form runs per batch
+      spark.conf.set("graft.percolator.rowFormMaxQueries", "1")
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.Percolator.startPercolate(
+          ms.toDF().toDF("doc_id", "text"), store,
+          s"$base/hits", s"$base/ckpt").start()
+      chunks.foreach { c => ms.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // state-free by construction: foreachBatch runs batch plans only
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+      q.stop()
+      val streamed = spark.read.parquet(s"$base/hits/b0", s"$base/hits/b1",
+          s"$base/hits/b2")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.streaming.Percolator.matchDocs(
+          Tables(spark, sf, "documents"), store)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
     } finally {
       store.unpersist()
       prev.fold(spark.conf.unset("graft.percolator.rowFormMaxQueries"))(
