@@ -473,6 +473,32 @@ object StorageQueries extends QueryGroup {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
-             |WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin))
+             |WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin)),
+
+    // S18 — snapshot retention (the maintenance half of s17's commit
+    // protocol): two published snapshots, then expire all but the newest —
+    // the expired snapshot's manifest AND staged files are gone (SinkSpec
+    // pins the filesystem contract), while the live snapshot reads back
+    // exactly. The oracle encodes snapshot 2's state, so the gate fails if
+    // expiry touched the live snapshot's file list or data. Expiry deletes
+    // manifest-first, so a crash mid-expire can orphan data files but
+    // never publish a dangling manifest.
+    Q("s18_manifest_expire",
+      (s, d) => {
+        val out = scratch("graft_manexp", d)
+        val docs = Tables(s, d, "documents")
+        graft.sinks.ManifestCommit.commit(
+          docs.select(col("doc_id"), col("lang"), col("n_chars")), out, 1L)
+        graft.sinks.ManifestCommit.commit(
+          docs.filter(col("lang") === "en")
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 500L).as("n_chars")),
+          out, 2L)
+        graft.sinks.ManifestCommit.expire(s, out, keep = 1)
+        graft.sinks.ManifestCommit.read(s, out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars + 500 AS n_chars FROM documents
+             |WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
   )
 }

@@ -119,4 +119,26 @@ object ManifestCommit {
     require(ids.nonEmpty, s"no published snapshot at $table")
     readAt(spark, table, ids.last)
   }
+
+  /** Retention: delete every published snapshot except the newest `keep`
+    * (Iceberg's expire_snapshots contract, reduced the same way as
+    * [[commit]]). Per snapshot the MANIFEST is deleted first, the staged
+    * data second — a crash between the two leaves unreferenced data
+    * garbage (harmless, re-collectable) but never a manifest pointing at
+    * deleted files. The newest manifest is never touched, so a reader
+    * concurrent with expiry either resolves the still-live snapshot or
+    * fails loudly on an already-expired id — it can never see a torn
+    * state. Returns the expired ids.
+    */
+  def expire(spark: SparkSession, table: String, keep: Int = 1): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val f = fs(spark, table)
+    val dead = snapshots(spark, table).dropRight(keep)
+    dead.foreach { id =>
+      f.delete(new Path(table, s"_manifest_$id"), false)
+      f.delete(new Path(table, s"snap_$id"), true)
+      ()
+    }
+    dead
+  }
 }

@@ -128,5 +128,16 @@ class SinkSpec extends SparkSuite {
     ManifestCommit.commit(s2, table, 2L)
     assert(ManifestCommit.snapshots(spark, table) == Seq(1L, 2L))
     assert(ManifestCommit.read(spark, table).count() == 2)
+
+    // retention: expiry removes old manifests AND their staged data, the
+    // live snapshot is untouched, expired time travel fails loudly
+    assert(ManifestCommit.expire(spark, table, keep = 1) == Seq(1L))
+    assert(ManifestCommit.snapshots(spark, table) == Seq(2L))
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "a2"), (4L, "d")))
+    assert(!new java.io.File(s"$table/snap_1").exists())
+    intercept[Exception] { ManifestCommit.readAt(spark, table, 1L).collect() }
+    // idempotent: nothing left to expire
+    assert(ManifestCommit.expire(spark, table, keep = 1).isEmpty)
   }
 }
