@@ -17,72 +17,125 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Protocol (the Iceberg/Delta-log idea reduced to its kernel, zero deps):
   *
-  *   1. WRITE   — the batch lands under a fresh `snap_<id>/` prefix; the
+  *   1. WRITE   — the batch lands under a fresh `snap_<id>_<nonce>/`
+  *                prefix, unique PER ATTEMPT, so concurrent or replayed
+  *                attempts never clobber each other's data files and the
   *                live table is untouched no matter how many tasks fail.
-  *   2. AUDIT   — the committer lists the finished snapshot and records the
-  *                exact data files (name + length) in a manifest; stray
-  *                files from dead executors are simply never referenced.
-  *   3. PUBLISH — the manifest is written to `_manifest_<id>` via
-  *                tmp-write + fs.rename, the single atomic operation; a
-  *                crash at ANY earlier point leaves only unreferenced
-  *                garbage and the previous manifest fully readable.
+  *   2. AUDIT   — the committer lists the finished staging dir and records
+  *                the exact data files (name + length) in a manifest;
+  *                stray files from dead executors are never referenced.
+  *   3. PUBLISH — the manifest is written to a tmp name and renamed to
+  *                `_manifest_<id>`, the single atomic operation; a crash
+  *                at ANY earlier point leaves only unreferenced garbage
+  *                and the previous manifest fully readable.
+  *
+  * Two publish modes: [[commit]] REPLACES an existing manifest of the same
+  * id (foreachBatch replay contract — a retried batch converges to one
+  * published state, the superseded attempt's staging dir becomes orphan
+  * garbage), while [[commitIfAbsent]] uses rename-without-delete as an
+  * atomic compare-and-set — of two RACING committers on the same id
+  * exactly one publishes and the loser gets [[CommitConflictException]]
+  * (optimistic concurrency, Iceberg's commit semantics; the loser's
+  * staging dir is best-effort removed and otherwise vacuumable).
   *
   * Readers resolve the highest published `_manifest_<id>` and scan exactly
-  * its file list — un-published snapshots, half-written files, and leftover
-  * `.tmp` manifests are invisible by construction (no delete-then-rename
-  * window: each manifest is a NEW name, so the log only ever grows).
+  * its file list — un-published staging dirs, half-written files, and
+  * leftover `.tmp` manifests are invisible by construction. Orphans from
+  * crashed/raced/replayed attempts are reclaimed by [[vacuum]] (the
+  * remove-orphan-files maintenance op); published history is trimmed by
+  * [[expire]].
   *
   * Scale: the manifest carries file names, not data — thousands of files
   * per snapshot is a few KB of metadata, and `read` hands Spark an explicit
   * file list so planning skips directory listing entirely (on object
   * stores, the listing is the slow part). Old snapshots stay readable
-  * ([[readAt]] — time travel for free) until a retention job removes them.
-  *
-  * Replay-idempotent: re-committing the same (df, snapshotId) overwrites
-  * the same staging prefix and republishes the same manifest id — the
-  * foreachBatch retry contract (same posture as k1/s15/DedupStream).
+  * ([[readAt]] — time travel for free) until [[expire]] removes them.
   */
 object ManifestCommit {
+
+  /** Optimistic-concurrency loss: another committer published this id. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private val ManifestRe = "_manifest_(\\d+)".r
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Commit `df` as snapshot `snapshotId` of `table`: stage, audit,
-    * publish. Atomic: readers see the whole snapshot or none of it.
+  /** Stage + audit: write `df` under a fresh per-attempt prefix and return
+    * (stagingDirName, manifestBody).
     */
-  def commit(df: DataFrame, table: String, snapshotId: Long): Unit = {
+  private def stage(df: DataFrame, table: String,
+      snapshotId: Long): (String, String) = {
     val spark = df.sparkSession
     val f = fs(spark, table)
-    val snapDir = new Path(table, s"snap_$snapshotId")
-    // 1. WRITE — stage the batch under its own prefix
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"snap_${snapshotId}_$nonce"
+    val snapDir = new Path(table, dirName)
     df.write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
-    // 2. AUDIT — list exactly the data files the successful write produced
     val files = f.listStatus(snapDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(st => s"${st.getPath.getName}\t${st.getLen}")
       .sorted
     require(files.nonEmpty, s"snapshot $snapshotId staged no data files")
-    // 3. PUBLISH — tmp-write the manifest, fsync, atomic rename to its
-    // final (new) name. Rename-to-new-name needs no delete first, so there
-    // is no window with a missing pointer; on replay the old identical
-    // manifest is replaced under the same id.
-    val body = (s"snapshot\tsnap_$snapshotId" +: files.toSeq).mkString("\n")
-    val tmp = new Path(table, s"_manifest_$snapshotId.tmp")
+    (dirName, (s"snapshot\t$dirName" +: files.toSeq).mkString("\n"))
+  }
+
+  /** Write the manifest body to a per-attempt tmp file, fsynced. */
+  private def writeTmp(f: FileSystem, table: String, snapshotId: Long,
+      nonceTag: String, body: String): Path = {
+    val tmp = new Path(table, s"_manifest_$snapshotId.$nonceTag.tmp")
     val out = f.create(tmp, true)
     try {
       out.write(body.getBytes(StandardCharsets.UTF_8))
       out.hflush(); out.hsync()
     } finally out.close()
+    tmp
+  }
+
+  /** Commit `df` as snapshot `snapshotId`: stage, audit, publish. Atomic —
+    * readers see the whole snapshot or none of it. REPLAY semantics: an
+    * existing manifest of the same id is replaced (the foreachBatch retry
+    * contract); the superseded attempt's staging dir becomes orphan
+    * garbage for [[vacuum]].
+    */
+  def commit(df: DataFrame, table: String, snapshotId: Long): Unit = {
+    val f = fs(df.sparkSession, table)
+    val (dirName, body) = stage(df, table, snapshotId)
+    val tmp = writeTmp(f, table, snapshotId, dirName.split('_').last, body)
     val target = new Path(table, s"_manifest_$snapshotId")
     if (f.exists(target)) f.delete(target, false) // replay of the same id
     if (!f.rename(tmp, target))
       throw new java.io.IOException(s"manifest publish failed: $target")
   }
 
-  /** Published snapshot ids, ascending (ignores staged-but-unpublished
-    * snapshots and `.tmp` leftovers — the invisible-garbage contract).
+  /** [[commit]] with OPTIMISTIC CONCURRENCY: if `snapshotId` is already
+    * published, throw [[CommitConflictException]] instead of replacing it.
+    * The publish rename runs WITHOUT a prior delete, so the filesystem
+    * rename is the compare-and-set: two racing committers stage under
+    * different nonce dirs, both attempt the rename, exactly one target
+    * appears and the other rename returns false. The loser's staged data
+    * is best-effort removed here and is otherwise invisible (never
+    * referenced) until [[vacuum]] reclaims it.
+    */
+  def commitIfAbsent(df: DataFrame, table: String, snapshotId: Long): Unit = {
+    val f = fs(df.sparkSession, table)
+    val target = new Path(table, s"_manifest_$snapshotId")
+    def lose(dirName: String, tmp: Option[Path]): Nothing = {
+      tmp.foreach(t => f.delete(t, false))
+      f.delete(new Path(table, dirName), true)
+      throw new CommitConflictException(
+        s"snapshot $snapshotId already published at $table")
+    }
+    if (f.exists(target)) lose("snap_none_never", None) // cheap early exit
+    val (dirName, body) = stage(df, table, snapshotId)
+    val tmp = writeTmp(f, table, snapshotId, dirName.split('_').last, body)
+    if (f.exists(target) || !f.rename(tmp, target))
+      lose(dirName, Some(tmp))
+  }
+
+  /** Published snapshot ids, ascending (ignores staging dirs, `.tmp`
+    * manifests, and anything unpublished — the invisible-garbage contract).
     */
   def snapshots(spark: SparkSession, table: String): Seq[Long] = {
     val p = new Path(table)
@@ -94,11 +147,10 @@ object ManifestCommit {
     }).sorted
   }
 
-  /** Read snapshot `snapshotId` — exactly the files its manifest names. */
-  def readAt(spark: SparkSession, table: String, snapshotId: Long): DataFrame = {
-    val f = fs(spark, table)
-    val man = new Path(table, s"_manifest_$snapshotId")
-    val in = f.open(man)
+  /** Parse a published manifest → (stagingDirName, dataFileNames). */
+  private def manifest(f: FileSystem, table: String,
+      snapshotId: Long): (String, Seq[String]) = {
+    val in = f.open(new Path(table, s"_manifest_$snapshotId"))
     val body = try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
@@ -107,10 +159,13 @@ object ManifestCommit {
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = body.split("\n").toSeq
-    val snapDir = lines.head.split("\t")(1)
-    val files = lines.tail.map(_.split("\t")(0))
-      .map(name => s"$table/$snapDir/$name")
-    spark.read.parquet(files: _*)
+    (lines.head.split("\t")(1), lines.tail.map(_.split("\t")(0)))
+  }
+
+  /** Read snapshot `snapshotId` — exactly the files its manifest names. */
+  def readAt(spark: SparkSession, table: String, snapshotId: Long): DataFrame = {
+    val (snapDir, names) = manifest(fs(spark, table), table, snapshotId)
+    spark.read.parquet(names.map(n => s"$table/$snapDir/$n"): _*)
   }
 
   /** Read the CURRENT snapshot (highest published manifest). */
@@ -124,7 +179,7 @@ object ManifestCommit {
     * (Iceberg's expire_snapshots contract, reduced the same way as
     * [[commit]]). Per snapshot the MANIFEST is deleted first, the staged
     * data second — a crash between the two leaves unreferenced data
-    * garbage (harmless, re-collectable) but never a manifest pointing at
+    * garbage (reclaimable by [[vacuum]]) but never a manifest pointing at
     * deleted files. The newest manifest is never touched, so a reader
     * concurrent with expiry either resolves the still-live snapshot or
     * fails loudly on an already-expired id — it can never see a torn
@@ -135,10 +190,32 @@ object ManifestCommit {
     val f = fs(spark, table)
     val dead = snapshots(spark, table).dropRight(keep)
     dead.foreach { id =>
+      val (snapDir, _) = manifest(f, table, id)
       f.delete(new Path(table, s"_manifest_$id"), false)
-      f.delete(new Path(table, s"snap_$id"), true)
+      f.delete(new Path(table, snapDir), true)
       ()
     }
     dead
+  }
+
+  /** Reclaim orphans: delete every `snap_*` staging dir NOT referenced by
+    * any published manifest, plus leftover `.tmp` manifests — the garbage
+    * that crashed writers, raced [[commitIfAbsent]] losers, and replaced
+    * [[commit]] replays leave behind (Iceberg's remove_orphan_files).
+    * Referenced dirs are never touched, so vacuum is safe concurrent with
+    * readers of any PUBLISHED snapshot. Returns the deleted names.
+    */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val p = new Path(table)
+    if (!f.exists(p)) return Seq.empty
+    val referenced = snapshots(spark, table)
+      .map(id => manifest(f, table, id)._1).toSet
+    val victims = f.listStatus(p).toSeq.map(_.getPath.getName).filter { n =>
+      (n.startsWith("snap_") && !referenced.contains(n)) ||
+        (n.startsWith("_manifest_") && n.endsWith(".tmp"))
+    }
+    victims.foreach(n => f.delete(new Path(table, n), true))
+    victims.sorted
   }
 }

@@ -135,9 +135,46 @@ class SinkSpec extends SparkSuite {
     assert(ManifestCommit.snapshots(spark, table) == Seq(2L))
     assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
       .toSet == Set((1L, "a2"), (4L, "d")))
-    assert(!new java.io.File(s"$table/snap_1").exists())
+    def stagingDirs(prefix: String) = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.startsWith(prefix)).toSeq
+    assert(stagingDirs("snap_1_").isEmpty, "expired staging data survived")
     intercept[Exception] { ManifestCommit.readAt(spark, table, 1L).collect() }
     // idempotent: nothing left to expire
     assert(ManifestCommit.expire(spark, table, keep = 1).isEmpty)
+  }
+
+  test("ManifestCommit: commitIfAbsent is an atomic compare-and-set — the " +
+    "racing loser conflicts without disturbing the winner; vacuum reclaims " +
+    "only unreferenced garbage") {
+    import graft.sinks.ManifestCommit
+    val table = Files.createTempDirectory("graft_man2").toString + "/t"
+    val winner = Seq((1L, "w")).toDF("id", "v")
+    val loser = Seq((1L, "l")).toDF("id", "v")
+    ManifestCommit.commitIfAbsent(winner, table, 1L)
+    // second committer on the same id: conflict, winner's state untouched
+    intercept[ManifestCommit.CommitConflictException] {
+      ManifestCommit.commitIfAbsent(loser, table, 1L)
+    }
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "w")))
+    // a replayed commit() on the same id still converges (replace mode),
+    // orphaning its superseded staging dir
+    ManifestCommit.commit(winner, table, 1L)
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "w")))
+    def entries() = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(entries().count(_.startsWith("snap_1_")) == 2,
+      "replay should have staged a fresh attempt dir")
+    // vacuum: removes the orphaned attempt + any tmp manifests, never the
+    // referenced dir — reads are identical after
+    Files.write(java.nio.file.Paths.get(s"$table/_manifest_9.x.tmp"),
+      "junk".getBytes("UTF-8"))
+    val removed = ManifestCommit.vacuum(spark, table)
+    assert(removed.exists(_.startsWith("snap_1_")) &&
+      removed.contains("_manifest_9.x.tmp"))
+    assert(entries().count(_.startsWith("snap_1_")) == 1)
+    assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
+      .toSet == Set((1L, "w")))
+    assert(ManifestCommit.vacuum(spark, table).isEmpty, "vacuum not idempotent")
   }
 }
