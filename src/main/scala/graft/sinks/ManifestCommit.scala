@@ -203,18 +203,31 @@ object ManifestCommit {
     * that crashed writers, raced [[commitIfAbsent]] losers, and replaced
     * [[commit]] replays leave behind (Iceberg's remove_orphan_files).
     * Referenced dirs are never touched, so vacuum is safe concurrent with
-    * readers of any PUBLISHED snapshot. Returns the deleted names.
+    * readers of any PUBLISHED snapshot.
+    *
+    * `olderThanMs` (default 24 h) is the in-flight-writer guard, straight
+    * from Iceberg's remove_orphan_files contract: a committer that has
+    * staged its data but not yet published its manifest is indistinguishable
+    * from an orphan, so only entries whose modification time is older than
+    * the threshold are eligible — an active commit (seconds–minutes old)
+    * can never lose its staging dir to a concurrent vacuum. Pass 0 only
+    * when no writer can be live (tests, decommission). Returns the deleted
+    * names.
     */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+  def vacuum(spark: SparkSession, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val f = fs(spark, table)
     val p = new Path(table)
     if (!f.exists(p)) return Seq.empty
     val referenced = snapshots(spark, table)
       .map(id => manifest(f, table, id)._1).toSet
-    val victims = f.listStatus(p).toSeq.map(_.getPath.getName).filter { n =>
-      (n.startsWith("snap_") && !referenced.contains(n)) ||
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val victims = f.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      val orphan = (n.startsWith("snap_") && !referenced.contains(n)) ||
         (n.startsWith("_manifest_") && n.endsWith(".tmp"))
-    }
+      orphan && st.getModificationTime <= cutoff
+    }.map(_.getPath.getName)
     victims.foreach(n => f.delete(new Path(table, n), true))
     victims.sorted
   }

@@ -169,12 +169,18 @@ class SinkSpec extends SparkSuite {
     // referenced dir — reads are identical after
     Files.write(java.nio.file.Paths.get(s"$table/_manifest_9.x.tmp"),
       "junk".getBytes("UTF-8"))
-    val removed = ManifestCommit.vacuum(spark, table)
+    // the in-flight-writer guard: at the default 24 h age threshold these
+    // seconds-old orphans are NOT eligible (a staged-but-unpublished commit
+    // must never lose its data to a concurrent vacuum)
+    assert(ManifestCommit.vacuum(spark, table).isEmpty,
+      "default vacuum deleted fresh entries — in-flight commits unsafe")
+    val removed = ManifestCommit.vacuum(spark, table, olderThanMs = 0L)
     assert(removed.exists(_.startsWith("snap_1_")) &&
       removed.contains("_manifest_9.x.tmp"))
     assert(entries().count(_.startsWith("snap_1_")) == 1)
     assert(ManifestCommit.read(spark, table).as[(Long, String)].collect()
       .toSet == Set((1L, "w")))
-    assert(ManifestCommit.vacuum(spark, table).isEmpty, "vacuum not idempotent")
+    assert(ManifestCommit.vacuum(spark, table, olderThanMs = 0L).isEmpty,
+      "vacuum not idempotent")
   }
 }
