@@ -489,6 +489,18 @@ object ScaleProbe {
       // (c ≈ k/8), nProbe=2: per-vector work drops from k to c + 2·k/c
       // candidates. Same pair stage; the probe's delta vs d7_semantic_shape
       // IS the assignment saving, and it must widen with xf.
+      // d7 through the REGISTERED auto-select (r20 verdict #6): at probe
+      // density the fine codebook (every 250th vector) crosses the
+      // ivfFromCentroids=64 dial, so this must track d7_semantic_ivf_shape,
+      // not d7_semantic_shape — the probe pair IS the evidence the dial
+      // picks the IVF branch at 10×/30×.
+      "d7_semantic_auto_shape" -> (() => {
+        val cents = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+        graft.similarity.Ann.semanticDedupPairsAuto(
+          emb, col("vec_id"), col("embedding"), cents, threshold = 0.4)
+      }),
       "d7_semantic_ivf_shape" -> (() => {
         val cents = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
           .select(col("vec_id").as("cid"),

@@ -51,7 +51,14 @@ object Sf1Bench {
     "j11_fuzzy_join", "j9_bucketed_join", "k1_es_upsert_roundtrip",
     "m3_phash_pairs", "m3_phash_pairs_distinct",
     "x34_html_extract", "d14_dup_span_removal",
-    "a38_frequent_pairs", "a51_ks_test")
+    "a38_frequent_pairs", "a51_ks_test",
+    // r21: the percolator e2e row (r20 verdict #7 — the fleet-scale claim
+    // rides the same refreshed artifact as the other headline shapes), the
+    // a41 approx twin (benched scale path vs the exact single-partition
+    // init above), and the x36 curation chain (the round's biggest
+    // duplicated-subtree fix).
+    "t31_percolate_selective", "a41_vw_histogram_approx",
+    "x36_curation_from_html")
 
   private def expand(df: DataFrame, xf: Int, keyCols: Seq[String]): DataFrame = {
     val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(xf - 1L))))

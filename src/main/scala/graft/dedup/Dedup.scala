@@ -284,7 +284,14 @@ object Dedup {
       // filter below.
       .select(col("doc_id") +: xxhash64(col("term")).as("__th") +:
         col("sz") +: col("__rn") +: bnames.map(col): _*)
-    val right = pre.select(col("doc_id").as("db") +: col("__th").as("__thb") +:
+    // Both sides of the candidate self-join ARE this frame; without a cache
+    // the whole postings→dfreq→sizes→prefix-window subtree runs TWICE (the
+    // r21 plan showed two Window nodes over duplicated join trees — the
+    // same gap containmentPairsPrefix's `ranked` cache closed in r16).
+    // Serialized, same rationale as the toks cache.
+    val preC = graft.Caches.track(
+      pre, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val right = preC.select(col("doc_id").as("db") +: col("__th").as("__thb") +:
       col("sz").as("szb") +: col("__rn").as("__rnb") +:
       bnames.map(b => col(b).as(s"${b}_r")): _*)
     val lengthOk = // J ≥ t ⟹ t·max ≤ min (ε only relaxes)
@@ -310,11 +317,15 @@ object Dedup {
     val joinCond = bnames.map(b => col(b) === col(s"${b}_r"))
       .foldLeft(col("__th") === col("__thb") && col("doc_id") < col("db") &&
         lengthOk && posOk)(_ && _)
-    val cands = pre.join(right, joinCond)
+    val cands = preC.join(right, joinCond)
       .select(col("doc_id").as("da"), col("db")).distinct()
-    // exact verify: token arrays derived map-side from the source rows
-    val arrays = df.select(id.as("doc_id"),
-      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+    // exact verify: token arrays derived map-side from the source rows.
+    // Cached — the da and db joins each probe this frame, and without the
+    // cache the corpus is re-tokenized once per side.
+    val arrays = graft.Caches.track(
+      df.select(id.as("doc_id"),
+        array_distinct(TextFunctions.bigrams(text)).as("__ta")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
@@ -433,9 +444,12 @@ object Dedup {
       .select(least(col("doc_id"), col("db")).as("da"),
         greatest(col("doc_id"), col("db")).as("db"))
       .distinct()
-    // exact verify: token arrays derived map-side from the source rows
-    val arrays = df.select(id.as("doc_id"),
-      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+    // exact verify: token arrays derived map-side from the source rows.
+    // Cached — probed once per join side, like jaccardPairsPrefix's.
+    val arrays = graft.Caches.track(
+      df.select(id.as("doc_id"),
+        array_distinct(TextFunctions.bigrams(text)).as("__ta")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
@@ -904,7 +918,12 @@ object Dedup {
     * was duplicated). Docs shorter than k are returned unchanged.
     */
   def dupSpanRemoval(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
-    val (t, rem) = tokensAndRemoved(df, id, text, k)
+    // cacheTokens: the tokenized corpus feeds BOTH the span branch and the
+    // excision join-back below; without the cache each branch re-tokenizes
+    // (and re-evaluates whatever expensive lineage produced `text` — x36
+    // feeds the HTML-extraction output here). dupMaximalSpans discards `t`,
+    // so only this entry point pays for the cache.
+    val (t, rem) = tokensAndRemoved(df, id, text, k, cacheTokens = true)
     // Excision is genuinely linear per doc (r19 advice #1): kept positions
     // come from one hash-based array_except(sequence(0, n-1), rem) — NOT a
     // per-token array_contains scan over the removed set, which was
@@ -930,10 +949,14 @@ object Dedup {
     * doc-keyed agg; the per-doc set is bounded by the doc's own length.
     */
   private def tokensAndRemoved(df: DataFrame, id: Column, text: Column,
-      k: Int): (DataFrame, DataFrame) = {
-    val t = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      k: Int, cacheTokens: Boolean = false): (DataFrame, DataFrame) = {
+    val t0 = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
+    // serialized, like the postings caches: token arrays are text-sized and
+    // must not thrash the unified region under memory pressure
+    val t = if (!cacheTokens) t0 else graft.Caches.track(
+      t0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val spans = t.filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(s"sequence(0, n - $k)")).as("pos"), col("toks"))
       .select(col("doc_id"), col("pos"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §7.3's
   * optional perf tier): whole-stage-codegen'd float-array dot product and
@@ -88,6 +88,68 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) ($a.getFloat($i) - $b.getFloat($i));
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 between a double-array (left) and a double- OR float-array
+  * (right) — the native kernel behind `Ann.l2sq` / `Pq.l2sqLit`'s
+  * centroid-assignment argmins (r21: the interpreted `aggregate(zip_with)`
+  * fold evaluates one Catalyst lambda PER ELEMENT, and assignment evaluates
+  * k folds per row — the same 30×-class penalty the CharEntropySum scaladoc
+  * records). Determinism contract, bit-identical to the fold it replaces:
+  * i-ascending, d = (double)right[i] − left[i] (a float right operand is
+  * widened BEFORE the double subtract — exactly `x.cast("double") - c`),
+  * acc += d·d. Note d² = (−d)², so left/right orientation cannot change a
+  * bit. Length mismatch truncates to min(len) like [[DoubleVecDot]] (the
+  * HOF fold would yield NULL there — contracts deliberately diverge, and
+  * every call site feeds fixed-width vectors).
+  */
+case class DoubleVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  private lazy val rightIsFloat: Boolean = right.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)) -
+        x.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val get = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $get - $a.getDouble($i);
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
@@ -254,6 +316,10 @@ object NativeFunctions {
       "char_entropy_sum", exprs => CharEntropySum(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "double_vec_dot", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "regexp_groups", exprs => RegexpGroups(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "float_vec_project", exprs => FloatVecProject(exprs(0), {
         // the matrix argument must be a literal (it becomes part of the

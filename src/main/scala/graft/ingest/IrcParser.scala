@@ -42,6 +42,15 @@ object IrcParser {
   def extractGroup(line: Column, group: Int): Column =
     regexp_extract(line, MsgPattern, group)
 
+  /** All five MsgPattern capture groups in ONE regex pass (r21 —
+    * [[graft.functions.RegexpGroups]]): per-group semantics identical to
+    * [[extractGroup]] (first match; no match or unmatched group → ""), but
+    * the line is matched once instead of once per group. Read groups with
+    * `element_at(_, i)` — same 1-based numbering as regexp_extract.
+    */
+  def extractGroups(line: Column): Column =
+    call_function("regexp_groups", line, lit(MsgPattern))
+
   /** ACTION emote → "/me" rewrite (irclogbot.py:137-138): startswith guard,
     * then str.replace — which replaces EVERY "ACTION " occurrence, not just
     * the prefix ("ACTION waves ACTION again" → "/me waves /me again"). The
@@ -58,13 +67,19 @@ object IrcParser {
     * `line`.
     */
   def parse(lines: DataFrame): DataFrame = {
+    // native one-pass group extract — the per-group regexp_extract form ran
+    // the same anchored match three times per line (r21); the kernel is
+    // registered session-wide by Tables, but parse must also work on
+    // sessions that never touched the fixture tables (streaming)
+    graft.functions.NativeFunctions.ensureRegistered(lines.sparkSession)
     val line = col("line")
     lines
       .filter(!isPing(line))
+      .select(extractGroups(line).as("g"))
       .select(
-        extractGroup(line, 1).as("nick"),
-        extractGroup(line, 4).as("channel"),
-        extractGroup(line, 5).as("remark"))
+        element_at(col("g"), 1).as("nick"),
+        element_at(col("g"), 4).as("channel"),
+        element_at(col("g"), 5).as("remark"))
       .filter(col("nick") =!= "" && col("channel") =!= "" && col("remark") =!= "")
       .filter(length(col("nick")) < MaxNickLen)
       .withColumn("remark", rewriteAction(col("remark")))

@@ -18,6 +18,62 @@ object AggQueries extends QueryGroup {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Shared Lloyd core of the a41 variable-width-histogram pair: two
+    * unrolled assign→recenter iterations from `init` (a 1-row frame with
+    * columns c0..c4) over `ev` (event_id, v: long cents), then the bucket
+    * report. Each assignment is MAP-SIDE (1-row centroid pivot broadcast
+    * into the scan); each recenter one hash agg; zero FP anywhere. The
+    * exact query seeds `init` from global ranks (oracle determinism), the
+    * `_approx` twin from approx_percentile — identical machinery after the
+    * seed, so the two bodies must not drift (r20 verdict #1).
+    */
+  private def vwHistogramLloyd(ev: org.apache.spark.sql.DataFrame,
+      init: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def assign(cents: org.apache.spark.sql.DataFrame) = ev
+      .crossJoin(broadcast(cents))
+      .withColumn("cid", expr(
+        """CASE
+          |  WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
+          |   AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
+          |  WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
+          |   AND abs(v-c1) <= abs(v-c4) THEN 1
+          |  WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
+          |  WHEN abs(v-c3) <= abs(v-c4) THEN 3
+          |  ELSE 4 END""".stripMargin))
+    def recenter(assigned: org.apache.spark.sql.DataFrame,
+                 prev: org.apache.spark.sql.DataFrame) = {
+      // integer floor-division recenter (sums are nonnegative): `div`
+      // here ≙ `//` in the oracle — NOT a double divide + cast, whose
+      // truncate-vs-round conventions differ across engines (a23 class)
+      val sums = assigned.groupBy(col("cid"))
+        .agg(expr("sum(v) div count(1)").as("c"))
+      val piv = sums.groupBy(lit(1).as("g"))
+        .agg(min(when(col("cid") === 0, col("c"))).as("n0"),
+          min(when(col("cid") === 1, col("c"))).as("n1"),
+          min(when(col("cid") === 2, col("c"))).as("n2"),
+          min(when(col("cid") === 3, col("c"))).as("n3"),
+          min(when(col("cid") === 4, col("c"))).as("n4"))
+        .drop("g")
+      prev.crossJoin(piv).select(
+        coalesce(col("n0"), col("c0")).as("c0"),
+        coalesce(col("n1"), col("c1")).as("c1"),
+        coalesce(col("n2"), col("c2")).as("c2"),
+        coalesce(col("n3"), col("c3")).as("c3"),
+        coalesce(col("n4"), col("c4")).as("c4"))
+    }
+    val c1 = recenter(assign(init), init)
+    val c2 = recenter(assign(c1), c1)
+    assign(c2).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+      .join(broadcast(c2.select(
+        expr("stack(5, 0, c0, 1, c1, 2, c2, 3, c3, 4, c4) AS (cid, centroid)"))),
+        "cid")
+      .select(col("cid"), col("n"), col("min_cents"), col("max_cents"),
+        col("centroid"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // A1 — ES `terms` agg analog: counts per key.
@@ -1633,49 +1689,7 @@ object AggQueries extends QueryGroup {
               col("v"))).as("c3"),
             min(when(col("rn") === col("n"), col("v"))).as("c4"))
           .drop("g")
-        def assign(cents: org.apache.spark.sql.DataFrame) = ev
-          .crossJoin(broadcast(cents))
-          .withColumn("cid", expr(
-            """CASE
-              |  WHEN abs(v-c0) <= abs(v-c1) AND abs(v-c0) <= abs(v-c2)
-              |   AND abs(v-c0) <= abs(v-c3) AND abs(v-c0) <= abs(v-c4) THEN 0
-              |  WHEN abs(v-c1) <= abs(v-c2) AND abs(v-c1) <= abs(v-c3)
-              |   AND abs(v-c1) <= abs(v-c4) THEN 1
-              |  WHEN abs(v-c2) <= abs(v-c3) AND abs(v-c2) <= abs(v-c4) THEN 2
-              |  WHEN abs(v-c3) <= abs(v-c4) THEN 3
-              |  ELSE 4 END""".stripMargin))
-        def recenter(assigned: org.apache.spark.sql.DataFrame,
-                     prev: org.apache.spark.sql.DataFrame) = {
-          // integer floor-division recenter (sums are nonnegative): `div`
-          // here ≙ `//` in the oracle — NOT a double divide + cast, whose
-          // truncate-vs-round conventions differ across engines (a23 class)
-          val sums = assigned.groupBy(col("cid"))
-            .agg(expr("sum(v) div count(1)").as("c"))
-          val piv = sums.groupBy(lit(1).as("g"))
-            .agg(min(when(col("cid") === 0, col("c"))).as("n0"),
-              min(when(col("cid") === 1, col("c"))).as("n1"),
-              min(when(col("cid") === 2, col("c"))).as("n2"),
-              min(when(col("cid") === 3, col("c"))).as("n3"),
-              min(when(col("cid") === 4, col("c"))).as("n4"))
-            .drop("g")
-          prev.crossJoin(piv).select(
-            coalesce(col("n0"), col("c0")).as("c0"),
-            coalesce(col("n1"), col("c1")).as("c1"),
-            coalesce(col("n2"), col("c2")).as("c2"),
-            coalesce(col("n3"), col("c3")).as("c3"),
-            coalesce(col("n4"), col("c4")).as("c4"))
-        }
-        val c1 = recenter(assign(init), init)
-        val c2 = recenter(assign(c1), c1)
-        assign(c2).groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"),
-            min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
-          .join(broadcast(c2.select(
-            expr("stack(5, 0, c0, 1, c1, 2, c2, 3, c3, 4, c4) AS (cid, centroid)"))),
-            "cid")
-          .select(col("cid"), col("n"), col("min_cents"), col("max_cents"),
-            col("centroid"))
-          .orderBy(col("cid"))
+        vwHistogramLloyd(ev, init)
       },
       Some("""WITH e AS (SELECT event_id,
              |                  CAST(round(value * 100) AS BIGINT) AS v
@@ -1759,6 +1773,35 @@ object AggQueries extends QueryGroup {
              |       max(v) AS max_cents, min(centroid) AS centroid
              |FROM a3 a JOIN cents USING (cid)
              |GROUP BY a.cid ORDER BY a.cid""".stripMargin)),
+
+    // A41 scale twin (r20 verdict #1): the SAME two-iteration Lloyd
+    // machinery, seeded from approx_percentile instead of the exact global
+    // rank. The exact form's init is the ONE corpus-sized single-partition
+    // window left in the registry (row_number over Window.orderBy(v) ⇒
+    // Exchange SinglePartition + a full sort on one task — a driver-adjacent
+    // corpus sort at 100×); this twin's init is a partial/final hash
+    // aggregate (GK sketch), so NO single-partition exchange anywhere in the
+    // plan (plans/a41_vw_histogram_approx.txt). Init quality doesn't need
+    // exactness — the Lloyd iterations do the work (the a3/h6/x17
+    // exact↔approx precedent: the exact form stays oracle-gated, this twin
+    // is benched; AggSpec pins fixture bucket agreement between the two).
+    Q("a41_vw_histogram_approx",
+      (s, d) => {
+        val ev = graft.Caches.track(Tables(s, d, "events")
+          .select(col("event_id"), cents(col("value")).as("v")))
+        // init: approx 0/25/50/75/100-percentiles (observed values, like the
+        // exact ranks; 0.0/1.0 are exact min/max by the sketch contract)
+        val init = ev.agg(percentile_approx(col("v"),
+            array(lit(0.0D), lit(0.25D), lit(0.5D), lit(0.75D), lit(1.0D)),
+            lit(10000)).as("q"))
+          .select(element_at(col("q"), 1).as("c0"),
+            element_at(col("q"), 2).as("c1"),
+            element_at(col("q"), 3).as("c2"),
+            element_at(col("q"), 4).as("c3"),
+            element_at(col("q"), 5).as("c4"))
+        vwHistogramLloyd(ev, init)
+      },
+      None),
 
     // A43 — date_range agg (ES `date_range`: NAMED irregular calendar
     // buckets with half-open [from, to) bounds and open ends — the

@@ -817,7 +817,11 @@ object DedupQueries extends QueryGroup {
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"),
             transform(col("embedding"), _.cast("double")).as("cvec"))
-        graft.similarity.Ann.semanticDedupPairs(
+        // Auto-selected posture (r20 verdict #6): exact assignment at this
+        // fixture's 8 centroids (below the ivfFromCentroids dial, so the
+        // plan — and the oracle hash — is byte-identical to the exact form);
+        // IVF-assisted assignment once the codebook crosses the dial.
+        graft.similarity.Ann.semanticDedupPairsAuto(
           emb, col("vec_id"), col("embedding"), cents, threshold = 0.4)
           .select(col("cid"), col("va"), col("vb"), round(col("cos"), 6).as("cos"))
           .orderBy(col("cid"), col("va"), col("vb"))

@@ -1405,12 +1405,21 @@ object PipelineQueries extends QueryGroup {
     Q("x36_curation_from_html",
       (s, d) => {
         import graft.pipeline.HtmlExtract
-        val ext = Tables(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
-          .select(col("doc_id"), col("source"),
-            HtmlExtract.mainContent(col("html")).as("etext"))
-          .withColumn("en", size(TextFunctions.tokens(col("etext"))))
+        // The extracted frame feeds THREE consumers (dupSpanRemoval's span
+        // branch, its token join-back, and the attribution join below), and
+        // without a cache each re-evaluates the whole htmlize→mainContent
+        // regex chain — the r21 plan showed 9 parquet scans each re-running
+        // the extraction (the optimizer cannot share subtrees across join
+        // branches). One serialized cache makes extraction a single pass;
+        // Bench/Verify release it via Caches.unpersistAll() after the run.
+        val ext = graft.Caches.track(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("source"),
+              HtmlExtract.htmlize(col("doc_id"), col("text")).as("html"))
+            .select(col("doc_id"), col("source"),
+              HtmlExtract.mainContent(col("html")).as("etext"))
+            .withColumn("en", size(TextFunctions.tokens(col("etext")))),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val cleanedCols = graft.dedup.Dedup.dupSpanRemoval(
           ext.filter(col("en") > 0), col("doc_id"), col("etext"), k = 8)
         val f = ext.join(

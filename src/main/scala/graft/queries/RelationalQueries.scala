@@ -43,13 +43,17 @@ object RelationalQueries extends QueryGroup {
             lit("!~user@10.0.0."), (col("user_id") % 256).cast("string"),
             lit(" PRIVMSG #"), col("event_type"),
             lit(" :msg "), col("event_id").cast("string")).as("line"))
-        lines.select(
-          col("event_id"),
-          IrcParser.extractGroup(col("line"), 1).as("nick"),
-          IrcParser.extractGroup(col("line"), 2).as("username"),
-          IrcParser.extractGroup(col("line"), 3).as("host"),
-          IrcParser.extractGroup(col("line"), 4).as("channel"),
-          IrcParser.extractGroup(col("line"), 5).as("remark"))
+        // one-pass group extract (r21): the per-group regexp_extract form
+        // ran the same anchored match FIVE times per line
+        lines.select(col("event_id"),
+            IrcParser.extractGroups(col("line")).as("g"))
+          .select(
+            col("event_id"),
+            element_at(col("g"), 1).as("nick"),
+            element_at(col("g"), 2).as("username"),
+            element_at(col("g"), 3).as("host"),
+            element_at(col("g"), 4).as("channel"),
+            element_at(col("g"), 5).as("remark"))
           .orderBy(col("event_id"))
       },
       Some("""WITH lines AS (

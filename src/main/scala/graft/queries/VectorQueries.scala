@@ -94,10 +94,11 @@ object VectorQueries extends QueryGroup {
 
   // ---- V11 oracle-tier PQ (shared by v11_pq_codes / v11_pq_adc_oracle) ----
 
+  // native vec_l2sq kernel (r21): bit-identical to the interpreted
+  // aggregate(zip_with((x,y) => (x−y)²)) fold over these double arrays —
+  // same i-ascending subtract-square-accumulate, and d² = (−d)²
   private def pqL2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => {
-      val dd = x - y; dd * dd
-    }), lit(0.0), (acc, v) => acc + v)
+    call_function("vec_l2sq", a, b)
 
   /** One row per (vector, subspace): 16-dim double slice (m=4 over d=64). */
   private def pqOracleSubs(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -440,10 +441,12 @@ object VectorQueries extends QueryGroup {
     Q("v8_kmeans_oracle",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // native vec_l2sq kernel (r21): left is the double cvec, right the
+        // float embedding (widened before the double subtract) — the exact
+        // IEEE sequence of the interpreted cast-then-subtract fold, and
+        // d² = (−d)² makes operand order bit-free
         def l2D(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => {
-            val dd = x.cast("double") - y.cast("double"); dd * dd
-          }), lit(0.0), (acc, v) => acc + v)
+          call_function("vec_l2sq", a, b)
         val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         var cents = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cid"),

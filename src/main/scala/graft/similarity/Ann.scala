@@ -442,12 +442,16 @@ object Ann {
     pairsWithinClusters(assignCentroids(embeddings, id, vec, centroids), threshold)
 
   /** Squared L2 between a double-array centroid column and a (float or
-    * double) vector column — the shared assignment metric.
+    * double) vector column — the shared assignment metric. Native kernel
+    * ([[graft.functions.DoubleVecL2Sq]], r21): bit-identical to the
+    * interpreted `aggregate(zip_with(cvec, v, (c, x) => (x.cast-c)²))` fold
+    * it replaces (i-ascending widen-then-double-subtract, and d² = (−d)²),
+    * but one tight loop per row instead of one Catalyst lambda per element
+    * — assignment evaluates k of these folds per row, which made the
+    * interpreted form the dominant cost of d7/v7-family assignment.
     */
   private def l2sq(cvec: Column, v: Column): Column =
-    aggregate(
-      zip_with(cvec, v, (c, x) => { val d = x.cast("double") - c; d * d }),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_l2sq", cvec, v)
 
   /** EXACT nearest-centroid assignment (the n×k baseline): one broadcast
     * cross join + ranking window, deterministic L2-then-cid tie-break.
@@ -549,6 +553,43 @@ object Ann {
     pairsWithinClusters(
       assignCentroidsIvf(embeddings, id, vec, centroids, coarse, nProbe),
       threshold)
+
+  /** Posture AUTO-SELECT between the exact and IVF-assisted assignment
+    * (r20 verdict #6 — the d13 auto-select precedent applied to d7): exact
+    * argmin while the fine codebook stays at or below
+    * `spark.graft.semdedup.ivfFromCentroids` (default 64) centroids; above
+    * it, IVF-assisted with a coarse codebook of every
+    * `spark.graft.semdedup.coarseStride`-th (default 8) fine centroid in
+    * cid order, probing `spark.graft.semdedup.nProbe` (default 2) cells —
+    * the recipe the 10×/30× probes measured at 7.3× over exact
+    * (BASELINE.md r11). The codebook-count probe is one bounded action over
+    * a codebook-scale frame (same posture as the kmeans driver loop), and
+    * the coarse derivation's global row_number runs over k codebook rows,
+    * never the corpus. Because k ∝ n / target-cluster-size at scale, a
+    * corpus big enough to cross the dial is exactly the one whose n×k
+    * exact assignment has hit the wall the probes pinned. Below the dial
+    * the plan is BYTE-IDENTICAL to [[semanticDedupPairs]] (the d7 fixture
+    * runs 8 centroids, so the oracle gate pins the exact branch; AnnSpec
+    * pins branch selection and the above-dial equality with the explicit
+    * IVF form).
+    */
+  def semanticDedupPairsAuto(embeddings: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val conf = embeddings.sparkSession.conf
+    val dial = conf.get("spark.graft.semdedup.ivfFromCentroids", "64").toInt
+    val nProbe = conf.get("spark.graft.semdedup.nProbe", "2").toInt
+    val stride = conf.get("spark.graft.semdedup.coarseStride", "8").toInt
+    if (centroids.count() <= dial)
+      semanticDedupPairs(embeddings, id, vec, centroids, threshold)
+    else {
+      val coarse = centroids
+        .withColumn("__rk", row_number().over(Window.orderBy(col("cid"))))
+        .filter(pmod(col("__rk") - 1, lit(stride)) === 0)
+        .select(col("cid").as("ccid"), col("cvec").as("ccvec"))
+      semanticDedupPairsIvf(embeddings, id, vec, centroids, coarse, nProbe,
+        threshold)
+    }
+  }
 
   /** Within-cluster exact cosine pairs over an assigned (cid, vec_id, v)
     * frame — the blocking-keyed pair stage shared by the semantic-dedup

@@ -167,9 +167,9 @@ object Pq {
     embeddings.select(id.as("vec_id"), vec.as("v"))
       .join(broadcast(cand), "vec_id")
       .select(col("vec_id"),
-        aggregate(zip_with(col("v"), qLit, (x, q) => {
-          val dd = x.cast("double") - q; dd * dd
-        }), lit(0.0), (acc, v) => acc + v).as("d2"))
+        // native vec_l2sq — bit-identical to the interpreted
+        // (x.cast("double") − q)² fold (d² = (−d)²)
+        call_function("vec_l2sq", qLit, col("v")).as("d2"))
       .orderBy(col("d2").asc, col("vec_id"))
       .limit(topK)
   }
@@ -186,15 +186,15 @@ object Pq {
     encoded.select(id.as("vec_id"), concat(parts: _*).as("rvec"))
   }
 
+  // Native kernels (graft.functions.DoubleVecL2Sq, r21) — bit-identical to
+  // the interpreted aggregate(zip_with) folds they replace (i-ascending
+  // subtract-square-accumulate in double; d² = (−d)² so operand order is
+  // bit-free), but one loop per row instead of one Catalyst lambda per
+  // element. Train/encode evaluate k of these folds per row — the
+  // interpreted form dominated v11_pq_adc's wall time.
   private def l2sqLit(sv: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(sv, typedLit(centroid.toSeq), (x, c) => { val dd = x - c; dd * dd }),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_l2sq", typedLit(centroid.toSeq), sv)
 
   private def l2sqCols(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val dd = x.cast("double") - y.cast("double"); dd * dd
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_l2sq", a.cast("array<double>"), b)
 }

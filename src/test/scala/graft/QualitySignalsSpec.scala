@@ -431,6 +431,38 @@ class QualitySignalsSpec extends SparkSuite {
     assert(ivf == exact && ivf.nonEmpty)
   }
 
+  test("semanticDedupPairsAuto: exact branch below the dial, IVF branch above") {
+    // Below spark.graft.semdedup.ivfFromCentroids (default 64) the auto
+    // path must return the exact form's rows bit-for-bit (this is what
+    // keeps d7's oracle hash pinned); with the dial forced to 0 it must
+    // return exactly what the explicit IVF form returns for the derived
+    // stride-8 coarse codebook (here: the single min-cid centroid).
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), col("va"), col("vb"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = rows(graft.similarity.Ann.semanticDedupPairs(
+      emb, col("vec_id"), col("embedding"), cents, threshold = 0.4))
+    val auto = rows(graft.similarity.Ann.semanticDedupPairsAuto(
+      emb, col("vec_id"), col("embedding"), cents, threshold = 0.4))
+    assert(auto == exact && auto.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.semdedup.ivfFromCentroids", "0")
+      val coarse = cents.orderBy(col("cid")).limit(1)
+        .select(col("cid").as("ccid"), col("cvec").as("ccvec"))
+      val ivf = rows(graft.similarity.Ann.semanticDedupPairsIvf(
+        emb, col("vec_id"), col("embedding"), cents, coarse, nProbe = 2,
+        threshold = 0.4))
+      val autoIvf = rows(graft.similarity.Ann.semanticDedupPairsAuto(
+        emb, col("vec_id"), col("embedding"), cents, threshold = 0.4))
+      assert(autoIvf == ivf && autoIvf.nonEmpty)
+    } finally spark.conf.unset("spark.graft.semdedup.ivfFromCentroids")
+  }
+
   test("IVF-assisted assignment: single probe assigns every vector, high agreement") {
     // nProbe=1 is the cheapest setting — recall < 1 by construction (a
     // vector whose true cell isn't its nearest coarse cell gets its best
