@@ -319,13 +319,14 @@ object Dedup {
         lengthOk && posOk)(_ && _)
     val cands = preC.join(right, joinCond)
       .select(col("doc_id").as("da"), col("db")).distinct()
-    // exact verify: token arrays derived map-side from the source rows.
-    // Cached — the da and db joins each probe this frame, and without the
-    // cache the corpus is re-tokenized once per side.
-    val arrays = graft.Caches.track(
-      df.select(id.as("doc_id"),
-        array_distinct(TextFunctions.bigrams(text)).as("__ta")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // exact verify: token arrays derived map-side from the source rows —
+    // deliberately NOT cached (r21): the da/db joins each re-tokenize one
+    // map-side pass, but caching this frame materializes the full bigram
+    // arrays (text-width × corpus) next to the toks and prefix caches, and
+    // the 30× probe measured the added storage pressure costing more than
+    // the saved pass (d2 54.7 → 69.2 s at xf=30 with the cache; reverted).
+    val arrays = df.select(id.as("doc_id"),
+      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
@@ -444,12 +445,12 @@ object Dedup {
       .select(least(col("doc_id"), col("db")).as("da"),
         greatest(col("doc_id"), col("db")).as("db"))
       .distinct()
-    // exact verify: token arrays derived map-side from the source rows.
-    // Cached — probed once per join side, like jaccardPairsPrefix's.
-    val arrays = graft.Caches.track(
-      df.select(id.as("doc_id"),
-        array_distinct(TextFunctions.bigrams(text)).as("__ta")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // exact verify: token arrays derived map-side from the source rows —
+    // NOT cached, same 30×-measured reasoning as jaccardPairsPrefix's
+    // verify stage (the wide bigram-array cache costs more in storage
+    // pressure than the one saved tokenization pass).
+    val arrays = df.select(id.as("doc_id"),
+      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")

@@ -64,6 +64,15 @@ object ManifestCommit {
 
   /** Stage + audit: write `df` under a fresh per-attempt prefix and return
     * (stagingDirName, manifestBody).
+    *
+    * EMPTY SNAPSHOTS ARE REJECTED by design (ADVICE r20 #3): Spark can
+    * legitimately write zero part- files for an empty DataFrame (e.g. an
+    * AQE-coalesced empty filter result), and the `require` below turns that
+    * into a loud failure rather than publishing a snapshot readers would
+    * silently see as "the table is now empty" — in this lake an empty
+    * curated batch is far more likely an upstream bug than a real state.
+    * Callers that truly mean "publish empty" should commit a sentinel row
+    * or relax this guard deliberately.
     */
   private def stage(df: DataFrame, table: String,
       snapshotId: Long): (String, String) = {
@@ -98,6 +107,15 @@ object ManifestCommit {
     * existing manifest of the same id is replaced (the foreachBatch retry
     * contract); the superseded attempt's staging dir becomes orphan
     * garbage for [[vacuum]].
+    *
+    * Replace-mode publish is TWO steps (delete, then rename — ADVICE r20
+    * #2): a crash or concurrent read inside that window observes snapshot
+    * `snapshotId` unpublished — [[read]] transiently resolves the prior
+    * snapshot and [[readAt]] of this id fails until the rename lands. Each
+    * STEP is atomic (whole snapshot or none — no torn manifest is ever
+    * visible); the pair is not. Replays are idempotent re-publishes of
+    * identical content, so the window is benign for the foreachBatch
+    * contract; use [[commitIfAbsent]] when the id must never disappear.
     */
   def commit(df: DataFrame, table: String, snapshotId: Long): Unit = {
     val f = fs(df.sparkSession, table)
@@ -117,6 +135,17 @@ object ManifestCommit {
     * appears and the other rename returns false. The loser's staged data
     * is best-effort removed here and is otherwise invisible (never
     * referenced) until [[vacuum]] reclaims it.
+    *
+    * FILESYSTEM CONTRACT (ADVICE r20 #1): the rename-as-CAS guarantee
+    * requires rename to FAIL when the destination exists — HDFS semantics.
+    * On `RawLocalFileSystem` (what the tests run on) and object-store
+    * connectors whose rename atomically REPLACES the destination, two
+    * committers racing inside the `exists()`→`rename` window can both
+    * return success, the later one silently replacing the winner — the
+    * exactly-one-publishes guarantee is HDFS-only. Sequential replays and
+    * the already-published fast path behave identically everywhere. On a
+    * replace-semantics store, front this with an external mutex or publish
+    * through a `create(target, overwrite=false)` door.
     */
   def commitIfAbsent(df: DataFrame, table: String, snapshotId: Long): Unit = {
     val f = fs(df.sparkSession, table)

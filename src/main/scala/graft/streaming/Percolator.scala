@@ -142,8 +142,10 @@ object Percolator {
 
   /** Streaming percolation at FLEET scale (r19 verdict stretch #9): the
     * [[percolate]] dispatch applied per micro-batch. The row form streams
-    * directly (stateless map-side plan), but the postings form needs a
-    * per-batch aggregation — inside foreachBatch each micro-batch is a
+    * directly (stateless map-side plan), but the selective
+    * (rarest-term-anchored) form — what [[matchDocsSelective]] dispatches
+    * past the dial; NOT the kept-as-anti-pattern postings join (ADVICE r20
+    * #4) — needs a per-batch aggregation: inside foreachBatch each micro-batch is a
     * plain batch plan, so BOTH forms stay state-store-free by construction
     * (no watermark, no keyed state; StreamingSpec asserts
     * `stateOperators` is empty). Hits land under `hitsDir/b<batchId>`

@@ -756,7 +756,8 @@ class StreamingSpec extends SparkSuite {
       Seq((99L, Seq("zzzunseen", "the"), 2)).toDF("query_id", "q_terms", "n_terms"))
     assert(pairs(graft.streaming.Percolator.matchDocsSelective(docs, withDead))
       == row)
-    // dial below the store size → postings form; above → row form. Both
+    // dial below the store size → selective (rarest-term) form; above →
+    // row form. Both
     // must return the same rows, so dispatch is pinned as pure cost choice.
     val prev = spark.conf.getOption("graft.percolator.rowFormMaxQueries")
     try {
@@ -771,8 +772,8 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("streaming percolation at fleet scale: postings dispatch inside " +
-      "foreachBatch, no state store, chunked hits equal the batch run") {
+  test("streaming percolation at fleet scale: selective (rarest-term-anchored) " +
+      "dispatch inside foreachBatch, no state store, chunked hits equal the batch run") {
     implicit val ctx = sqlCtx
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("term"))
