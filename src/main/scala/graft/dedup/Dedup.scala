@@ -325,6 +325,11 @@ object Dedup {
     // arrays (text-width × corpus) next to the toks and prefix caches, and
     // the 30× probe measured the added storage pressure costing more than
     // the saved pass (d2 54.7 → 69.2 s at xf=30 with the cache; reverted).
+    // r22 NOTE: a candidate-id semi-join prune of this frame (tokenize only
+    // candidate docs) was measured and REVERTED — it requires caching
+    // `cands` (else the candidate pipeline runs twice), and that cache cost
+    // d2 5.2 → 8.7 s / d12 6.5 → 13.8 s same-session (the heavy candidate
+    // join re-runs under the cache's frozen pre-AQE plan).
     val arrays = df.select(id.as("doc_id"),
       array_distinct(TextFunctions.bigrams(text)).as("__ta"))
     cands
@@ -448,7 +453,8 @@ object Dedup {
     // exact verify: token arrays derived map-side from the source rows —
     // NOT cached, same 30×-measured reasoning as jaccardPairsPrefix's
     // verify stage (the wide bigram-array cache costs more in storage
-    // pressure than the one saved tokenization pass).
+    // pressure than the one saved tokenization pass). The candidate-id
+    // semi-join prune was likewise measured and reverted (see there).
     val arrays = df.select(id.as("doc_id"),
       array_distinct(TextFunctions.bigrams(text)).as("__ta"))
     cands
@@ -666,6 +672,9 @@ object Dedup {
       newBands: DataFrame, allBands: DataFrame, allSigs: DataFrame,
       numHashes: Int, minEstJaccard: Double,
       broadcastBatch: Option[Boolean] = None): DataFrame = {
+    // estimateJaccard below builds a call_function("vec_agree", …) — make
+    // direct library use independent of Tables (r21 ADVICE #2 pattern)
+    graft.functions.NativeFunctions.ensureRegistered(newBands.sparkSession)
     val bcast = broadcastBatch.getOrElse {
       val maxBytes = newBands.sparkSession.conf
         .get("graft.dedup.broadcastBatchMaxBytes", (256L << 20).toString).toLong
@@ -918,13 +927,18 @@ object Dedup {
     * token; `cleaned` is the excised-and-stitched text ('' when everything
     * was duplicated). Docs shorter than k are returned unchanged.
     */
-  def dupSpanRemoval(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
-    // cacheTokens: the tokenized corpus feeds BOTH the span branch and the
-    // excision join-back below; without the cache each branch re-tokenizes
-    // (and re-evaluates whatever expensive lineage produced `text` — x36
-    // feeds the HTML-extraction output here). dupMaximalSpans discards `t`,
-    // so only this entry point pays for the cache.
-    val (t, rem) = tokensAndRemoved(df, id, text, k, cacheTokens = true)
+  def dupSpanRemoval(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      cacheTokens: Boolean = false): DataFrame = {
+    // cacheTokens (caller opt-in, r21 verdict "what's wrong" #1): the
+    // tokenized corpus feeds BOTH the span branch and the excision
+    // join-back below, so a caller whose `text` carries expensive lineage
+    // (x36 feeds the HTML-extraction output here) should pass true — one
+    // tokenization pass instead of two re-runs of the whole upstream chain.
+    // Default FALSE: when the input is a bare scan, re-tokenizing one
+    // map-side pass is cheaper than materializing text-sized token arrays
+    // (r21 driver: the unconditional cache cost standalone d14 +25%, first
+    // rep paying the build). dupMaximalSpans discards `t` and never caches.
+    val (t, rem) = tokensAndRemoved(df, id, text, k, cacheTokens = cacheTokens)
     // Excision is genuinely linear per doc (r19 advice #1): kept positions
     // come from one hash-based array_except(sequence(0, n-1), rem) — NOT a
     // per-token array_contains scan over the removed set, which was

@@ -76,20 +76,30 @@ object MinHashDedup {
       transform(array_distinct(TextFunctions.shingles(text, shingleWidth)), md5Fold(_)),
       lit(numHashes))
 
-  /** Estimated Jaccard from two signatures = fraction of agreeing positions. */
+  /** Estimated Jaccard from two signatures = fraction of agreeing positions.
+    * Hot path is the native [[graft.functions.LongVecAgree]] kernel (r22):
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(sa, sb, when(x===y,1).otherwise(0)), 0, _+_)` fold
+    * it replaces (integer match count over min-length, null array → null),
+    * but one codegen'd loop per candidate pair instead of one Catalyst
+    * lambda per element — this estimate sits on every candidate pair of the
+    * whole minhash family (d2_minhash_*, d3/d10 LSH, i3/d13 incremental).
+    */
   def estimateJaccard(sa: Column, sb: Column, numHashes: Int = 64): Column =
-    aggregate(
-      zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v).cast("double") / numHashes
+    call_function("vec_agree", sa, sb).cast("double") / numHashes
 
   /** (doc_id, sig) signatures, cached — computed once, reused by both the
     * band bucketing and the per-pair estimate join.
     */
   def signatures(
       df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, shingleWidth: Int = 3): DataFrame =
+      numHashes: Int = 64, shingleWidth: Int = 3): DataFrame = {
+    // defensive (r21 ADVICE #2 pattern): signature()/estimateJaccard build
+    // call_function expressions — direct library use on a session that
+    // never touched Tables must not fail analysis
+    graft.functions.NativeFunctions.ensureRegistered(df.sparkSession)
     df.select(id.as("doc_id"), signature(text, numHashes, shingleWidth).as("sig"))
+  }
 
   /** (doc_id, band, band_hash) — one row per band per document. `bandKey`
     * maps the band's sub-signature to the bucket key: xxhash64 (8-byte,
@@ -138,6 +148,7 @@ object MinHashDedup {
   private def candidatePairsFrom(
       sigs: DataFrame, numHashes: Int, bands: Int, minEstJaccard: Double,
       bandKey: (Column, Column) => Column = (j, sl) => xxhash64(j, sl)): DataFrame = {
+    graft.functions.NativeFunctions.ensureRegistered(sigs.sparkSession)
     val bd = banded(sigs, numHashes, bands, bandKey)
     val pairs = bd
       .join(bd.select(col("band").as("band_b"), col("band_hash").as("band_hash_b"),

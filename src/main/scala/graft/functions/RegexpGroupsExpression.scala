@@ -35,6 +35,24 @@ case class RegexpGroups(subject: Expression, regexp: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "regexp_groups"
 
+  // enforce the documented literal-pattern contract at analysis time (r21
+  // ADVICE #3, mirroring Spark's RegExpExtractBase): a non-foldable or null
+  // regexp would otherwise NPE (or compile nonsense) at first row evaluation
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (subject.dataType != StringType || regexp.dataType != StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string operands, got " +
+          s"${subject.dataType.simpleString} and ${regexp.dataType.simpleString}")
+    } else if (!regexp.foldable || regexp.eval() == null) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-null literal pattern " +
+          "(it is compiled once per expression instance)")
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   @transient private lazy val pattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(
       regexp.eval(null).asInstanceOf[UTF8String].toString)

@@ -99,18 +99,23 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Squared L2 between a double-array (left) and a double- OR float-array
-  * (right) — the native kernel behind `Ann.l2sq` / `Pq.l2sqLit`'s
-  * centroid-assignment argmins (r21: the interpreted `aggregate(zip_with)`
-  * fold evaluates one Catalyst lambda PER ELEMENT, and assignment evaluates
-  * k folds per row — the same 30×-class penalty the CharEntropySum scaladoc
-  * records). Determinism contract, bit-identical to the fold it replaces:
-  * i-ascending, d = (double)right[i] − left[i] (a float right operand is
-  * widened BEFORE the double subtract — exactly `x.cast("double") - c`),
+/** Squared L2 between two double- OR float-arrays — the native kernel
+  * behind `Ann.l2sq` / `Pq.l2sqLit`'s centroid-assignment argmins (r21: the
+  * interpreted `aggregate(zip_with)` fold evaluates one Catalyst lambda PER
+  * ELEMENT, and assignment evaluates k folds per row — the same 30×-class
+  * penalty the CharEntropySum scaladoc records). Determinism contract,
+  * bit-identical to the fold it replaces: i-ascending, a float element is
+  * widened BEFORE the double subtract (exactly `x.cast("double") - c`),
   * acc += d·d. Note d² = (−d)², so left/right orientation cannot change a
   * bit. Length mismatch truncates to min(len) like [[DoubleVecDot]] (the
   * HOF fold would yield NULL there — contracts deliberately diverge, and
   * every call site feeds fixed-width vectors).
+  *
+  * Registered session-wide as SQL `vec_l2sq`, so the input contract is
+  * enforced (r21 ADVICE #1): both sides must be array<double|float> —
+  * before this check an array<float> LEFT operand silently read 8-byte
+  * slots over 4-byte data (garbage distances, no error). Float is now
+  * handled symmetrically on either side.
   */
 case class DoubleVecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -118,9 +123,26 @@ case class DoubleVecL2Sq(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2sq"
 
-  private lazy val rightIsFloat: Boolean = right.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
     case _ => false
+  }
+  private lazy val leftIsFloat: Boolean = isFloat(left)
+  private lazy val rightIsFloat: Boolean = isFloat(right)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double|float> operands, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -131,7 +153,7 @@ case class DoubleVecL2Sq(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       val d = (if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)) -
-        x.getDouble(i)
+        (if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i))
       acc += d * d
       i += 1
     }
@@ -144,13 +166,81 @@ case class DoubleVecL2Sq(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      val get = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val getR = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val getL = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $get - $a.getDouble($i);
+         |  double $d = $getR - $getL;
          |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of index-positions where two long-arrays agree — the MinHash
+  * signature-agreement kernel behind `MinHashDedup.estimateJaccard` (r21
+  * VERDICT #3: the estimate ran an interpreted 64-element
+  * `aggregate(zip_with(sa, sb, when(x===y,1).otherwise(0)))` fold — one
+  * Catalyst lambda per element — on EVERY candidate pair of the whole
+  * minhash family: d2_minhash_md5/lsh, d3/d10 LSH groups, i3/d13
+  * incremental). Bit-identical to the fold: the fold counts matches over
+  * the zip_with-padded max-length (pad → null → 0), which equals the count
+  * of equal positions below min(len) — exactly this loop. Integer count;
+  * the caller's `/ numHashes` division is unchanged. Null array → null,
+  * like the fold (zip_with(null,·) → null → aggregate → null).
+  */
+case class LongVecAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "vec_agree"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> operands, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -318,6 +408,8 @@ object NativeFunctions {
       "double_vec_dot", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_l2sq", exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_agree", exprs => LongVecAgree(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "regexp_groups", exprs => RegexpGroups(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

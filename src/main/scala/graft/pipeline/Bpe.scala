@@ -94,7 +94,18 @@ object Bpe {
       checkpointEvery: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, "rounds must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    (1 to rounds).foldLeft((charSeqs(vocab), Seq.empty[DataFrame])) {
+    // Cache the initial symbol-sequence frame (r22): every round's
+    // pairCounts — and the final segment/apply consumer — re-derives its
+    // seqs from s0, so without a cache the corpus-scale vocabulary
+    // aggregation that produced `vocab` re-executes once per round (the
+    // r21-measured plans showed rounds+1 full corpus passes for a
+    // 3-round trainer). The cached frame is vocabulary-sized (distinct
+    // words + counts + per-char seq string), orders of magnitude under
+    // corpus scale; serialized like the dedup postings caches so it cannot
+    // thrash the unified region, released by Caches.unpersistAll().
+    val s0 = graft.Caches.track(charSeqs(vocab),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (1 to rounds).foldLeft((s0, Seq.empty[DataFrame])) {
       case ((seqs, acc), r) =>
         // materialize the ≤1-row winner so the two uses below don't each
         // re-embed (and re-execute) the whole pair-count subtree

@@ -1421,7 +1421,10 @@ object PipelineQueries extends QueryGroup {
             .withColumn("en", size(TextFunctions.tokens(col("etext")))),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val cleanedCols = graft.dedup.Dedup.dupSpanRemoval(
-          ext.filter(col("en") > 0), col("doc_id"), col("etext"), k = 8)
+          ext.filter(col("en") > 0), col("doc_id"), col("etext"), k = 8,
+          // opt in (r22): etext's lineage is the whole extraction chain —
+          // worth one token-array cache; the bare-scan registry d14 opts out
+          cacheTokens = true)
         val f = ext.join(
             cleanedCols.select(col("doc_id"), col("n_removed"), col("cleaned")),
             Seq("doc_id"), "left_outer")

@@ -459,6 +459,10 @@ object Ann {
     */
   def assignCentroids(embeddings: DataFrame, id: Column, vec: Column,
       centroids: DataFrame): DataFrame = {
+    // defensive (r21 ADVICE #2): direct library use on a session that never
+    // touched Tables must not fail analysis with 'undefined function
+    // vec_l2sq' — mirror IrcParser.parse
+    graft.functions.NativeFunctions.ensureRegistered(embeddings.sparkSession)
     // One-row broadcast of the codebook; per-vector argmin is array_min
     // over (dist, cid) structs — identical L2-then-cid tie-break to the
     // ranking-window form this replaces, but with ZERO Exchange (the
@@ -495,6 +499,7 @@ object Ann {
     */
   def assignCentroidsIvf(embeddings: DataFrame, id: Column, vec: Column,
       centroids: DataFrame, coarse: DataFrame, nProbe: Int): DataFrame = {
+    graft.functions.NativeFunctions.ensureRegistered(embeddings.sparkSession)
     // fine centroid → its coarse cell: k×c rows, codebook-scale (both sides
     // are broadcastable by construction — same posture as Pq codebooks)
     val cellMap = centroids.crossJoin(broadcast(coarse))
@@ -579,7 +584,11 @@ object Ann {
     val dial = conf.get("spark.graft.semdedup.ivfFromCentroids", "64").toInt
     val nProbe = conf.get("spark.graft.semdedup.nProbe", "2").toInt
     val stride = conf.get("spark.graft.semdedup.coarseStride", "8").toInt
-    if (centroids.count() <= dial)
+    // bounded probe (r21 ADVICE #5): the dial check only needs to know
+    // whether the codebook exceeds `dial` rows — limit(dial+1) caps the
+    // action's scan at dial+1 rows instead of re-executing the centroids
+    // frame's entire upstream lineage for an exact count
+    if (centroids.limit(dial + 1).count() <= dial)
       semanticDedupPairs(embeddings, id, vec, centroids, threshold)
     else {
       val coarse = centroids

@@ -39,6 +39,10 @@ object Pq {
     */
   def train(embeddings: DataFrame, id: Column, vec: Column,
       m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    // defensive (r21 ADVICE #2): direct library use on a session that never
+    // touched Tables must not fail analysis with 'undefined function
+    // vec_l2sq' — mirror IrcParser.parse
+    graft.functions.NativeFunctions.ensureRegistered(embeddings.sparkSession)
     // ONE init job (TakeOrdered of k full vectors) supplies the dimension
     // AND the k init centroids — the old dim-head / initIds-collect /
     // init-cents-collect trio was three driver round-trips for data this
@@ -109,6 +113,7 @@ object Pq {
     */
   def encode(embeddings: DataFrame, id: Column, vec: Column,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.NativeFunctions.ensureRegistered(embeddings.sparkSession)
     val m = codebooks.length
     val dsub = codebooks.head.head.length
     val codeCols = (0 until m).map { s =>
@@ -161,6 +166,7 @@ object Pq {
       query: Array[Float], codebooks: Array[Array[Array[Double]]],
       topK: Int, shortlist: Int): DataFrame = {
     require(shortlist >= topK, s"PQ: shortlist $shortlist < topK $topK")
+    graft.functions.NativeFunctions.ensureRegistered(embeddings.sparkSession)
     val cand = knnAdc(encoded, id, codes, query, codebooks, shortlist)
       .select(col("vec_id"))
     val qLit = typedLit(query.map(_.toDouble).toSeq)
@@ -194,7 +200,4 @@ object Pq {
   // interpreted form dominated v11_pq_adc's wall time.
   private def l2sqLit(sv: Column, centroid: Array[Double]): Column =
     call_function("vec_l2sq", typedLit(centroid.toSeq), sv)
-
-  private def l2sqCols(a: Column, b: Column): Column =
-    call_function("vec_l2sq", a.cast("array<double>"), b)
 }
