@@ -251,6 +251,20 @@ object ScaleProbe {
       graft.streaming.Percolator.matchDocsSelective(
         docs.select(col("doc_id"), col("text")), percolateStore(nQueries))
 
+    // j11 at xf× vocabulary (see the j11_fuzzy_shape entry): distinct
+    // customer names, each copy carrying its rep digits TRIPLED (" r777"),
+    // so any two distinct suffixes differ by ≥ 2 edits (same-length reps
+    // differ in ≥ 3 tripled positions; different-length reps differ by ≥ 3
+    // length) — cross-copy names never form distance-1 pairs, and the true
+    // pair set is exactly xf copies of the originals.
+    def j11At(x: Int): DataFrame =
+      graft.operators.FuzzyJoin.editDistance1Pairs(
+        Tables(spark, sfDir, "customer").select(col("c_name")).distinct()
+          .withColumn("rep", explode(sequence(lit(0L), lit(x - 1L))))
+          .select(concat(col("c_name"), lit(" r"),
+            repeat(col("rep").cast("string"), 3)).as("c_name"))
+          .repartition(nPart))
+
     // Thunks, not frames: the components probe runs its label-propagation
     // actions during construction, so the clock must wrap the call itself.
     val probes: Seq[(String, () => DataFrame)] = Seq[(String, () => DataFrame)](
@@ -392,6 +406,15 @@ object ScaleProbe {
             Seq(("apart", "bpart")))
           .filter(col("asupp") =!= col("bsupp") && col("aid") < col("bid"))
       }),
+      // r22 (r21 verdict #7): fuzzy self-join at xf× vocabulary. Each copy
+      // appends a 3-char rep-distinct suffix, so cross-copy names sit at
+      // edit distance ≥ 3 and NEVER pair: the true pair set is exactly xf
+      // copies of the original distance-1 pairs. The claim under test is
+      // the r19 finding that the candidate stream — O(names × length)
+      // deletion-neighborhood keys, never the O(n²) pair space — is the
+      // cost: wall should track the xf× key volume, and rows_out (printed
+      // below) pins that output grew xf× and not quadratically.
+      "j11_fuzzy_shape" -> (() => j11At(xf)),
       // the round-8 addition: pairs → connected components at 10× density —
       // every original doc is a 10-member family, so the label-propagation
       // rounds (logged) must stay ~graph-diameter flat, not grow with xf
@@ -790,8 +813,37 @@ object ScaleProbe {
         s""","recall":{"d2_minhash_lsh":$recall,"true_pairs":$total,"recalled":$hit}"""
       } else ""
 
+    // rows-out for the two "the candidate/output stream IS the cost"
+    // claims (r21 verdict #7): pin output growth next to the wall number so
+    // the linear-wall claim is checkable — j11 output must grow ~xf× (the
+    // suffix construction makes cross-copy pairs impossible), j13 ~xf²
+    // (per-(part, bin) density, semantic output growth).
+    val rowsJson =
+      if (only.forall(s => s.contains("j11_fuzzy_shape") ||
+          s.contains("j13_interval_shape"))) {
+        val j11Base = j11At(1).count()
+        val j11X = j11At(xf).count()
+        def j13 = {
+          def iv(p: String) = lineitem.select(
+              col("l_partkey").as(s"${p}part"), col("l_suppkey").as(s"${p}supp"),
+              (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as(s"${p}id"),
+              datediff(col("l_shipdate").cast("date"),
+                to_date(lit("1970-01-01"))).cast("long").as(s"${p}lo"),
+              col("l_quantity").cast("long").as(s"${p}q"))
+            .withColumn(s"${p}hi", col(s"${p}lo") + col(s"${p}q"))
+            .drop(s"${p}q")
+          graft.operators.RangeJoin.intervalOverlap(
+              iv("a"), "alo", "ahi", iv("b"), "blo", "bhi", 32L,
+              Seq(("apart", "bpart")))
+            .filter(col("asupp") =!= col("bsupp") && col("aid") < col("bid"))
+        }
+        val j13X = j13.count()
+        println(s"[scaleprobe] rows_out: j11 base=$j11Base xf=$j11X, j13 xf=$j13X")
+        s""","rows_out":{"j11_base":$j11Base,"j11_xf":$j11X,"j13_xf":$j13X}"""
+      } else ""
+
     val json =
-      s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs$recallJson}"""
+      s"""{"metric":"sf1_spot","unit":"sec","xf":$xf,"base_sf":"$sfDir","cpus":$cpus,"queries":$qs$recallJson$rowsJson}"""
     println(json)
     // A filtered run never overwrites the committed artifact — partial shape
     // sets must not masquerade as a full probe. An explicit SPOT_OUT target

@@ -250,6 +250,9 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, blockCols: Seq[Column] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // verify uses call_function("sorted_isect_count", …) — keep direct
+    // library use independent of Tables (r21 ADVICE #2 pattern)
+    graft.functions.NativeFunctions.ensureRegistered(df.sparkSession)
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     val toks = graft.Caches.track(
@@ -327,16 +330,22 @@ object Dedup {
     // the saved pass (d2 54.7 → 69.2 s at xf=30 with the cache; reverted).
     // r22 NOTE: a candidate-id semi-join prune of this frame (tokenize only
     // candidate docs) was measured and REVERTED — it requires caching
-    // `cands` (else the candidate pipeline runs twice), and that cache cost
-    // d2 5.2 → 8.7 s / d12 6.5 → 13.8 s same-session (the heavy candidate
-    // join re-runs under the cache's frozen pre-AQE plan).
+    // `cands` (millions of rows on a dense corpus, so the cache is not
+    // cheap), and that cache cost d2 5.2 → 8.7 s / d12 6.5 → 13.8 s
+    // same-session.
+    // r22: arrays are SORTED once per doc (inside the broadcast-side
+    // projection) so the per-pair exact intersect is the allocation-free
+    // sorted_isect_count merge kernel instead of array_intersect's
+    // per-pair hash-set build — |A∩B| is identical by construction
+    // (sorted + duplicate-free inputs), and the pair stream is where the
+    // row count lives (7.5M candidate evaluations on the d12 fixture).
     val arrays = df.select(id.as("doc_id"),
-      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+      sort_array(array_distinct(TextFunctions.bigrams(text))).as("__ta"))
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
       .select(col("da"), col("db"),
-        size(array_intersect(col("ta"), col("tb"))).as("i"),
+        call_function("sorted_isect_count", col("ta"), col("tb")).as("i"),
         size(col("ta")).as("sa"), size(col("tb")).as("sb"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("sa") + col("sb") - col("i")))
@@ -379,6 +388,7 @@ object Dedup {
     */
   def containmentPairsPrefix(df: DataFrame, id: Column, text: Column,
       minContainment: Double, blockCols: Seq[Column] = Seq.empty): DataFrame = {
+    graft.functions.NativeFunctions.ensureRegistered(df.sparkSession)
     val block = if (blockCols.isEmpty) Seq(lit(1).as("__b")) else
       blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     val toks = graft.Caches.track(
@@ -455,13 +465,16 @@ object Dedup {
     // verify stage (the wide bigram-array cache costs more in storage
     // pressure than the one saved tokenization pass). The candidate-id
     // semi-join prune was likewise measured and reverted (see there).
+    // Sorted arrays + the sorted_isect_count merge kernel, same r22
+    // rationale as jaccardPairsPrefix's verify (|A∩B| identical).
     val arrays = df.select(id.as("doc_id"),
-      array_distinct(TextFunctions.bigrams(text)).as("__ta"))
+      sort_array(array_distinct(TextFunctions.bigrams(text))).as("__ta"))
     cands
       .join(arrays.select(col("doc_id").as("da"), col("__ta").as("ta")), "da")
       .join(arrays.select(col("doc_id").as("db"), col("__ta").as("tb")), "db")
       .select(col("da"), col("db"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("i"),
+        call_function("sorted_isect_count", col("ta"), col("tb"))
+          .cast("long").as("i"),
         size(col("ta")).cast("long").as("sa"),
         size(col("tb")).cast("long").as("sb"))
       .withColumn("containment",

@@ -12,11 +12,19 @@ import org.apache.spark.sql.functions.udaf
   */
 case class CentroidBuffer(sums: Array[Double], n: Long)
 
-class CentroidAgg extends Aggregator[Seq[Float], CentroidBuffer, Seq[Double]] {
+/** Input is `Array[Float]`, not `Seq[Float]` (r22, VERDICT #2 hardening):
+  * the primitive-array encoder deserializes each row with one
+  * `toFloatArray` copy, where the Seq encoder boxed every element into a
+  * WrappedArray — per-row garbage that is exactly the churn a 32-thread
+  * ObjectHashAggregate amplifies. Accumulation order and arithmetic are
+  * unchanged (same index-ascending double adds), so results are
+  * bit-identical per partition.
+  */
+class CentroidAgg extends Aggregator[Array[Float], CentroidBuffer, Seq[Double]] {
 
   override def zero: CentroidBuffer = CentroidBuffer(Array.empty, 0L)
 
-  override def reduce(b: CentroidBuffer, v: Seq[Float]): CentroidBuffer = {
+  override def reduce(b: CentroidBuffer, v: Array[Float]): CentroidBuffer = {
     val sums = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
     var i = 0
     while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
@@ -42,6 +50,7 @@ class CentroidAgg extends Aggregator[Seq[Float], CentroidBuffer, Seq[Double]] {
 }
 
 object CentroidAgg {
-  private lazy val fn = udaf(new CentroidAgg)
+  private lazy val fn = udaf(new CentroidAgg,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
   def centroid(vec: Column): Column = fn(vec)
 }

